@@ -1,0 +1,541 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extra-column policy for pack (reference: ExtraColumnsMode). */
+sealed trait ExtraColumns
+object ExtraColumns {
+  case object Preserve extends ExtraColumns
+  case object Drop extends ExtraColumns
+  case object Error extends ExtraColumns
+}
+
+/** Root-attribute strategy for pack (reference: ParentStrategy). */
+sealed trait ParentStrategy
+object ParentStrategy {
+  case object Aggregate extends ParentStrategy
+  /** Pull heavy root attributes into a dim table and re-join after packing
+    * only structural columns; the dim side is broadcast when small. */
+  case object SplitJoin extends ParentStrategy
+}
+
+/**
+ * Converts between flat "dotted-column" tables and nested List[Struct]
+ * hierarchies (reference: nexpresso/hierarchical_packer.py, HierarchicalPacker).
+ *
+ * Spark-first design notes (vs. the reference's single-node Polars engine):
+ *  - Packing one level = one `groupBy(ancestorKeys)` — a hash shuffle keyed
+ *    on that level's ancestors; K levels packed = K successively coarser
+ *    shuffles. Executor memory is bounded by the shuffle, so the reference's
+ *    `pack_streaming` disk-bucketing machinery is unnecessary (see
+ *    [[Packer.packStreaming]]).
+ *  - `collect_list` order is nondeterministic after a shuffle, so child-list
+ *    order is enforced EXPLICITLY: children are collected as
+ *    struct(sortKeys..., rowId, payload), `sort_array`-ed, then `transform`-ed
+ *    back to the payload. Mirrors the reference's sort-inside-agg
+ *    (hierarchical_packer.py:2684-2688) without a global sort.
+ *  - Row order: Polars has a contiguous engine row index; Spark does not.
+ *    We use `monotonically_increasing_id()` (monotone within a partition,
+ *    stable for ordered sources). Top-level row order after pack is
+ *    unguaranteed — same caveat as the reference (README.md:251-254).
+ *  - Parent-attribute dedup = `first(col, ignoreNulls = true)` — exactly the
+ *    reference's `drop_nulls().first()` (hierarchical_packer.py:2678).
+ *
+ * @param validateOnPack run the per-level aggregation-uniformity check
+ *        (an extra Spark job per packed level — the same cost gate as the
+ *        reference's eager-only validation, hierarchical_packer.py:1000-1001)
+ */
+final class Packer(
+    val spec: HierarchySpec,
+    val preserveChildOrder: Boolean = true,
+    val validateOnPack: Boolean = false) extends PackerMetaOps with CrossLevelOps {
+
+  import Packer._
+
+  private val cn = spec.colName
+  private def sep = cn.separator
+  private def metas = spec.metadata
+
+  // ---------------------------------------------------------------- helpers
+
+  private def topCol(name: String): Column = ColName.topCol(name)
+
+  private def hasCol(df: DataFrame, name: String): Boolean =
+    df.schema.fieldNames.contains(name)
+
+  /** Alias-key + row-id + computed-field preparation (reference:
+    * _prepare_frame, hierarchical_packer.py:2342-2365). Returns the
+    * prepared frame and the names of alias columns that were added. */
+  private def prepareFrame(df: DataFrame): (DataFrame, Seq[String]) = {
+    var cur = df
+    val added = Seq.newBuilder[String]
+    spec.keyAliases.foreach { case (target, source) =>
+      if (!hasCol(cur, target) && hasCol(cur, source)) {
+        cur = cur.withColumn(target, topCol(source))
+        added += target
+      }
+    }
+    if (preserveChildOrder && !hasCol(cur, RowIdCol))
+      cur = cur.select((monotonically_increasing_id().alias(RowIdCol) +:
+        cur.schema.fieldNames.toIndexedSeq.map(topCol)): _*)
+    // computed id fields materialize as their fully-qualified flat column
+    // (reference: _ensure_computed_fields, hierarchical_packer.py:2415-2436)
+    metas.foreach { m =>
+      m.spec.idFields.foreach {
+        case ComputedField(name, expr) =>
+          val qualified = m.prefix + cn.escapeField(name)
+          if (!hasCol(cur, qualified)) cur = cur.withColumn(qualified, expr)
+        case _ =>
+      }
+    }
+    (cur, added.result())
+  }
+
+  private def dropIfPresent(df: DataFrame, names: Seq[String]): DataFrame = {
+    val present = names.filter(hasCol(df, _))
+    if (present.isEmpty) df else df.drop(present: _*)
+  }
+
+  /** Columns not belonging to any hierarchy level (reference:
+    * _identify_extra_columns, hierarchical_packer.py:2479-2526). */
+  def identifyExtraColumns(schema: StructType): Seq[String] = {
+    val rootPrefix = metas.head.name + sep
+    val prefixes = metas.map(_.prefix)
+    val paths = metas.map(_.path).toSet
+    val aliasTargets = spec.keyAliases.keySet
+    schema.fieldNames.toIndexedSeq.filter { c =>
+      c != RowIdCol && !paths.contains(c) && !aliasTargets.contains(c) &&
+        !prefixes.exists(c.startsWith) &&
+        !c.startsWith(rootPrefix) && c != metas.head.name
+    }
+  }
+
+  // ------------------------------------------------------------------ pack
+
+  /** P1: fold flat columns into nested List[Struct], one level at a time
+    * from the leaf up to `toLevel` (reference: pack,
+    * hierarchical_packer.py:941-1011). */
+  def pack(df: DataFrame, toLevel: String,
+           extraColumns: ExtraColumns = ExtraColumns.Preserve,
+           parentStrategy: ParentStrategy = ParentStrategy.Aggregate): DataFrame =
+    parentStrategy match {
+      case ParentStrategy.SplitJoin => packSplitJoin(df, toLevel, extraColumns)
+      case ParentStrategy.Aggregate =>
+        val (prepared0, added) = prepareFrame(df)
+        var cur = prepared0
+        val extras = identifyExtraColumns(cur.schema)
+        if (extras.nonEmpty) extraColumns match {
+          case ExtraColumns.Error =>
+            throw new HierarchyValidationError(
+              s"Found ${extras.size} column(s) not part of the hierarchy: " +
+                s"${extras.take(5).mkString(", ")}${if (extras.size > 5) "..." else ""}. " +
+                "Use ExtraColumns.Preserve to keep them or Drop to remove them.")
+          case ExtraColumns.Drop => cur = cur.drop(extras: _*)
+          case ExtraColumns.Preserve => // kept; uniformity enforced when validateOnPack
+        }
+        val targetIdx = spec.levelIndex(toLevel)
+        (metas.size - 1 to targetIdx by -1).foreach { i =>
+          cur = packSingleLevel(cur, i, validate = validateOnPack)
+        }
+        dropInternal(dropIfPresent(cur, added))
+    }
+
+  /** P2: pack exactly one level (reference: _pack_single_level,
+    * hierarchical_packer.py:2614-2698). */
+  private[graft] def packSingleLevel(df0: DataFrame, levelIdx: Int,
+                                     validate: Boolean = false): DataFrame = {
+    var df = df0
+    if (preserveChildOrder && !hasCol(df, RowIdCol))
+      df = df.select((monotonically_increasing_id().alias(RowIdCol) +:
+        df.schema.fieldNames.toIndexedSeq.map(topCol)): _*)
+
+    val meta = metas(levelIdx)
+    val names = df.schema.fieldNames.toIndexedSeq
+    val levelCols = names.filter(c => meta.prefix.nonEmpty && c.startsWith(meta.prefix))
+    if (levelCols.isEmpty) return df
+
+    val groupKeys = meta.ancestorKeys
+
+    // order_by expressions reference this level's flat columns, which are
+    // about to be folded into the struct — materialize them first
+    // (reference: hierarchical_packer.py:2651-2656).
+    val orderExprs = meta.spec.orderBy
+    val orderTempCols: Seq[String] =
+      if (orderExprs.nonEmpty && groupKeys.nonEmpty) orderExprs.indices.map(i => s"$OrderTempPrefix$i")
+      else Nil
+    if (orderTempCols.nonEmpty)
+      df = orderExprs.zip(orderTempCols).foldLeft(df) {
+        case (d, (e, a)) => d.withColumn(a, e)
+      }
+
+    val structExpr = struct(levelCols.map(c =>
+      topCol(c).alias(c.substring(meta.prefix.length))): _*).alias(meta.path)
+    val others = df.schema.fieldNames.toIndexedSeq.filterNot(levelCols.contains)
+    df = df.select((others.map(topCol) :+ structExpr): _*)
+
+    if (groupKeys.isEmpty) return df
+
+    val hasRowId = hasCol(df, RowIdCol)
+    val excluded = groupKeys.toSet ++ orderTempCols + meta.path ++
+      (if (hasRowId) Set(RowIdCol) else Set.empty[String])
+    val remaining = df.schema.fieldNames.toIndexedSeq.filterNot(excluded.contains)
+
+    if (validate && remaining.nonEmpty)
+      validateAggregationUniformity(df, groupKeys, remaining, meta.name)
+
+    val firstAggs = remaining.map(c => first(topCol(c), ignoreNulls = true).alias(c))
+
+    val sortByCols = orderTempCols ++ (if (preserveChildOrder && hasRowId) Seq(RowIdCol) else Nil)
+    val childList: Column =
+      if (sortByCols.isEmpty) collect_list(topCol(meta.path)).alias(meta.path)
+      else {
+        // collect (sortKeys..., payload), sort by struct order (sort keys
+        // lead; rowId is unique so payload never decides), strip to payload
+        val keyed = struct((sortByCols.zipWithIndex.map { case (c, i) =>
+          topCol(c).alias(s"__k$i") } :+ topCol(meta.path).alias("__payload")): _*)
+        transform(sort_array(collect_list(keyed)), x => x.getField("__payload"))
+          .alias(meta.path)
+      }
+
+    val rowIdAgg =
+      if (preserveChildOrder && hasRowId) Seq(min(topCol(RowIdCol)).alias(RowIdCol))
+      else Nil
+
+    val aggs = firstAggs ++ Seq(childList) ++ rowIdAgg
+    df.groupBy(groupKeys.map(topCol): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Root attribute columns: under the root prefix but not a root id, not
+    * in any descendant level (reference: _root_attribute_columns). */
+  private def rootAttributeColumns(schema: StructType): Seq[String] = {
+    val root = metas.head
+    val childPrefix = metas.lift(1).map(_.prefix)
+    val ids = root.idColumns.toSet
+    schema.fieldNames.toIndexedSeq.filter { c =>
+      c.startsWith(root.prefix) && !ids.contains(c) &&
+        !childPrefix.exists(c.startsWith) && c != RowIdCol
+    }
+  }
+
+  /** P3: split_join strategy (reference: _pack_split_join,
+    * hierarchical_packer.py:1033-1072). The dim table is unique-per-root-key
+    * and usually tiny relative to the fact side — broadcast it. */
+  private def packSplitJoin(df: DataFrame, toLevel: String,
+                            extraColumns: ExtraColumns): DataFrame = {
+    val (prepared, _) = prepareFrame(df)
+    val root = metas.head
+    val rootKeys = root.idColumns
+    val attrCols = rootAttributeColumns(prepared.schema)
+    if (rootKeys.isEmpty || attrCols.isEmpty)
+      return pack(df, toLevel, extraColumns)
+
+    val dim = prepared.select((rootKeys ++ attrCols).map(topCol): _*)
+      .dropDuplicates(rootKeys)
+    val structural = prepared.drop(attrCols: _*)
+    val packed = pack(structural, toLevel, extraColumns)
+
+    if (toLevel != root.name) {
+      packed.join(broadcast(dim), rootKeys, "left")
+    } else {
+      // packing to root collapses each entity into a single struct column;
+      // re-inject the attributes as struct fields
+      val structCol = root.path
+      val prefix = root.prefix
+      val withKeys = rootKeys.foldLeft(packed)((d, k) =>
+        d.withColumn(k, topCol(structCol).getField(k.substring(prefix.length))))
+      val joined = withKeys.join(broadcast(dim), rootKeys, "left")
+      val withFieldsCol = attrCols.foldLeft(topCol(structCol))((acc, c) =>
+        acc.withField(c.substring(prefix.length), topCol(c)))
+      joined.withColumn(structCol, withFieldsCol).drop((rootKeys ++ attrCols): _*)
+    }
+  }
+
+  // ---------------------------------------------------------------- unpack
+
+  /** P4: unpack nested levels until `toLevel` (reference: unpack,
+    * hierarchical_packer.py:1074-1101). Uses `explode_outer` so parents with
+    * null/empty children survive as a row of nulls — Polars `explode`
+    * semantics (null-children tests, test_complex_hierarchies.py:313-368). */
+  def unpack(df: DataFrame, toLevel: String): DataFrame = {
+    var cur = df
+    var done = false
+    metas.foreach { meta =>
+      if (!done && hasCol(cur, meta.path)) {
+        cur = explodeAndUnnest(cur, meta)
+        if (meta.name == toLevel) done = true
+      }
+    }
+    dropInternal(cur)
+  }
+
+  /** Explode (if List) + unnest one level's nested column in place
+    * (reference: _explode_and_unnest, hierarchical_packer.py:2742-2765). */
+  private def explodeAndUnnest(df0: DataFrame, meta: LevelMetadata): DataFrame = {
+    var df = df0
+    val dt = df.schema(meta.path).dataType
+    val isList = dt.isInstanceOf[ArrayType]
+    if (isList) df = df.withColumn(meta.path, explode_outer(topCol(meta.path)))
+    val st = df.schema(meta.path).dataType match {
+      case s: StructType => s
+      case other => throw new HierarchyError(
+        s"expected struct at '${meta.path}', got ${other.simpleString}")
+    }
+    val cols = df.schema.fieldNames.toIndexedSeq.flatMap { c =>
+      if (c == meta.path)
+        st.fieldNames.toIndexedSeq.map(f =>
+          topCol(meta.path).getField(f).alias(meta.path + sep + f))
+      else Seq(topCol(c))
+    }
+    df.select(cols: _*)
+  }
+
+  // -------------------------------------------------- split / (de)normalize
+
+  /** P7: one standalone table per level (reference: split_levels,
+    * hierarchical_packer.py:1252-1314). */
+  def splitLevels(df: DataFrame): Map[String, DataFrame] = {
+    val (prepared, added) = prepareFrame(df)
+    val outputs = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+    var current = prepared
+    metas.foreach { meta =>
+      if (hasCol(current, meta.path)) {
+        val levelTable = unpackKeepInternal(current, meta.name)
+        var out = levelTable
+        val nextMeta = metas.lift(meta.index + 1)
+        nextMeta match {
+          case Some(nm) =>
+            val dropCols = out.schema.fieldNames.toIndexedSeq
+              .filter(c => c.startsWith(nm.prefix) || c == nm.path)
+            out = dropIfPresent(out, dropCols)
+            // NB not na.drop: it resolves dotted names as struct paths
+            val subset = nm.ancestorKeys.filter(hasCol(out, _))
+            if (subset.nonEmpty)
+              out = out.filter(subset.map(topCol(_).isNotNull).reduce(_ && _))
+          case None =>
+            val required = meta.spec.requiredFields
+              .map(f => meta.prefix + cn.escapeField(f)).filter(hasCol(out, _))
+            if (required.nonEmpty)
+              out = out.filter(required.map(topCol(_).isNotNull).reduce(_ && _))
+        }
+        out = dropIfPresent(out, added)
+        outputs += meta.name -> dropInternal(out)
+        current = levelTable
+      }
+    }
+    outputs.toMap
+  }
+
+  /** unpack but keep the row-id column for downstream level extraction. */
+  private def unpackKeepInternal(df: DataFrame, toLevel: String): DataFrame = {
+    var cur = df
+    var done = false
+    metas.foreach { meta =>
+      if (!done && hasCol(cur, meta.path)) {
+        cur = explodeAndUnnest(cur, meta)
+        if (meta.name == toLevel) done = true
+      }
+    }
+    cur
+  }
+
+  /** P8: normalize = pack to root + splitLevels (reference:
+    * hierarchical_packer.py:1316-1330). */
+  def normalize(df: DataFrame, rootLevel: Option[String] = None): Map[String, DataFrame] =
+    splitLevels(pack(df, rootLevel.getOrElse(spec.rootLevel)))
+
+  /** P9: reconstruct nested columns from per-level tables (reference:
+    * denormalize, hierarchical_packer.py:1332-1443). Child struct frames are
+    * attached parent-ward with left joins on the ancestor keys. */
+  def denormalize(tables: Map[String, DataFrame],
+                  targetLevel: Option[String] = None): DataFrame = {
+    if (tables.isEmpty) throw new HierarchyValidationError(
+      "Expected at least one table to denormalize.")
+    val targetName = targetLevel.getOrElse(spec.rootLevel)
+    val targetIdx = spec.levelIndex(targetName)
+    if (!tables.contains(spec.rootLevel)) throw new HierarchyValidationError(
+      s"Missing root level '${spec.rootLevel}' in table mapping.")
+
+    val prepared = scala.collection.mutable.Map.empty[String, DataFrame]
+    val aliasAdded = scala.collection.mutable.Map.empty[String, Seq[String]]
+    tables.foreach { case (name, t) =>
+      val (p, added) = prepareFrame(t)
+      prepared(name) = p
+      aliasAdded(name) = added
+    }
+
+    (metas.size - 1 to 1 by -1).foreach { levelIdx =>
+      val level = metas(levelIdx)
+      val parentName = metas(levelIdx - 1).name
+      prepared.get(level.name) match {
+        case None =>
+          if (levelIdx <= targetIdx) throw new HierarchyValidationError(
+            s"Missing table for level '${level.name}'.")
+        case Some(childDf) =>
+          val parentDf = prepared.getOrElse(parentName,
+            throw new HierarchyValidationError(s"Missing table for parent level '$parentName'."))
+          var childPacked = packSingleLevel(childDf, levelIdx)
+          val joinKeys = level.ancestorKeys
+          var childStructFrame = childPacked.select((joinKeys.map(topCol) :+ topCol(level.path)): _*)
+          val childAdded = aliasAdded.getOrElse(level.name, Nil)
+          if (childAdded.nonEmpty) {
+            childPacked = dropIfPresent(childPacked, childAdded)
+            childStructFrame = dropIfPresent(childStructFrame, childAdded)
+          }
+          prepared(level.name) = childPacked
+          prepared(parentName) = parentDf.join(childStructFrame, joinKeys, "left")
+      }
+    }
+
+    var result = prepared.getOrElse(targetName,
+      throw new HierarchyValidationError(s"Missing table for level '$targetName'."))
+    result = dropIfPresent(result, aliasAdded.getOrElse(targetName, Nil))
+    dropInternal(result)
+  }
+
+  // ------------------------------------------------------- relational build
+
+  /** P10: relational tables → nested hierarchy (reference: build_from_tables,
+    * hierarchical_packer.py:1445-1586). Each child table joins its parent on
+    * `parent.idColumns == child.qualifiedParentKeys`; plain equi-joins, so
+    * Catalyst is free to broadcast small dimension levels. */
+  def buildFromTables(tables: Map[String, DataFrame],
+                      targetLevel: Option[String] = None,
+                      joinType: String = "left"): DataFrame = {
+    require(joinType == "left" || joinType == "inner", s"joinType must be left|inner, got $joinType")
+    if (tables.isEmpty) throw new HierarchyValidationError("Expected at least one table to build from.")
+    val targetName = targetLevel.getOrElse(spec.rootLevel)
+    val targetIdx = spec.levelIndex(targetName)
+    metas.take(targetIdx + 1).foreach { m =>
+      if (!tables.contains(m.name)) throw new HierarchyValidationError(
+        s"Missing table for level '${m.name}'.")
+    }
+
+    val prepared = scala.collection.mutable.Map.empty[String, DataFrame]
+    metas.foreach { m =>
+      tables.get(m.name).foreach(t => prepared(m.name) = prepareLevelTableInternal(t, m))
+    }
+
+    (metas.size - 1 to 1 by -1).foreach { levelIdx =>
+      val level = metas(levelIdx)
+      val parentMeta = metas(levelIdx - 1)
+      if (prepared.contains(level.name) && prepared.contains(parentMeta.name)) {
+        val parentKeys = level.spec.parentKeys
+        if (parentKeys.isEmpty) throw new HierarchyValidationError(
+          s"Level '${level.name}' must have parent_keys defined for buildFromTables.")
+        val parentIdCols = parentMeta.idColumns
+        if (parentKeys.size != parentIdCols.size) throw new HierarchyValidationError(
+          s"Level '${level.name}' has ${parentKeys.size} parent_keys but parent " +
+            s"'${parentMeta.name}' has ${parentIdCols.size} id_fields.")
+        val qualifiedParentKeys = parentKeys.map(pk => level.prefix + cn.escapeField(pk))
+        val child = prepared(level.name)
+        val parent = prepared(parentMeta.name)
+        val cond = parentIdCols.zip(qualifiedParentKeys)
+          .map { case (p, c) => parent(ColName.quote(p)) === child(ColName.quote(c)) }
+          .reduce(_ && _)
+        val joined = qualifiedParentKeys.map(k => child(ColName.quote(k)))
+          .foldLeft(parent.join(child, cond, joinType))((d, c) => d.drop(c))
+        prepared(parentMeta.name) = joined
+      }
+    }
+
+    pack(prepared(spec.rootLevel), targetName)
+  }
+
+  /** P11: prepare a raw table for buildFromTables — rename via mapping then
+    * prefix every column with the level path (reference: prepare_level_table,
+    * hierarchical_packer.py:1588-1665). */
+  def prepareLevelTable(levelName: String, df: DataFrame,
+                        columnMapping: Map[String, String] = Map.empty): DataFrame = {
+    val meta = spec.meta(levelName)
+    val renamed =
+      if (columnMapping.isEmpty) df
+      else df.select(df.schema.fieldNames.toIndexedSeq.map { c =>
+        topCol(c).alias(columnMapping.getOrElse(c, c))
+      }: _*)
+    prepareLevelTableInternal(renamed, meta)
+  }
+
+  private def prepareLevelTableInternal(df: DataFrame, meta: LevelMetadata): DataFrame =
+    df.select(df.schema.fieldNames.toIndexedSeq.map(c =>
+      topCol(c).alias(meta.prefix + cn.escapeField(c))): _*)
+
+  // ------------------------------------------------------- streaming parity
+
+  /** P5: parity API for the reference's `pack_streaming`
+    * (hierarchical_packer.py:1103-1211). The reference hash-buckets rows by
+    * root key and packs each bucket via Parquet staging to bound single-node
+    * memory; in Spark the pack's own hash shuffle already bounds per-task
+    * memory, so this is `repartition(partitions, rootKeys)` + pack. The
+    * repartition pre-shards groups exactly like the reference's buckets. */
+  def packStreaming(df: DataFrame, toLevel: String, partitions: Int = 64,
+                    extraColumns: ExtraColumns = ExtraColumns.Preserve): DataFrame = {
+    val (prepared, _) = prepareFrame(df) // assign row ids BEFORE the shuffle
+    val rootKeys = metas.head.idColumns.filter(hasCol(prepared, _))
+    val sharded =
+      if (rootKeys.isEmpty) prepared.repartition(partitions)
+      else prepared.repartition(partitions, rootKeys.map(topCol): _*)
+    pack(sharded, toLevel, extraColumns)
+  }
+
+  /** P6: parity API for `unpack_streaming` (hierarchical_packer.py:1213-1250):
+    * optional disk-to-disk staging around unpack. */
+  def unpackStreaming(df: DataFrame, toLevel: String,
+                      sinkPath: Option[String] = None): DataFrame = {
+    val out = unpack(df, toLevel)
+    sinkPath match {
+      case Some(p) => out.write.mode("overwrite").parquet(p); out.sparkSession.read.parquet(p)
+      case None => out
+    }
+  }
+
+  // -------------------------------------------------------------- validation
+
+  /** M10: grouped values must be identical within each group before the
+    * first-non-null dedup (reference: _validate_aggregation_uniformity,
+    * hierarchical_packer.py:2700-2740). One batched job per level. */
+  private def validateAggregationUniformity(df: DataFrame, groupKeys: Seq[String],
+                                            valueCols: Seq[String], levelName: String): Unit = {
+    // per-group distinct counts (nulls ignored, as the reference drops nulls
+    // before n_unique), then max over groups — one batched job
+    val perGroup = valueCols.zipWithIndex.map { case (c, i) =>
+      countDistinct(topCol(c)).alias(s"__nuniq_$i") }
+    val grouped = df.groupBy(groupKeys.map(topCol): _*)
+      .agg(perGroup.head, perGroup.tail: _*)
+    val maxed = valueCols.indices.map(i => max(col(s"__nuniq_$i")))
+    val row = grouped.agg(maxed.head, maxed.tail: _*).collect()(0)
+    valueCols.zipWithIndex.foreach { case (c, i) =>
+      val m = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (m > 1) throw new HierarchyValidationError(
+        s"Column '$c' has non-uniform values within groups at level '$levelName'. " +
+          "Values at coarser granularity should be identical within each group.")
+    }
+  }
+
+  /** M8: data validation — null counts in key columns, batched into ONE
+    * aggregation pass (reference: validate, hierarchical_packer.py:1667-1717
+    * runs one eager collect per key). */
+  def validate(df: DataFrame, level: String, raiseOnError: Boolean = true): Map[String, Long] = {
+    val keys = spec.levelKeys(level, includeAncestors = true).filter(hasCol(df, _))
+    if (keys.isEmpty) return Map.empty
+    val aggs = keys.map(k => sum(when(topCol(k).isNull, 1L).otherwise(0L)).alias(k))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val counts = keys.zipWithIndex.map { case (k, i) => k -> row.getLong(i) }.toMap
+    val bad = counts.filter(_._2 > 0)
+    if (bad.nonEmpty && raiseOnError) throw new HierarchyValidationError(
+      s"Null values in key columns at level '$level': " +
+        bad.map { case (k, n) => s"$k=$n" }.mkString(", "))
+    counts
+  }
+
+  private def dropInternal(df: DataFrame): DataFrame =
+    dropIfPresent(df, Seq(RowIdCol) ++
+      df.schema.fieldNames.filter(_.startsWith(OrderTempPrefix)))
+}
+
+object Packer {
+  /** Internal columns (reference: hierarchical_packer.py:37-38). */
+  val RowIdCol = "__hier_row_id"
+  val OrderTempPrefix = "__hier_order_"
+}

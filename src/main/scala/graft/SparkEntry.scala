@@ -1,13 +1,300 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared query-building helpers over the driver's TPC-H-ish testdata
+  * (TESTDATA.md). The hierarchy treats `orders` → `lineitem` as a 2-level
+  * nest and `region` → `nation` → `customer` as a 3-level nest. */
+object Tpch {
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** order(o_orderkey) → lineitem(l_linenumber), children ordered by line number. */
+  val orderSpec: HierarchySpec = HierarchySpec(Seq(
+    LevelSpec("order", Seq(NamedField("o_orderkey"))),
+    LevelSpec("lineitem", Seq(NamedField("l_linenumber")),
+      parentKeys = Seq("l_orderkey"),
+      orderBy = Seq(ColName.topCol("order.lineitem.l_linenumber")))))
+
+  def orderPacker = new Packer(orderSpec)
+
+  val orderCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+  val lineCols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    "l_linestatus", "l_shipdate")
+
+  /** Flat dotted-column frame at lineitem granularity. The join is a plain
+    * equi-join — Catalyst picks broadcast vs shuffle; at 100 TB the orders
+    * side shuffles on the join key and AQE handles skew. */
+  def flatOrderLines(s: SparkSession, dir: String): DataFrame = {
+    val o = table(s, dir, "orders")
+    val l = table(s, dir, "lineitem")
+    val cols = orderCols.map(c => o(c).alias(s"order.$c")) ++
+      lineCols.map(c => l(c).alias(s"order.lineitem.$c"))
+    o.join(l, o("o_orderkey") === l("l_orderkey")).select(cols: _*)
+  }
+
+  /** region(r_regionkey) → nation(n_nationkey) → customer(c_custkey). */
+  val regionSpec: HierarchySpec = HierarchySpec(Seq(
+    LevelSpec("region", Seq(NamedField("r_regionkey"))),
+    LevelSpec("nation", Seq(NamedField("n_nationkey")), parentKeys = Seq("n_regionkey")),
+    LevelSpec("customer", Seq(NamedField("c_custkey")), parentKeys = Seq("c_nationkey"))))
+
+  def regionPacker = new Packer(regionSpec)
+
+  /** Strip hierarchy prefixes: select flat dotted columns as bare names. */
+  def stripPrefixes(df: DataFrame): DataFrame = {
+    val cn = ColName.default
+    df.select(df.schema.fieldNames.toIndexedSeq.map { c =>
+      ColName.topCol(c).alias(cn.splitPath(c).last)
+    }: _*)
+  }
+}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+  import Tpch._
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_enrich_aggs")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1/P2/P4: pack to lineitem then unpack — lossless roundtrip vs the join
+    "q_pack_unpack_roundtrip" -> ((s, dir) => {
+      val p = orderPacker
+      val flat = flatOrderLines(s, dir)
+      stripPrefixes(p.unpack(p.pack(flat, "lineitem"), "lineitem"))
+    }),
+    // P1 root fold + S3 unnestAll: struct column flattened back to dotted names
+    "q_pack_root_unnest" -> ((s, dir) => {
+      val p = orderPacker
+      val packed = p.pack(flatOrderLines(s, dir), "order")
+      val flatAgain = Structuring.unnestAll(packed)
+      flatAgain.select(orderCols.map(c => ColName.topCol(s"order.$c")): _*)
+    }),
+    // P3: split_join parent strategy must equal the aggregate strategy
+    "q_pack_split_join" -> ((s, dir) => {
+      val p = orderPacker
+      val flat = flatOrderLines(s, dir)
+      val packed = p.pack(flat, "lineitem", parentStrategy = ParentStrategy.SplitJoin)
+      stripPrefixes(p.unpack(packed, "lineitem"))
+    }),
+    // P5: pack_streaming parity (repartition by root key) — same contents
+    "q_pack_streaming" -> ((s, dir) => {
+      val p = orderPacker
+      val packed = p.packStreaming(flatOrderLines(s, dir), "lineitem", partitions = 8)
+      stripPrefixes(p.unpack(packed, "lineitem"))
+    }),
+    // Q1/Q2/Q3: enrich with cross-level aggregation kernels
+    "q_enrich_aggs" -> ((s, dir) => {
+      val p = orderPacker
+      val packed = p.pack(flatOrderLines(s, dir), "lineitem")
+      val enriched = p.enrich(packed, "order",
+        LevelAttribute("l_quantity", "lineitem", Agg.Sum, Some("sum_qty")),
+        LevelAttribute("l_linenumber", "lineitem", Agg.Count, Some("n_items")),
+        LevelAttribute("l_extendedprice", "lineitem", Agg.Max, Some("max_price")),
+        LevelAttribute("l_extendedprice", "lineitem", Agg.Min, Some("min_price")),
+        LevelAttribute("l_discount", "lineitem", Agg.Mean, Some("avg_disc")))
+      enriched.select(
+        ColName.topCol("order.o_orderkey").alias("o_orderkey"),
+        ColName.topCol("order.sum_qty").alias("sum_qty"),
+        ColName.topCol("order.n_items").alias("n_items"),
+        ColName.topCol("order.max_price").alias("max_price"),
+        ColName.topCol("order.min_price").alias("min_price"),
+        round(ColName.topCol("order.avg_disc"), 6).alias("avg_disc"))
+    }),
+    // Q2 first/last kernels — l_linenumber is NOT unique per order in the
+    // testdata, so order by (l_linenumber, l_partkey): ties then share the
+    // extracted l_partkey, making first/last well-defined on both engines
+    "q_promote_first_last" -> ((s, dir) => {
+      val spec = HierarchySpec(Seq(
+        LevelSpec("order", Seq(NamedField("o_orderkey"))),
+        LevelSpec("lineitem", Seq(NamedField("l_linenumber")),
+          parentKeys = Seq("l_orderkey"),
+          orderBy = Seq(ColName.topCol("order.lineitem.l_linenumber"),
+            ColName.topCol("order.lineitem.l_partkey")))))
+      val p = new Packer(spec)
+      val packed = p.pack(flatOrderLines(s, dir), "lineitem")
+      val enriched = p.enrich(packed, "order",
+        LevelAttribute("l_partkey", "lineitem", Agg.First, Some("first_part")),
+        LevelAttribute("l_partkey", "lineitem", Agg.Last, Some("last_part")))
+      enriched.select(
+        ColName.topCol("order.o_orderkey").alias("o_orderkey"),
+        ColName.topCol("order.first_part").alias("first_part"),
+        ColName.topCol("order.last_part").alias("last_part"))
+    }),
+    // Q6: promote_attribute sum
+    "q_promote_sum" -> ((s, dir) => {
+      val p = orderPacker
+      val promoted = p.promoteAttribute(flatOrderLines(s, dir), "l_quantity",
+        "lineitem", "order", Agg.Sum, Some("sum_qty"))
+      promoted.select(
+        ColName.topCol("order.o_orderkey").alias("o_orderkey"),
+        ColName.topCol("order.sum_qty").alias("sum_qty"))
+    }),
+    // Q4: existential child filter
+    "q_any_child" -> ((s, dir) => {
+      val p = orderPacker
+      val packed = p.pack(flatOrderLines(s, dir), "lineitem")
+      p.anyChildSatisfies(packed, "lineitem", "order",
+          x => x.getField("l_quantity") > 45)
+        .select(ColName.topCol("order.o_orderkey").alias("o_orderkey"))
+    }),
+    // Q5: universal child filter
+    "q_all_children" -> ((s, dir) => {
+      val p = orderPacker
+      val packed = p.pack(flatOrderLines(s, dir), "lineitem")
+      p.allChildrenSatisfy(packed, "lineitem", "order",
+          x => x.getField("l_discount") <= 0.05)
+        .select(ColName.topCol("order.o_orderkey").alias("o_orderkey"))
+    }),
+    // P10: relational tables → nested → unpacked (3-level, region→nation→customer)
+    "q_build_from_tables" -> ((s, dir) => {
+      val p = regionPacker
+      val nested = p.buildFromTables(Map(
+        "region" -> table(s, dir, "region"),
+        "nation" -> table(s, dir, "nation"),
+        "customer" -> table(s, dir, "customer")), Some("customer"))
+      val flat = p.unpack(nested, "customer")
+      flat.select(
+        ColName.topCol("region.r_regionkey").alias("r_regionkey"),
+        ColName.topCol("region.r_name").alias("r_name"),
+        ColName.topCol("region.nation.n_nationkey").alias("n_nationkey"),
+        ColName.topCol("region.nation.n_name").alias("n_name"),
+        ColName.topCol("region.nation.customer.c_custkey").alias("c_custkey"),
+        ColName.topCol("region.nation.customer.c_name").alias("c_name"),
+        ColName.topCol("region.nation.customer.c_acctbal").alias("c_acctbal"),
+        ColName.topCol("region.nation.customer.c_mktsegment").alias("c_mktsegment"))
+    }),
+    // P7/P8: normalize → per-level tables; return the nation-level table
+    "q_normalize_nation" -> ((s, dir) => {
+      val p = regionPacker
+      val nested = p.buildFromTables(Map(
+        "region" -> table(s, dir, "region"),
+        "nation" -> table(s, dir, "nation"),
+        "customer" -> table(s, dir, "customer")), Some("customer"))
+      val levels = p.normalize(nested)
+      levels("nation").select(
+        ColName.topCol("region.r_regionkey").alias("r_regionkey"),
+        ColName.topCol("region.nation.n_nationkey").alias("n_nationkey"),
+        ColName.topCol("region.nation.n_name").alias("n_name"))
+    }),
+    // P9: denormalize per-level tables back to nested, then unpack
+    "q_denormalize_roundtrip" -> ((s, dir) => {
+      val p = regionPacker
+      val nested = p.buildFromTables(Map(
+        "region" -> table(s, dir, "region"),
+        "nation" -> table(s, dir, "nation"),
+        "customer" -> table(s, dir, "customer")), Some("customer"))
+      val levels = p.normalize(nested)
+      val rebuilt = p.denormalize(levels, Some("region"))
+      val flat = p.unpack(rebuilt, "customer")
+      flat.select(
+        ColName.topCol("region.r_regionkey").alias("r_regionkey"),
+        ColName.topCol("region.nation.n_nationkey").alias("n_nationkey"),
+        ColName.topCol("region.nation.customer.c_custkey").alias("c_custkey"),
+        ColName.topCol("region.nation.customer.c_acctbal").alias("c_acctbal"))
+    }),
+    // E1-E11: nested expression builder — derived field inside a packed array
+    "q_nested_derive" -> ((s, dir) => {
+      val p = orderPacker
+      val packed = p.pack(flatOrderLines(s, dir), "lineitem")
+      val withRev = NestedExprs(packed, Seq(
+        "order.lineitem" -> Nested(
+          "revenue" -> Derive(x =>
+            x.getField("l_extendedprice") * (lit(1.0) - x.getField("l_discount"))))),
+        WithFieldsMode)
+      val flat = p.unpack(withRev, "lineitem")
+      flat.select(
+        ColName.topCol("order.o_orderkey").alias("o_orderkey"),
+        ColName.topCol("order.lineitem.l_linenumber").alias("l_linenumber"),
+        ColName.topCol("order.lineitem.revenue").alias("revenue"))
+    }),
+    // M8: data validation — per-key null counts as a one-pass aggregate
+    "q_validate_nulls" -> ((s, dir) => {
+      val p = orderPacker
+      val flat = flatOrderLines(s, dir)
+      val counts = p.validate(flat, "lineitem", raiseOnError = false)
+      val rows = counts.toSeq.sortBy(_._1).map { case (k, v) => (k, v) }
+      import s.implicits._
+      rows.toDF("key_column", "null_count")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = {
+    val roundtripSql =
+      s"""SELECT ${orderCols.map(c => s"o.$c").mkString(", ")},
+         | ${lineCols.map(c => s"l.$c").mkString(", ")}
+         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin
+    Map(
+      "q_pack_unpack_roundtrip" -> roundtripSql,
+      "q_pack_split_join" -> roundtripSql,
+      "q_pack_streaming" -> roundtripSql,
+      "q_pack_root_unnest" ->
+        s"""SELECT ${orderCols.map(c => s"""$c AS "order.$c"""").mkString(", ")}
+           |FROM orders WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)""".stripMargin,
+      "q_enrich_aggs" ->
+        """SELECT o_orderkey,
+          | CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+          | count(l_linenumber) AS n_items,
+          | max(l_extendedprice) AS max_price,
+          | min(l_extendedprice) AS min_price,
+          | round(avg(l_discount), 6) AS avg_disc
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderkey""".stripMargin,
+      "q_promote_first_last" ->
+        """SELECT o_orderkey,
+          | min_by(l_partkey, l_linenumber * 1000000 + l_partkey) AS first_part,
+          | max_by(l_partkey, l_linenumber * 1000000 + l_partkey) AS last_part
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderkey""".stripMargin,
+      "q_promote_sum" ->
+        """SELECT o_orderkey, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderkey""".stripMargin,
+      "q_any_child" ->
+        """SELECT o_orderkey FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |  WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin,
+      "q_all_children" ->
+        """SELECT o_orderkey FROM orders
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem
+          |    WHERE l_orderkey = o_orderkey AND NOT (l_discount <= 0.05))""".stripMargin,
+      "q_build_from_tables" ->
+        """SELECT r_regionkey, r_name, n_nationkey, n_name,
+          | c_custkey, c_name, c_acctbal, c_mktsegment
+          |FROM region
+          |LEFT JOIN nation ON n_regionkey = r_regionkey
+          |LEFT JOIN customer ON c_nationkey = n_nationkey""".stripMargin,
+      "q_normalize_nation" ->
+        """SELECT DISTINCT r_regionkey, n_nationkey, n_name
+          |FROM region JOIN nation ON n_regionkey = r_regionkey""".stripMargin,
+      "q_denormalize_roundtrip" ->
+        """SELECT r_regionkey, n_nationkey, c_custkey, c_acctbal
+          |FROM region
+          |LEFT JOIN nation ON n_regionkey = r_regionkey
+          |LEFT JOIN customer ON c_nationkey = n_nationkey""".stripMargin,
+      "q_nested_derive" ->
+        """SELECT o_orderkey, l_linenumber,
+          | l_extendedprice * (1.0 - l_discount) AS revenue
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+      "q_validate_nulls" ->
+        """SELECT key_column, null_count FROM (
+          |  SELECT 'order.o_orderkey' AS key_column,
+          |    count(*) FILTER (WHERE o.o_orderkey IS NULL) AS null_count
+          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          |  UNION ALL
+          |  SELECT 'order.lineitem.l_linenumber',
+          |    count(*) FILTER (WHERE l.l_linenumber IS NULL)
+          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          |) t""".stripMargin
+    )
+  }
 }

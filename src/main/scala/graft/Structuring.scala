@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Structuring utilities (reference: nexpresso/structuring_utils.py). */
+object Structuring {
+
+  /** S1: schema → nested plain map (structuring_utils.py:6-40).
+    * Struct → Map(field -> ...), Array → Seq(inner), scalar → type name. */
+  def schemaToMap(dtype: DataType): Any = dtype match {
+    case st: StructType => st.fields.map(f => f.name -> schemaToMap(f.dataType)).toMap
+    case ArrayType(inner, _) => Seq(schemaToMap(inner))
+    case other => other.simpleString
+  }
+
+  /** S2: flatten one struct column, prefixing its fields `col<sep>field`
+    * (structuring_utils.py:43-46). Other columns untouched; the struct's
+    * fields appear at the struct column's position. */
+  def unnestRename(df: DataFrame, colNameStr: String, separator: String = "."): DataFrame = {
+    val field = df.schema.fields.find(_.name == colNameStr).getOrElse(
+      throw new IllegalArgumentException(s"column '$colNameStr' not found"))
+    val st = field.dataType match {
+      case s: StructType => s
+      case other => throw new IllegalArgumentException(
+        s"column '$colNameStr' is ${other.simpleString}, not a struct")
+    }
+    val cols = df.schema.fields.toIndexedSeq.flatMap { f =>
+      if (f.name == colNameStr)
+        st.fieldNames.toIndexedSeq.map(fn =>
+          ColName.topCol(colNameStr).getField(fn).alias(s"$colNameStr$separator$fn"))
+      else Seq(ColName.topCol(f.name))
+    }
+    df.select(cols: _*)
+  }
+
+  /** S3: recursively flatten ALL struct columns until none remain
+    * (structuring_utils.py:49-58). Arrays are left intact (same as the
+    * reference — only bare Structs unnest). */
+  def unnestAll(df: DataFrame, separator: String = "."): DataFrame = {
+    var cur = df
+    var structCols = cur.schema.fields.collect { case f if f.dataType.isInstanceOf[StructType] => f.name }
+    while (structCols.nonEmpty) {
+      cur = structCols.foldLeft(cur)((d, c) => unnestRename(d, c, separator))
+      structCols = cur.schema.fields.collect { case f if f.dataType.isInstanceOf[StructType] => f.name }
+    }
+    cur
+  }
+}

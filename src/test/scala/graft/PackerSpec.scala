@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Fixtures from the reference test suite (FIXTURES.md §1-§2;
+  * tests/test_hierarchical_packer.py:20-60, tests/test_streaming.py:14-52). */
+object Fixtures {
+  /** Five-level apartment hierarchy spec with a key alias. */
+  val apartmentSpec: HierarchySpec = HierarchySpec(
+    levels = Seq(
+      LevelSpec("country", Seq(NamedField("code"))),
+      LevelSpec("city", Seq(NamedField("id"), NamedField("name"))),
+      LevelSpec("street", Seq(NamedField("name"))),
+      LevelSpec("building", Seq(NamedField("number"))),
+      LevelSpec("apartment", Seq(NamedField("id")), requiredFields = Seq("id"))),
+    keyAliases = Map("country.code" -> "country.city.id"))
+
+  def apartmentDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("country.code", StringType),
+      StructField("country.city.id", StringType),
+      StructField("country.city.name", StringType),
+      StructField("country.city.street.name", StringType),
+      StructField("country.city.street.building.number", LongType),
+      StructField("country.city.street.building.id", StringType),
+      StructField("country.city.street.building.apartment.id", StringType),
+      StructField("country.city.street.building.apartment.area", DoubleType)))
+    val rows = Seq(
+      Row("US", "NYC", "New York", "Main St", 100L, "bldg-100", "apt-1", 50.5),
+      Row("US", "NYC", "New York", "Main St", 100L, "bldg-100", "apt-2", 75.0),
+      Row("US", "NYC", "New York", "Main St", 101L, "bldg-101", "apt-3", 90.2),
+      Row("CA", "TOR", "Toronto", "Queen St", 200L, "bldg-200", "apt-4", 60.8))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  /** Three-level country→city→street spec with parent keys. */
+  val streamingSpec: HierarchySpec = HierarchySpec(Seq(
+    LevelSpec("country", Seq(NamedField("id"))),
+    LevelSpec("city", Seq(NamedField("id")), parentKeys = Seq("country_id")),
+    LevelSpec("street", Seq(NamedField("id")), parentKeys = Seq("city_id"))))
+
+  /** 13 rows: 6 cities with street counts 1,3,2,4,1,2 across 3 countries. */
+  def streamingDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("country.id", StringType),
+      StructField("country.city.id", StringType),
+      StructField("country.city.country_id", StringType),
+      StructField("country.city.street.id", StringType),
+      StructField("country.city.street.city_id", StringType)))
+    val counts = Seq(1, 3, 2, 4, 1, 2)
+    val rows = counts.zipWithIndex.flatMap { case (n, ci) =>
+      val country = s"C${ci % 3}"
+      (0 until n).map(si => Row(country, s"city$ci", country, s"s${ci}_$si", s"city$ci"))
+    }
+    spark.createDataFrame(rows.asJava, schema)
+  }
+}
+
+class PackerSpec extends SparkSpec {
+  import Fixtures._
+
+  lazy val packer = new Packer(apartmentSpec)
+
+  test("pack to street produces the nested street column") {
+    val packed = packer.pack(apartmentDf(spark), "street")
+    assert(packed.schema.fieldNames.contains("country.city.street"))
+    // rows now at city granularity: NYC + TOR
+    assert(packed.count() == 2)
+    val st = packed.schema("country.city.street").dataType
+    assert(st.isInstanceOf[ArrayType])
+    val inner = st.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+    assert(inner.fieldNames.toSet == Set("name", "building"))
+  }
+
+  test("pack/unpack roundtrip is lossless (reference test_pack_unpack_roundtrip)") {
+    val df = apartmentDf(spark)
+    val packed = packer.pack(df, "street")
+    val unpacked = packer.unpack(packed, "apartment")
+    assertSameRows(unpacked, df)
+  }
+
+  test("pack to root folds everything into one struct per entity") {
+    val df = apartmentDf(spark)
+    val packed = packer.pack(df, "country")
+    assert(packed.schema.fieldNames.toSeq == Seq("country"))
+    assert(packed.count() == 2)
+    val unpacked = packer.unpack(packed, "apartment")
+    assertSameRows(unpacked, df)
+  }
+
+  test("split_join strategy equals aggregate strategy (reference test_pack_split_join_matches_aggregate)") {
+    val isUs = ColName.topCol("country.code") === "US"
+    val df = apartmentDf(spark)
+      .withColumn("country.name", when(isUs, "United States").otherwise("Canada"))
+      .withColumn("country.population", when(isUs, 331L).otherwise(38L))
+    val agg = packer.pack(df, "street")
+    val sj = packer.pack(df, "street", parentStrategy = ParentStrategy.SplitJoin)
+    assertSameRows(agg, sj)
+    // and packing to root re-injects attrs as struct fields
+    val aggRoot = packer.pack(df, "country")
+    val sjRoot = packer.pack(df, "country", parentStrategy = ParentStrategy.SplitJoin)
+    assertSameRows(aggRoot, sjRoot)
+  }
+
+  test("child order preserved within parent lists (reference test_streaming.py:99-108)") {
+    val p = new Packer(streamingSpec)
+    val packed = p.pack(streamingDf(spark), "street")
+    val row = packed.filter(ColName.topCol("country.city.id") === "city1")
+      .select(ColName.topCol("country.city.street")).collect()(0)
+    val streets = row.getSeq[Row](0).map(_.getAs[String]("id"))
+    assert(streets == Seq("s1_0", "s1_1", "s1_2"))
+  }
+
+  test("pack is order-independent for contents; null parent attrs recover first non-null") {
+    val p = new Packer(streamingSpec)
+    val base = streamingDf(spark)
+      .withColumn("country.name",
+        when(ColName.topCol("country.city.street.id") === "s0_0", lit(null: String))
+          .otherwise(concat(lit("name-"), ColName.topCol("country.id"))))
+    val packed = p.pack(base, "city")
+    val names = packed.select(ColName.topCol("country.id"), ColName.topCol("country.name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(names("C0") == "name-C0") // recovered despite the null row
+  }
+
+  test("order_by packs children in explicit order regardless of row order") {
+    val spec = HierarchySpec(Seq(
+      LevelSpec("country", Seq(NamedField("id"))),
+      LevelSpec("city", Seq(NamedField("id")),
+        orderBy = Seq(ColName.topCol("country.city.id")))))
+    val p = new Packer(spec)
+    val schema = StructType(Seq(
+      StructField("country.id", StringType), StructField("country.city.id", StringType)))
+    val rows = Seq(Row("X", "c"), Row("X", "a"), Row("X", "b"))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val packed = p.pack(df, "city")
+    val ids = packed.select(ColName.topCol("country.city")).collect()(0)
+      .getSeq[Row](0).map(_.getAs[String]("id"))
+    assert(ids == Seq("a", "b", "c"))
+  }
+
+  test("pack_streaming parity: repartitioned pack equals pack") {
+    val p = new Packer(streamingSpec)
+    val df = streamingDf(spark)
+    val plain = p.pack(df, "city")
+    Seq(1, 4, 64).foreach { parts =>
+      assertSameRows(p.packStreaming(df, "city", parts), plain)
+    }
+  }
+
+  test("null children survive pack/unpack roundtrip (explode_outer semantics)") {
+    // parent row whose child columns are entirely null
+    val schema = StructType(Seq(
+      StructField("country.id", StringType),
+      StructField("country.city.id", StringType),
+      StructField("country.city.country_id", StringType),
+      StructField("country.city.street.id", StringType),
+      StructField("country.city.street.city_id", StringType)))
+    val rows = Seq(
+      Row("C0", "city0", "C0", "s0", "city0"),
+      Row("C1", null, null, null, null)) // country with no city at all
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val p = new Packer(streamingSpec)
+    val packed = p.pack(df, "city")
+    assert(packed.count() == 2)
+    val unpacked = p.unpack(packed, "street")
+    assertSameRows(unpacked, df)
+  }
+
+  test("extra columns: preserve keeps, drop drops, error raises") {
+    val df = apartmentDf(spark).withColumn("not_hierarchy", lit(7))
+    val kept = packer.pack(df, "street")
+    assert(kept.schema.fieldNames.contains("not_hierarchy"))
+    val dropped = packer.pack(df, "street", ExtraColumns.Drop)
+    assert(!dropped.schema.fieldNames.contains("not_hierarchy"))
+    assertThrows[HierarchyValidationError] {
+      packer.pack(df, "street", ExtraColumns.Error)
+    }
+  }
+
+  test("validateOnPack rejects non-uniform parent attributes") {
+    val df = apartmentDf(spark)
+      // a non-key city attribute that differs within NYC → non-uniform
+      .withColumn("country.city.population",
+        when(ColName.topCol("country.city.street.building.apartment.id") === "apt-1", 1L)
+          .otherwise(2L))
+    val strict = new Packer(apartmentSpec, validateOnPack = true)
+    assertThrows[HierarchyValidationError] {
+      strict.pack(df, "street").collect()
+    }
+  }
+
+  test("empty DataFrame pack/unpack") {
+    val df = apartmentDf(spark).filter(lit(false))
+    val packed = packer.pack(df, "street")
+    assert(packed.count() == 0)
+    val unpacked = packer.unpack(packed, "apartment")
+    assert(unpacked.count() == 0)
+    assert(unpacked.schema.fieldNames.sorted.toSeq ==
+      apartmentDf(spark).schema.fieldNames.sorted.toSeq)
+  }
+}
