@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Shared query-building helpers over the driver's TPC-H-ish testdata
   * (TESTDATA.md). The hierarchy treats `orders` → `lineitem` as a 2-level
@@ -222,6 +224,93 @@ object SparkEntry {
       val rows = counts.toSeq.sortBy(_._1).map { case (k, v) => (k, v) }
       import s.implicits._
       rows.toDF("key_column", "null_count")
+    }),
+
+    // ---------------- LLM-data-pipeline extensions (documents/embeddings/events)
+
+    // text analysis: token counts, punct ratio, fingerprint — one narrow pass
+    "q_text_stats" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).alias("n_tokens"),
+        TextAnalysis.bpeTokenCountApprox(col("text")).alias("n_subtokens"),
+        round(TextAnalysis.punctRatio(col("text")), 6).alias("punct_ratio"),
+        TextAnalysis.fingerprint(col("text")).alias("fingerprint"))
+    }),
+    // text analysis: stopword ratio, quality score, language-ID heuristic
+    "q_text_quality" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(col("doc_id"),
+        round(TextAnalysis.stopwordRatio(col("text")), 6).alias("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).alias("quality"),
+        TextAnalysis.langId(col("text")).alias("lang_pred"))
+    }),
+    // exact dedup: surviving doc ids (min id per normalized-text fingerprint)
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(table(s, dir, "documents"), "text", "doc_id").select("doc_id")),
+    // exact n-gram Jaccard pairs (correctness baseline for MinHash)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 100)
+      Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 2, threshold = 0.08)
+    }),
+    // MinHash+LSH near-dup (no SQL oracle: xxhash64 signatures; rows-only)
+    "q_dedup_minhash" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 100)
+      Dedup.minhashNearDuplicates(d, "text", "doc_id", threshold = 0.08,
+        shingleN = 2, numHashes = 32, bands = 16)
+    }),
+    // SimHash (custom Catalyst expression) + rolling hash per doc (rows-only)
+    "q_dedup_simhash" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.simhash(d, "text", "doc_id")
+        .join(d.select(col("doc_id"),
+          TextAnalysis.rollingHash(col("text")).alias("rolling_hash")), "doc_id")
+    }),
+    // brute-force cosine top-k (exact ANN baseline)
+    "q_knn_bruteforce" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 10, "vec_id", "embedding")
+    }),
+    // IVF-flat ANN (approximate scale path; rows-only)
+    "q_knn_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 10, "vec_id", "embedding",
+        nlist = 16, nprobe = 4)
+    }),
+    // exact embedding near-dup pairs over a bounded id range
+    "q_embedding_neardup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").filter(col("vec_id") < 500)
+      Dedup.embeddingNearDupExact(e, "embedding", "vec_id", threshold = 0.35)
+    }),
+    // multimodal: binary payload + typed metadata extraction
+    "q_multimodal_meta" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromText(table(s, dir, "documents"), "doc_id", "text")
+      assets.select(col("asset_id"), col("meta.mime").alias("mime"),
+        col("meta.n_bytes").alias("n_bytes"), col("meta.width").alias("width"),
+        col("meta.height").alias("height"))
+    }),
+    // multimodal: stubbed decode → feature vectors (rows-only; hash-derived)
+    "q_multimodal_features" -> ((s, dir) => {
+      val assets = Multimodal.assetsFromText(table(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(assets, dim = 16)
+        .select(col("asset_id"), col("n_bytes"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6).alias("feat_sum"))
+    }),
+    // events: sessionization via window functions (30-min inactivity gap).
+    // The events parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
+    // default — read it as a raw ns long and work in microseconds.
+    "q_events_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = table(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ns = col("ts") // raw int64 nanoseconds — no float division anywhere
+      val prev = lag(ns, 1).over(w)
+      val newSession = when(prev.isNull || (ns - prev) > 1800000000000L, 1L).otherwise(0L)
+      e.withColumn("__new_session", newSession)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).alias("n_events"),
+          sum(col("__new_session")).alias("n_sessions"),
+          round(sum(col("value")), 6).alias("total_value"))
     })
   )
 
@@ -294,7 +383,108 @@ object SparkEntry {
           |  SELECT 'order.lineitem.l_linenumber',
           |    count(*) FILTER (WHERE l.l_linenumber IS NULL)
           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-          |) t""".stripMargin
+          |) t""".stripMargin,
+      "q_text_stats" ->
+        """SELECT doc_id,
+          | CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
+          | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens,
+          | round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+          | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+          |FROM documents""".stripMargin,
+      "q_text_quality" ->
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks_orig
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id,
+          |    len(toks) AS n_toks,
+          |    CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'))) AS DOUBLE) AS stop_hits,
+          |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct,
+          |    CAST(list_sum(list_transform(toks_orig, x -> len(x))) AS DOUBLE) / len(toks_orig) AS mtl,
+          |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','with'))) AS en,
+          |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','mit'))) AS de,
+          |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','avec'))) AS fr,
+          |    len(list_filter(toks, x -> x IN ('el','la','los','y','es','con'))) AS es
+          |  FROM t)
+          |SELECT doc_id,
+          |  round(stop_hits / n_toks, 6) AS stopword_ratio,
+          |  floor((least(n_toks / 100.0, 1.0)
+          |       + (1.0 - least(punct * 5.0, 1.0))
+          |       + least(stop_hits / n_toks * 4.0, 1.0)
+          |       + greatest(least((mtl - 2.0) / 8.0, 1.0), 0.0)) * 0.25 * 1e6) / 1e6 AS quality,
+          |  CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+          |       WHEN es > greatest(en, de, fr) THEN 'es'
+          |       WHEN fr > greatest(en, de) THEN 'fr'
+          |       WHEN de > en THEN 'de'
+          |       ELSE 'en' END AS lang_pred
+          |FROM s""".stripMargin,
+      "q_dedup_exact" ->
+        """SELECT min(doc_id) AS doc_id FROM documents
+          |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
+      "q_ngram_jaccard" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE doc_id < 100),
+          |sh AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
+          |         ELSE list_distinct(list_transform(range(1, len(toks)),
+          |                i -> toks[i] || ' ' || toks[i+1])) END AS sh
+          |  FROM d),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+          |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, round(inter / un, 6) AS jaccard
+          |FROM pairs WHERE round(inter / un, 6) >= 0.08""".stripMargin,
+      "q_knn_bruteforce" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+          |scored AS (
+          |  SELECT query_id, vec_id,
+          |    round(
+          |      list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))),
+          |      6) AS cosine
+          |  FROM q, c WHERE query_id != vec_id),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+          |  FROM scored)
+          |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+          |FROM ranked WHERE rank <= 10""".stripMargin,
+      "q_embedding_neardup" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+          |pairs AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    round(
+          |      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+          |      6) AS cosine
+          |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35""".stripMargin,
+      "q_multimodal_meta" ->
+        """SELECT doc_id AS asset_id, 'image/fake' AS mime,
+          | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          | CAST(octet_length(encode(text)) % 64 + 32 AS INTEGER) AS width,
+          | CAST(octet_length(encode(text)) % 48 + 24 AS INTEGER) AS height
+          |FROM documents""".stripMargin,
+      "q_events_sessions" ->
+        """WITH o AS (
+          |  SELECT user_id, value, epoch_ns(ts) AS ns,
+          |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events)
+          |SELECT user_id,
+          |  count(*) AS n_events,
+          |  CAST(sum(CASE WHEN prev IS NULL OR ns - prev > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+          |  round(sum(value), 6) AS total_value
+          |FROM o GROUP BY user_id""".stripMargin
     )
   }
 }

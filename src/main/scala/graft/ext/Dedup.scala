@@ -1,0 +1,185 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SimHash
+
+/**
+ * Deduplication operators for training-data pipelines: exact,
+ * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+ *
+ * 100 TB design notes:
+ *  - Exact dedup is one hash shuffle on the fingerprint — the classic
+ *    map-side-combinable groupBy; no row content crosses the wire beyond
+ *    (fingerprint, id).
+ *  - MinHash signatures are computed per-row with HOFs (no explode of
+ *    shingles, no UDFs); only the LSH BAND keys are exploded — bands ×
+ *    corpus rows, each a tiny (bandIdx, bandHash, id) tuple. Candidate
+ *    generation is a self-equi-join on the band key: Spark shuffles both
+ *    sides by (band, hash), so each bucket meets in one partition. Skewed
+ *    buckets (boilerplate text) are capped by `maxBucketSize` exactly like
+ *    production LSH pipelines drop degenerate buckets.
+ *  - Verification (exact Jaccard / cosine) runs only on candidate pairs.
+ */
+object Dedup {
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact dedup: keep one row (minimal `idCol`) per normalized-text
+    * fingerprint. Deterministic winner → oracle-checkable. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val winners = df.select(fp.alias("__fp"), col(idCol))
+      .groupBy(col("__fp")).agg(min(col(idCol)).alias(idCol))
+      .select(col(idCol))
+    // semi-join winners back to rows: broadcast-friendly when dups are rare
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  // ---------------------------------------------------------- shingles
+
+  /** Word n-gram shingles (distinct), from normalized text. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
+    val count = size(toks) - (n - 1)
+    array_distinct(when(count <= 0, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(a) + size(b) - size(array_intersect(a, b))
+    when(union === 0, 0.0).otherwise(inter / union)
+  }
+
+  /** All-pairs n-gram Jaccard above a threshold (exact, quadratic — the
+    * correctness baseline; use [[minhashNearDuplicates]] at scale). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val withSh = df.select(col(idCol), wordShingles(col(textCol), n).alias("__sh"))
+    val l = withSh.select(col(idCol).alias("id_a"), col("__sh").alias("sh_a"))
+    val r = withSh.select(col(idCol).alias("id_b"), col("__sh").alias("sh_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).alias("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** MinHash signature: numHashes array_min's over seeded xxhash64 of each
+    * shingle. One pass per row, no explode. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      seed => array_min(transform(shingles, s => xxhash64(s, seed))))
+
+  /** LSH band keys: signature sliced into `bands` rows-per-band groups,
+    * each hashed to one bucket key. */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws(",",
+        transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))))
+
+  /** Candidate pairs from MinHash LSH: docs sharing ≥1 band bucket.
+    * `maxBucketSize` drops degenerate buckets (boilerplate/empty docs) —
+    * the standard skew guard; at 100 TB a single hot bucket would
+    * otherwise produce O(n²) pairs in one task. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = df.select(col(idCol),
+      minhashSignature(wordShingles(col(textCol), shingleN), numHashes).alias("__sig"))
+    val banded = sig.select(col(idCol),
+        posexplode(bandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bucket")))
+    val pruned = banded
+      .withColumn("__bsize", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__band"), col("__bucket"))))
+      .filter(col("__bsize") <= maxBucketSize)
+      .drop("__bsize")
+    val l = pruned.select(col("__band"), col("__bucket"), col(idCol).alias("id_a"))
+    val r = pruned.select(col("__band"), col("__bucket"), col(idCol).alias("id_b"))
+    l.join(r, Seq("__band", "__bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** MinHash near-duplicates: LSH candidates verified with exact Jaccard.
+    * The verify join re-attaches shingles only for candidate ids. */
+  def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+                            threshold: Double, shingleN: Int = 3,
+                            numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands)
+    val sh = df.select(col(idCol), wordShingles(col(textCol), shingleN).alias("__sh"))
+    cands
+      .join(sh.select(col(idCol).alias("id_a"), col("__sh").alias("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).alias("id_b"), col("__sh").alias("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).alias("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** Per-doc 64-bit SimHash over whitespace tokens (custom Catalyst
+    * expression — one hash per token, single pass). */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol),
+      SimHash.simhash64(df.sparkSession,
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).alias("simhash"))
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxDist. Blocked by the
+    * top 16 bits to avoid the full cross join (docs differing in the top
+    * 16 bits at maxDist ≤ 3 are rare; increase blocks for higher recall). */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sh = simhash(df, textCol, idCol)
+      .withColumn("__block", shiftrightunsigned(col("simhash"), 48))
+    val l = sh.select(col("__block"), col(idCol).alias("id_a"), col("simhash").alias("sh_a"))
+    val r = sh.select(col("__block"), col(idCol).alias("id_b"), col("simhash").alias("sh_b"))
+    l.join(r, Seq("__block")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SimHash.hammingDist(col("sh_a"), col("sh_b")).alias("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Exact embedding near-dup pairs: cosine ≥ threshold, all pairs —
+    * correctness baseline (quadratic; LSH-bucketed variant in
+    * [[Similarity.hyperplaneBuckets]] is the scale path). */
+  def embeddingNearDupExact(df: DataFrame, vecCol: String, idCol: String,
+                            threshold: Double): DataFrame = {
+    val withN = df.select(col(idCol), col(vecCol),
+      Similarity.l2norm(col(vecCol)).alias("__n"))
+    val l = withN.select(col(idCol).alias("id_a"), col(vecCol).alias("v_a"), col("__n").alias("n_a"))
+    val r = withN.select(col(idCol).alias("id_b"), col(vecCol).alias("v_b"), col("__n").alias("n_b"))
+    l.join(r, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")), 6).alias("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** LSH-bucketed embedding near-dup: random-hyperplane signature blocks,
+    * cosine verified within blocks. Linear in corpus size per band. */
+  def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
+                          threshold: Double, planes: Int = 16,
+                          bands: Int = 4, dim: Int = 64): DataFrame = {
+    val sig = Similarity.hyperplaneBuckets(df, vecCol, idCol, planes, bands, dim)
+    val withN = df.select(col(idCol), col(vecCol), Similarity.l2norm(col(vecCol)).alias("__n"))
+    val l = sig.select(col("__band"), col("__bucket"), col(idCol).alias("id_a"))
+    val r = sig.select(col("__band"), col("__bucket"), col(idCol).alias("id_b"))
+    val cands = l.join(r, Seq("__band", "__bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(withN.select(col(idCol).alias("id_a"), col(vecCol).alias("v_a"), col("__n").alias("n_a")), Seq("id_a"))
+      .join(withN.select(col(idCol).alias("id_b"), col(vecCol).alias("v_b"), col("__n").alias("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.dot(col("v_a"), col("v_b")) /
+          (col("n_a") * col("n_b")), 6).alias("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

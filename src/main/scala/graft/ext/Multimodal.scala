@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column support: image/audio/video as opaque `binary` payloads
+ * with typed metadata, plus decode / feature-extract / resize /
+ * frame-sample stages.
+ *
+ * The decode step is STUBBED with a deterministic fake (this container has
+ * no image/audio codecs): features are derived from seeded xxhash64 of the
+ * payload, so every test is reproducible. The Spark-side plumbing —
+ * schema, partitioning, batch shape — is real:
+ *
+ *  - assets are `(asset_id, payload: binary, meta: struct)` rows;
+ *  - decode stages are per-row Column expressions where possible
+ *    (codegen'd, no serialization), and a `mapPartitions` batch path
+ *    ([[decodeBatches]]) mirrors how a real codec (JNI/FFI) would be
+ *    driven: one decoder instance per partition, rows streamed through;
+ *  - 100 TB: payloads dominate size, so stages select-project only the
+ *    columns they need (column pruning keeps payload bytes out of
+ *    shuffles), and [[repartitionBySize]] balances skewed payload sizes
+ *    across tasks before the expensive decode.
+ */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("n_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType))))))
+
+  /** Build an asset table from any (id, text) frame — the text bytes stand
+    * in for an encoded image payload. */
+  def assetsFromText(df: DataFrame, idCol: String, textCol: String,
+                     mime: String = "image/fake"): DataFrame = {
+    val payload = encode(col(textCol), "UTF-8")
+    df.select(
+      col(idCol).cast(LongType).alias("asset_id"),
+      payload.alias("payload"),
+      struct(
+        lit(mime).alias("mime"),
+        octet_length(payload).cast(LongType).alias("n_bytes"),
+        // fake dimensions derived from content length — deterministic
+        (pmod(octet_length(payload), lit(64)) + 32).cast(IntegerType).alias("width"),
+        (pmod(octet_length(payload), lit(48)) + 24).cast(IntegerType).alias("height"))
+        .alias("meta"))
+  }
+
+  /** STUB decode → feature vector: dim doubles in [0,1) derived from
+    * seeded hashes of the payload. A real pipeline swaps only this
+    * expression for the codec call; schema and plan shape are unchanged. */
+  def fakeDecodeFeatures(payload: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(payload, i), lit(1000000L))).cast("double") / 1000000.0)
+
+  /** STUB resize: new meta dims, payload truncated proportionally —
+    * exercises the withField/binary plumbing of a real resize. */
+  def fakeResize(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("meta", col("meta")
+        .withField("width", lit(w).cast(IntegerType))
+        .withField("height", lit(h).cast(IntegerType)))
+      .withColumn("payload", substring(col("payload"), 1, w * h))
+
+  /** STUB frame sampling for video-like payloads: every `step`-th frame
+    * index with a per-frame content hash. */
+  def fakeFrameSample(payload: Column, nFrames: Column, step: Int): Column =
+    transform(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(step)),
+      i => struct(i.alias("frame_idx"), xxhash64(payload, i).alias("frame_hash")))
+
+  /** Feature extraction as a single narrow projection. */
+  def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame =
+    assets.select(col("asset_id"), col("meta.n_bytes").alias("n_bytes"),
+      fakeDecodeFeatures(col("payload"), dim).alias("features"))
+
+  /**
+   * Batch decode via mapPartitions — the pattern for codecs that need
+   * per-executor state (decoder handles, GPU contexts). The decoder here
+   * is the same deterministic fake; a real implementation replaces
+   * `decodeOne` only.
+   */
+  def decodeBatches(assets: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("features", ArrayType(DoubleType))))
+    def decodeOne(payload: Array[Byte]): Array[Double] = {
+      // STUB: stands in for codec output; matches fakeDecodeFeatures' shape
+      val h = java.util.Arrays.hashCode(payload).toLong
+      Array.tabulate(dim)(i => math.abs((h * 31 + i) % 1000000L).toDouble / 1000000.0)
+    }
+    val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
+      // one decoder instance per partition would be initialized here
+      it.map { r => Row(r.getLong(0), decodeOne(r.getAs[Array[Byte]](1))) }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Balance skewed payload sizes across tasks before an expensive decode:
+    * range-partition on a size-derived key so each task gets a similar
+    * byte budget (not row count). */
+  def repartitionBySize(assets: DataFrame, partitions: Int): DataFrame =
+    assets.repartitionByRange(partitions,
+      col("meta.n_bytes").desc, col("asset_id"))
+}

@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (Array[Float]).
+ *
+ * Two paths:
+ *  - [[bruteForceTopK]] — exact cosine top-k; the correctness baseline.
+ *    Queries are broadcast (small side), corpus streams once; the top-k
+ *    is a per-query window over |Q|×|corpus| scored pairs.
+ *  - [[ivfTopK]] — IVF-flat: corpus assigned to the nearest of `nlist`
+ *    deterministic seed centroids (one pass), queries probe the `nprobe`
+ *    nearest lists. Scan cost drops by ~nlist/nprobe; at 100 TB the
+ *    centroid assignment is one narrow pass + a co-partitioned join on
+ *    the centroid id.
+ *
+ * All arithmetic is double-precision HOFs (zip_with + aggregate) so
+ * results are deterministic and oracle-checkable after 6-dp rounding.
+ */
+object Similarity {
+
+  /** Dot product of two float arrays, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm (double). */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity (null/zero-safe via try_divide: 0-norm → null). */
+  def cosine(a: Column, b: Column): Column =
+    try_divide(dot(a, b), l2norm(a) * l2norm(b))
+
+  /**
+   * Exact cosine top-k: for each query vector, the k nearest corpus
+   * vectors. Scores rounded to 6 dp with id tiebreak so ranking is
+   * engine-independent. Excludes self-matches when ids collide.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String, vecCol: String): DataFrame = {
+    val c = corpus.select(col(idCol).alias("vec_id"), col(vecCol).alias("__cv"),
+      l2norm(col(vecCol)).alias("__cn"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"),
+      l2norm(col(vecCol)).alias("__qn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")), 6)
+          .alias("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank").cast("long").alias("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: planes × dim doubles seeded
+    * from (plane, dim) — reproducible across sessions with no RNG state. */
+  private[ext] def planeLiterals(planes: Int, dim: Int): Column = {
+    val rnd = new scala.util.Random(42)
+    val m = Array.fill(planes, dim)(rnd.nextGaussian())
+    array(m.toIndexedSeq.map(row => array(row.toIndexedSeq.map(lit(_)): _*)): _*)
+  }
+
+  /** Random-hyperplane LSH: sign bits grouped into `bands` bucket keys.
+    * Output: (idCol, __band, __bucket) — one row per band per vector. */
+  def hyperplaneBuckets(df: DataFrame, vecCol: String, idCol: String,
+                        planes: Int, bands: Int, dim: Int): DataFrame = {
+    val perBand = planes / bands
+    val planesArr = planeLiterals(planes, dim)
+    val bits = transform(planesArr, p => when(dot(p, col(vecCol)) >= 0, 1L).otherwise(0L))
+    val keys = transform(sequence(lit(0), lit(bands - 1)), b =>
+      aggregate(slice(bits, b * perBand + 1, lit(perBand)), lit(0L), (acc, x) => acc * 2 + x))
+    df.select(col(idCol), posexplode(keys).as(Seq("__band", "__bucket")))
+  }
+
+  /**
+   * IVF-flat ANN: nlist seed centroids = the nlist lowest-id corpus
+   * vectors (deterministic, no kmeans iterations — production systems
+   * train offline; the partitioning/probing plumbing is identical).
+   * Each corpus vector is assigned to its nearest centroid; each query
+   * probes the nprobe nearest centroid lists and ranks exactly within.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String, vecCol: String,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents = corpus.orderBy(col(idCol).asc).limit(nlist)
+      .select(col(idCol).alias("cent_id"), col(vecCol).alias("cent_vec"))
+    // one-pass assignment: min cosine-distance centroid per corpus vector
+    val assigned = corpus.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol),
+        col("cent_id"), cosine(col(vecCol), col("cent_vec")).alias("__sim"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cent_id").asc)))
+      .filter(col("__rk") === 1)
+      .select(col(idCol).alias("vec_id"), col(vecCol).alias("__cv"),
+        l2norm(col(vecCol)).alias("__cn"), col("cent_id"))
+    // queries probe their nprobe nearest centroids
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"),
+        col("cent_id"), cosine(col(vecCol), col("cent_vec")).alias("__sim"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cent_id").asc)))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), col("__qv"), l2norm(col("__qv")).alias("__qn"), col("cent_id"))
+    // exact ranking inside the probed lists only
+    val scored = assigned.join(probes, Seq("cent_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")), 6)
+          .alias("cosine"))
+      .groupBy(col("query_id"), col("vec_id")).agg(max(col("cosine")).alias("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank").cast("long").alias("rank"))
+  }
+}

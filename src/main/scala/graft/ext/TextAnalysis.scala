@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * language-ID (stopword-hit heuristic), quality scoring, token counting,
+ * and document fingerprinting.
+ *
+ * 100 TB design: every operator is a narrow, per-row Column expression —
+ * no shuffles, no UDFs, fully inside whole-stage codegen. A pipeline
+ * applying all of them is a single scan → project over the corpus; filters
+ * on the derived columns push down nothing extra but fuse into the same
+ * stage.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count approximation: runs of letters, digits, or
+    * single non-alphanumeric marks — the usual pre-tokenizer split. */
+  def bpeTokenCountApprox(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Ratio of punctuation/symbol chars to total chars (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text))
+
+  /** Default English stopword sample used by the heuristics. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that")
+
+  /** Fraction of tokens that are stopwords (null-safe, 0 for empty docs). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(lower(text))
+    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+    when(size(toks) === 0, 0.0).otherwise(hits.cast("double") / size(toks))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards documents that are long
+   * enough, mostly alphanumeric, and contain function words — the standard
+   * cheap pre-filter before expensive model-based scoring. Deterministic
+   * and SQL-expressible so it can be oracle-checked.
+   *
+   *   0.25 * min(n_tokens/100, 1)     — length signal
+   * + 0.25 * (1 - min(punct_ratio*5, 1)) — symbol-noise signal
+   * + 0.25 * min(stopword_ratio*4, 1) — naturalness signal
+   * + 0.25 * clamp((mean_tok_len-2)/8) — vocabulary signal
+   */
+  def qualityScore(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val lengthS = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctS = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopS = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    val vocabS = greatest(least((meanTokenLength(text) - 2.0) / 8.0, lit(1.0)), lit(0.0))
+    // truncate, don't round: the *0.25 makes exact binary .5 boundaries
+    // common, where round-half-up (Spark) and half-even (DuckDB) disagree
+    floor((lengthS + punctS + stopS + vocabS) * 0.25 * 1e6) / 1e6
+  }
+
+  /** Language marker words for the n-gram/stopword language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "avec"),
+    "es" -> Seq("el", "la", "los", "y", "es", "con"))
+
+  /** Per-language marker-hit count. */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isInCollection(markers))).cast("long")
+  }
+
+  /** Heuristic language ID: argmax of marker-hit counts; "und" when no
+    * marker hits at all. Ties break in LangMarkers order (en first) —
+    * deterministic, so oracle-checkable. */
+  def langId(text: Column, markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
+    val scored = markers.map { case (lang, ms) => lang -> langScore(text, ms) }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lang).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }
+    when(best._2 <= 0, "und").otherwise(best._1)
+  }
+
+  /** Canonical text: lowercase, collapse whitespace, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content fingerprint: md5 of the normalized text — md5 exists in both
+    * Spark and DuckDB so exact-dedup results are oracle-checkable. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Rolling-hash fingerprint (polynomial over tokens mod a 31-bit prime —
+    * ANSI-safe, no long overflow) for shift-tolerant near-dup grouping:
+    * order-sensitive but whitespace-normalization-insensitive. */
+  def rollingHash(text: Column): Column = {
+    val p = lit(1000000007L)
+    aggregate(tokens(normalized(text)), lit(1469598103L),
+      (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), p), p))
+  }
+
+  /** One-pass per-document stats frame. */
+  def docStats(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("*"),
+      tokenCount(col(textCol)).alias("n_tokens"),
+      bpeTokenCountApprox(col(textCol)).alias("n_subtokens"),
+      round(punctRatio(col(textCol)), 6).alias("punct_ratio"),
+      round(stopwordRatio(col(textCol)), 6).alias("stopword_ratio"),
+      qualityScore(col(textCol)).alias("quality"),
+      langId(col(textCol)).alias("lang_pred"),
+      fingerprint(col(textCol)).alias("fingerprint"))
+}

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/**
+ * 64-bit SimHash over an array of tokens — a single-pass custom Catalyst
+ * Expression (preference order (b) from the build rules: composing HOFs
+ * would re-hash every token 64× to extract each bit; a native expression
+ * does one xxhash64 per token and accumulates all 64 bit-weights at once).
+ *
+ * Hashing matches `functions.xxhash64(token)` (seed 42), so HOF-based
+ * reimplementations agree bit-for-bit.
+ *
+ * Near-duplicate test: popcount(simhash(a) XOR simhash(b)) <= r — see
+ * [[graft.ext.Dedup.simhashPairs]].
+ */
+case class SimHash(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val weights = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) weights(b) += 1 else weights(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (weights(b) >= 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash = copy(newChild)
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash {
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
+
+  /** Register simhash64 in the session's function registry (idempotent). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (registered.add(spark.sessionState.hashCode().toString)) {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "simhash64", exprs => SimHash(exprs.head), "scala_udf")
+    }
+
+  /** Column API: simhash64(tokensArray). Requires [[register]] on the
+    * session first (done by callers in [[graft.ext.Dedup]]). */
+  def simhash64(spark: org.apache.spark.sql.SparkSession, tokens: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("simhash64", tokens)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hammingDist(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast(LongType)
+}

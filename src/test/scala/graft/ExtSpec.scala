@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.SimHash
+import scala.jdk.CollectionConverters._
+
+class ExtSpec extends SparkSpec {
+
+  /** Corpus with exact dups, near dups, and distinct docs. */
+  lazy val docs: DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val rows = Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog"),
+      Row(2L, "The quick  brown fox jumps over the lazy dog"), // exact dup after normalize
+      Row(3L, "the quick brown fox jumps over the lazy cat"),  // near dup of 1
+      Row(4L, "spark catalyst optimizer rewrites logical plans"),
+      Row(5L, "completely different content about databases and storage engines"),
+      Row(6L, "der schnelle braune fuchs und die faule katze sind hier"))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  test("exact dedup keeps min id per normalized text") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L, 5L, 6L)) // 2 deduped into 1
+  }
+
+  test("ngram jaccard finds the near-dup pair") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b"))))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+  }
+
+  test("minhash LSH candidates have full recall on high-jaccard pairs here") {
+    val exact = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = Dedup.minhashCandidates(docs, "text", "doc_id",
+      shingleN = 2, numHashes = 32, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(cands), s"missed: ${exact -- cands}")
+    val verified = Dedup.minhashNearDuplicates(docs, "text", "doc_id", 0.6, 2, 32, 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified == exact)
+  }
+
+  test("simhash custom expression matches a HOF reimplementation and finds dups") {
+    val sh = Dedup.simhash(docs, "text", "doc_id")
+    // HOF re-implementation: per-bit weights from xxhash64(token)
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(col("text")))
+    val hofBits = transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(call_function("getbit", xxhash64(t), b) === 1, 1L).otherwise(-1L)) >= 0,
+        lit(1L)).otherwise(lit(0L)))
+    val hof = docs.select(col("doc_id"), hofBits.alias("bits_hof"))
+    val expBits = sh.select(col("doc_id"), transform(sequence(lit(0), lit(63)),
+      b => call_function("getbit", col("simhash"), b).cast("long")).alias("bits_expr"))
+    val joined = expBits.join(hof, "doc_id")
+      .filter(col("bits_expr") =!= col("bits_hof")).count()
+    assert(joined == 0)
+    // near-dup pair 1-2 identical after normalize → hamming 0
+    val pairs = Dedup.simhashPairs(docs, "text", "doc_id", maxDist = 8)
+      .collect().map(r => (r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b")))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  lazy val vectors: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(50)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      val nearDup = v.clone(); nearDup(0) = nearDup(0) + 0.01f
+      if (i < 5) Seq(Row(i.toLong, v.toSeq), Row((i + 1000).toLong, nearDup.toSeq))
+      else Seq(Row(i.toLong, v.toSeq))
+    }
+    spark.createDataFrame(rows.toSeq.asJava, StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)))))
+  }
+
+  test("embedding near-dup: exact finds planted pairs; LSH verified subset is consistent") {
+    val exact = Dedup.embeddingNearDupExact(vectors, "embedding", "vec_id", 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach(i => assert(exact.contains((i.toLong, (i + 1000).toLong))))
+    val lsh = Dedup.embeddingNearDupLsh(vectors, "embedding", "vec_id",
+      0.999, planes = 16, bands = 8, dim = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verify step guarantees precision
+    assert(lsh.nonEmpty)        // and banding catches near-identical vectors
+  }
+
+  test("brute-force top-k is exact and ivf top-k overlaps it") {
+    val queries = vectors.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(vectors, queries, 5, "vec_id", "embedding")
+    assert(bf.groupBy("query_id").count().collect().forall(_.getLong(1) == 5))
+    // rank 1 for query i must be its planted near-dup i+1000
+    val top1 = bf.filter(col("rank") === 1)
+      .collect().map(r => r.getLong(r.fieldIndex("query_id")) -> r.getLong(r.fieldIndex("vec_id"))).toMap
+    (0L until 3L).foreach(i => assert(top1(i) == i + 1000))
+    val ivf = Similarity.ivfTopK(vectors, queries, 5, "vec_id", "embedding", nlist = 8, nprobe = 4)
+    val bfSet = bf.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSet = ivf.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ANN: no false results relative to schema, decent overlap, top-1 found
+    assert((bfSet intersect ivfSet).size >= bfSet.size / 2)
+    (0L until 3L).foreach(i => assert(ivfSet.contains((i, i + 1000))))
+  }
+
+  test("text analysis: counts, ratios, langid, fingerprint") {
+    val stats = TextAnalysis.docStats(docs, "text")
+    val r1 = stats.filter(col("doc_id") === 1).collect()(0)
+    assert(r1.getAs[Long]("n_tokens") == 9)
+    assert(r1.getAs[String]("lang_pred") == "en")
+    val r6 = stats.filter(col("doc_id") === 6).collect()(0)
+    assert(r6.getAs[String]("lang_pred") == "de")
+    // fingerprints equal for 1 and 2 (normalization)
+    val fps = stats.filter(col("doc_id").isin(1, 2)).select("fingerprint")
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    val q = stats.select("quality").collect().map(_.getDouble(0))
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("multimodal: asset schema, stub decode, batch decode, frame sampling") {
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text")
+    assert(assets.schema("payload").dataType == BinaryType)
+    assert(assets.schema("meta").dataType.isInstanceOf[StructType])
+    val feats = Multimodal.extractFeatures(assets, dim = 8)
+    val row = feats.filter(col("asset_id") === 1).collect()(0)
+    val fv = row.getSeq[Double](row.fieldIndex("features"))
+    assert(fv.size == 8 && fv.forall(v => v >= 0.0 && v < 1.0))
+    // deterministic: same payload → same features
+    val feats2 = Multimodal.extractFeatures(assets, dim = 8)
+      .filter(col("asset_id") === 1).collect()(0)
+    assert(feats2.getSeq[Double](feats2.fieldIndex("features")) == fv)
+    val batch = Multimodal.decodeBatches(assets, dim = 8)
+    assert(batch.count() == docs.count())
+    val frames = assets.select(col("asset_id"),
+      Multimodal.fakeFrameSample(col("payload"), lit(10L), 3).alias("frames"))
+    val f = frames.filter(col("asset_id") === 1).collect()(0)
+    assert(f.getSeq[Row](1).map(_.getLong(0)) == Seq(0L, 3L, 6L, 9L))
+    val resized = Multimodal.fakeResize(assets, 8, 4)
+    val m = resized.filter(col("asset_id") === 1).select("meta.width", "meta.height").collect()(0)
+    assert((m.getInt(0), m.getInt(1)) == (8, 4))
+  }
+
+  test("simhash rejects non array<string> input") {
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      docs.select(SimHash.simhash64(spark, col("doc_id"))).collect()
+    }
+  }
+}
