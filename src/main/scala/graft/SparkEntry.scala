@@ -225,6 +225,96 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("key_column", "null_count")
     }),
+    // S2: unnestRename — flatten exactly one struct level with dotted prefixes
+    "q_unnest_rename" -> ((s, dir) => {
+      val p = orderPacker
+      val packed = p.pack(flatOrderLines(s, dir), "order")
+      val flat = Structuring.unnestRename(packed, "order")
+      flat.select(
+        ColName.topCol("order.o_orderkey").alias("o_orderkey"),
+        ColName.topCol("order.o_totalprice").alias("o_totalprice"),
+        size(ColName.topCol("order.lineitem")).cast("long").alias("n_items"))
+    }),
+    // P6: unpack_streaming — disk-to-disk staging around unpack
+    "q_unpack_streaming" -> ((s, dir) => {
+      val p = orderPacker
+      val packed = p.pack(flatOrderLines(s, dir), "lineitem")
+      val out = p.unpackStreaming(packed, "lineitem",
+        Some("/root/repo/target/tmp/q_unpack_streaming"))
+      stripPrefixes(out)
+    }),
+    // P11: prepare_level_table — rename via column mapping + level prefixing
+    "q_prepare_level_table" -> ((s, dir) => {
+      val n = table(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name").alias("name"))
+      regionPacker.prepareLevelTable("nation", n, Map("name" -> "n_name"))
+    }),
+    // M13: key aliases — order key materialized from the child's foreign key
+    "q_key_aliases" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem")
+      val flat = l.select(lineCols.map(c => l(c).alias(s"order.lineitem.$c")): _*)
+      val spec = HierarchySpec(
+        Seq(
+          LevelSpec("order", Seq(NamedField("o_orderkey"))),
+          LevelSpec("lineitem", Seq(NamedField("l_linenumber")),
+            parentKeys = Seq("l_orderkey"))),
+        keyAliases = Map("order.o_orderkey" -> "order.lineitem.l_orderkey"))
+      val p = new Packer(spec)
+      val packed = p.pack(flat, "order")
+      packed.select(
+        col("order").getField("o_orderkey").alias("o_orderkey"),
+        size(col("order").getField("lineitem")).cast("long").alias("n_items"),
+        aggregate(transform(col("order").getField("lineitem"),
+            x => x.getField("l_quantity").cast("double")),
+          lit(0.0), (a, x) => a + x).alias("sum_qty"))
+    }),
+    // M13: computed (expression-valued) id fields
+    "q_computed_key" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem")
+      val flat = l.select(lineCols.map(c => l(c).alias(s"bucket.lineitem.$c")): _*)
+      val spec = HierarchySpec(Seq(
+        LevelSpec("bucket", Seq(ComputedField("bucket_id",
+          pmod(ColName.topCol("bucket.lineitem.l_orderkey"), lit(100)).cast("long")))),
+        LevelSpec("lineitem", Seq(NamedField("l_linenumber")),
+          parentKeys = Seq("l_orderkey"))))
+      val p = new Packer(spec)
+      val packed = p.pack(flat, "bucket")
+      packed.select(
+        col("bucket").getField("bucket_id").alias("bucket_id"),
+        size(col("bucket").getField("lineitem")).cast("long").alias("n_items"))
+    }),
+    // E8: nested expression builder, select mode — keep ONLY listed fields
+    "q_nested_select_mode" -> ((s, dir) => {
+      val p = orderPacker
+      val packed = p.pack(flatOrderLines(s, dir), "lineitem")
+      val sel = NestedExprs(packed, Seq(
+        "order.lineitem" -> Nested(
+          "l_linenumber" -> Keep,
+          "l_quantity" -> Fn(q => (q * 2).cast("double")))), SelectMode)
+      val flat = p.unpack(sel, "lineitem")
+      flat.select(
+        ColName.topCol("order.o_orderkey").alias("o_orderkey"),
+        ColName.topCol("order.lineitem.l_linenumber").alias("l_linenumber"),
+        ColName.topCol("order.lineitem.l_quantity").alias("qty2"))
+    }),
+    // M5/M7/M9: schema discovery + inferred level + structural validation
+    "q_discover_levels" -> ((s, dir) => {
+      val p = orderPacker
+      val packed = p.pack(flatOrderLines(s, dir), "lineitem")
+      val inferred = p.inferCurrentLevel(packed.schema)
+      val vres = p.validateSchema(packed.schema, Some(inferred))
+      val rows = Discovery.discoverLevels(packed.schema).map(d =>
+        (d.path, d.depth, d.isPacked, d.fields.size, inferred, vres.isCompatible))
+      import s.implicits._
+      rows.toDF("path", "depth", "is_packed", "n_fields", "inferred_level", "is_compatible")
+    }),
+    // M1-M3: derived level metadata (names, paths, keys, ancestor keys)
+    "q_level_metadata" -> ((s, dir) => {
+      val rows = regionSpec.metadata.map(m =>
+        (m.index, m.name, m.path, m.idColumns.mkString(","), m.ancestorKeys.mkString(",")))
+      import s.implicits._
+      rows.toDF("idx", "level_name", "path", "id_columns", "ancestor_keys")
+    }),
 
     // ---------------- LLM-data-pipeline extensions (documents/embeddings/events)
 
@@ -384,6 +474,39 @@ object SparkEntry {
           |    count(*) FILTER (WHERE l.l_linenumber IS NULL)
           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
           |) t""".stripMargin,
+      "q_unnest_rename" ->
+        """SELECT o_orderkey, o_totalprice, count(*) AS n_items
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY o_orderkey, o_totalprice""".stripMargin,
+      "q_unpack_streaming" -> roundtripSql,
+      "q_prepare_level_table" ->
+        """SELECT n_nationkey AS "region.nation.n_nationkey",
+          | n_regionkey AS "region.nation.n_regionkey",
+          | n_name AS "region.nation.n_name"
+          |FROM nation""".stripMargin,
+      "q_key_aliases" ->
+        """SELECT l_orderkey AS o_orderkey, count(*) AS n_items,
+          | CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+      "q_computed_key" ->
+        """SELECT l_orderkey % 100 AS bucket_id, count(*) AS n_items
+          |FROM lineitem GROUP BY l_orderkey % 100""".stripMargin,
+      "q_nested_select_mode" ->
+        """SELECT o_orderkey, l_linenumber, l_quantity * 2 AS qty2
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+      "q_discover_levels" ->
+        """SELECT * FROM (VALUES
+          | ('order', 0, false, 6, 'order', true),
+          | ('order.lineitem', 1, true, 11, 'order', true))
+          | AS t(path, depth, is_packed, n_fields, inferred_level, is_compatible)""".stripMargin,
+      "q_level_metadata" ->
+        """SELECT * FROM (VALUES
+          | (0, 'region', 'region', 'region.r_regionkey', ''),
+          | (1, 'nation', 'region.nation', 'region.nation.n_nationkey',
+          |  'region.r_regionkey'),
+          | (2, 'customer', 'region.nation.customer', 'region.nation.customer.c_custkey',
+          |  'region.r_regionkey,region.nation.n_nationkey'))
+          | AS t(idx, level_name, path, id_columns, ancestor_keys)""".stripMargin,
       "q_text_stats" ->
         """SELECT doc_id,
           | CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
