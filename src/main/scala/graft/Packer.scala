@@ -136,6 +136,19 @@ final class Packer(
           case ExtraColumns.Preserve => // kept; uniformity enforced when validateOnPack
         }
         val targetIdx = spec.levelIndex(toLevel)
+        // Multi-level packs group by successively coarser keys. One explicit
+        // repartition on the COARSEST stage's keys satisfies every stage's
+        // clustering requirement (HashPartitioning on a subset of each finer
+        // stage's grouping keys), so the whole pack runs with a SINGLE
+        // shuffle instead of one per level — the distributed analogue of the
+        // reference's root-key bucketing (hierarchical_packer.py:1193),
+        // applied by default because it is strictly fewer shuffles.
+        val stages = (metas.size - 1 to targetIdx by -1)
+          .filter(i => metas(i).ancestorKeys.nonEmpty)
+        if (stages.size >= 2) {
+          val coarsest = metas(stages.last).ancestorKeys.filter(hasCol(cur, _))
+          if (coarsest.nonEmpty) cur = cur.repartition(coarsest.map(topCol): _*)
+        }
         (metas.size - 1 to targetIdx by -1).foreach { i =>
           cur = packSingleLevel(cur, i, validate = validateOnPack)
         }
