@@ -308,6 +308,27 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("path", "depth", "is_packed", "n_fields", "inferred_level", "is_compatible")
     }),
+    // Q1/Q2 multi-hop: 2-hop cross-level kernels over region→nation→customer.
+    // count cascades as sum-of-counts (true count); mean is MEAN-OF-MEANS by
+    // design (reference hierarchical_packer.py:1920-1921) — the oracle
+    // averages per-nation averages, NOT a flat average.
+    "q_attr_2hop" -> ((s, dir) => {
+      val p = regionPacker
+      val nested = p.buildFromTables(Map(
+        "region" -> table(s, dir, "region"),
+        "nation" -> table(s, dir, "nation"),
+        "customer" -> table(s, dir, "customer")), Some("customer"), joinType = "inner")
+      val packed = p.pack(nested, "nation")
+      val enriched = p.enrich(packed, "region",
+        LevelAttribute("c_acctbal", "customer", Agg.Sum, Some("sum_bal")),
+        LevelAttribute("c_custkey", "customer", Agg.Count, Some("n_cust")),
+        LevelAttribute("c_acctbal", "customer", Agg.Mean, Some("mean_of_means")))
+      enriched.select(
+        ColName.topCol("region.r_regionkey").alias("r_regionkey"),
+        round(ColName.topCol("region.sum_bal"), 4).alias("sum_bal"),
+        ColName.topCol("region.n_cust").cast("long").alias("n_cust"),
+        round(ColName.topCol("region.mean_of_means"), 4).alias("mean_of_means"))
+    }),
     // M1-M3: derived level metadata (names, paths, keys, ancestor keys)
     "q_level_metadata" -> ((s, dir) => {
       val rows = regionSpec.metadata.map(m =>
@@ -385,6 +406,25 @@ object SparkEntry {
       Multimodal.extractFeatures(assets, dim = 16)
         .select(col("asset_id"), col("n_bytes"),
           round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6).alias("feat_sum"))
+    }),
+    // streaming module, batch-checked: session_window aggregation (same
+    // code path StreamingSpec drives through readStream with a watermark)
+    "q_session_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = graft.streaming.EventStreams.withEventTime(table(s, dir, "events"))
+      graft.streaming.EventStreams.sessionAgg(e, "30 minutes")
+        .select(col("user_id"), col("session_start_us"), col("n_events"),
+          round(col("total_value"), 6).alias("total_value"))
+    }),
+    // streaming module, batch-checked: flatMapGroupsWithState sessionizer
+    "q_stateful_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      val ds = table(s, dir, "events").select(
+        col("user_id").alias("userId"), col("event_id").alias("eventId"),
+        expr("ts div 1000").cast("long").alias("us"), col("value"))
+        .as[graft.streaming.Event]
+      graft.streaming.EventStreams.statefulSessionCounts(ds, 1800000000L).toDF()
     }),
     // events: sessionization via window functions (30-min inactivity gap).
     // The events parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
@@ -598,6 +638,43 @@ object SparkEntry {
           | CAST(octet_length(encode(text)) % 64 + 32 AS INTEGER) AS width,
           | CAST(octet_length(encode(text)) % 48 + 24 AS INTEGER) AS height
           |FROM documents""".stripMargin,
+      "q_attr_2hop" ->
+        """WITH nc AS (
+          |  SELECT r_regionkey, n_nationkey,
+          |    CAST(sum(c_acctbal) AS DOUBLE) AS nsum,
+          |    count(*) AS ncnt,
+          |    avg(c_acctbal) AS navg
+          |  FROM region JOIN nation ON n_regionkey = r_regionkey
+          |    JOIN customer ON c_nationkey = n_nationkey
+          |  GROUP BY 1, 2)
+          |SELECT r_regionkey,
+          |  round(sum(nsum), 4) AS sum_bal,
+          |  CAST(sum(ncnt) AS BIGINT) AS n_cust,
+          |  round(avg(navg), 4) AS mean_of_means
+          |FROM nc GROUP BY r_regionkey""".stripMargin,
+      "q_session_window" ->
+        """WITH o AS (
+          |  SELECT user_id, value, epoch_us(ts) AS us,
+          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events),
+          |m AS (
+          |  SELECT user_id, value, us,
+          |    sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+          |      OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM o)
+          |SELECT user_id, min(us) AS session_start_us,
+          |  count(*) AS n_events, round(sum(value), 6) AS total_value
+          |FROM m GROUP BY user_id, sid""".stripMargin,
+      "q_stateful_sessions" ->
+        """WITH o AS (
+          |  SELECT user_id, epoch_us(ts) AS us,
+          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  FROM events)
+          |SELECT user_id,
+          |  CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+          |       THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+          |  count(*) AS n_events
+          |FROM o GROUP BY user_id""".stripMargin,
       "q_events_sessions" ->
         """WITH o AS (
           |  SELECT user_id, value, epoch_ns(ts) AS ns,

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event, with event time as epoch MICROSECONDS (the driver's events
+  * parquet stores TIMESTAMP(NANOS), which Spark 4 only reads as a raw long
+  * via spark.sql.legacy.parquet.nanosAsLong — we standardize on micros). */
+final case class Event(userId: Long, eventId: Long, us: Long, value: Double)
+
+/** Per-user session summary emitted by the stateful sessionizer. */
+final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+/** Running per-user state: number of sessions opened so far and the event
+  * time of the latest event seen. */
+final case class SessionState(nSessions: Long, nEvents: Long, lastUs: Long)
+
+/**
+ * Event-stream operators, Spark-first: every transform here works on BOTH a
+ * batch DataFrame and a `readStream` DataFrame, so the same code path is
+ * oracle-checked in batch (SparkEntry) and exercised with watermarks over
+ * `MemoryStream` in StreamingSpec.
+ *
+ * Scale notes (100 TB): all aggregations key on `user_id`, so state is
+ * hash-partitioned across executors; watermarks bound state size; the
+ * stateful sessionizer keeps O(1) state per user.
+ */
+object EventStreams {
+
+  /** Attach a proper TimestampType event-time column from the raw
+    * nanos-as-long `ts` column (micros truncation). */
+  def withEventTime(df: DataFrame, tsCol: String = "ts",
+                    out: String = "event_time"): DataFrame =
+    // `div` (integral divide), NOT `/`: float division of epoch-nanos longs
+    // (~1.7e18 > 2^53) loses up to 256 ns and shifts microsecond boundaries
+    df.withColumn(out, timestamp_micros(expr(s"`$tsCol` div 1000").cast("long")))
+
+  /** Session aggregation via the built-in `session_window`: an event merges
+    * into the previous session when its inter-event gap is <= `gap`
+    * (touching windows merge — verified in StreamingSpec); a strictly
+    * greater gap starts a new session. Works in batch and, with
+    * [[watermarked]], in streaming append mode. */
+  def sessionAgg(df: DataFrame, gap: String,
+                 tsCol: String = "event_time"): DataFrame =
+    df.groupBy(col("user_id"), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).alias("n_events"), sum(col("value")).alias("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).alias("session_start_us"),
+        col("n_events"), col("total_value"))
+
+  /** Tumbling-window event counts per user. */
+  def tumblingCounts(df: DataFrame, width: String,
+                     tsCol: String = "event_time"): DataFrame =
+    df.groupBy(col("user_id"), window(col(tsCol), width))
+      .agg(count(lit(1)).alias("n_events"))
+      .select(col("user_id"), unix_micros(col("window.start")).alias("window_start_us"),
+        col("n_events"))
+
+  /** Watermark helper for streaming inputs (no-op on batch frames). */
+  def watermarked(df: DataFrame, tsCol: String = "event_time",
+                  delay: String = "1 hour"): DataFrame =
+    if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+
+  /** Streaming exact-dedup by id columns with state bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`); plain dropDuplicates on
+    * batch frames. */
+  def dedupStream(df: DataFrame, idCols: Seq[String],
+                  tsCol: String = "event_time", delay: String = "1 hour"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCols)
+    else df.dropDuplicates(idCols)
+
+  /** Custom sessionization with explicit per-user state
+    * (`flatMapGroupsWithState`) — the reference has no streaming at all;
+    * this is the Spark-native "custom state" path. Gap semantics match
+    * [[sessionAgg]]: a new session starts only when the inter-event gap is
+    * STRICTLY greater than `gapUs` (touching sessions merge). Emits one
+    * updated [[UserSessions]] row per user per batch. */
+  def statefulSessionCounts(ds: Dataset[Event], gapUs: Long): Dataset[UserSessions] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, UserSessions](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (userId, events, state: GroupState[SessionState]) =>
+          // events within a group arrive unordered — sort by (time, id);
+          // per-group data is one user's events, so this is a small local sort
+          val sorted = events.toSeq.sortBy(e => (e.us, e.eventId))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+            sorted.foreach { e =>
+              val newSession = st.lastUs == Long.MinValue || e.us - st.lastUs > gapUs
+              st = SessionState(st.nSessions + (if (newSession) 1 else 0),
+                st.nEvents + 1, e.us)
+            }
+            state.update(st)
+            Iterator.single(UserSessions(userId, st.nSessions, st.nEvents))
+          }
+      }
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.streaming.{Event, EventStreams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming coverage: the SAME operators SparkEntry oracle-checks
+  * in batch (session_window agg, stateful sessionizer, dedup), driven through
+  * readStream/MemoryStream with watermarks and multi-batch state. */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private val Gap = 1800L * 1000000 // 30 min in micros
+
+  private def ev(user: Long, id: Long, us: Long, value: Double = 1.0) =
+    Event(user, id, us, value)
+
+  test("streaming session_window agg equals batch on the same data") {
+    val sp = spark
+    import sp.implicits._
+    val events = Seq(
+      ev(1, 0, 0), ev(1, 1, 60L * 1000000), // session A: 2 events
+      ev(1, 2, Gap * 3), // session B
+      ev(2, 3, 0), ev(2, 4, Gap - 1), // under the gap: merges
+      ev(2, 5, 2 * Gap - 1)) // gap exactly: touching windows merge too
+    val toFrame = (df: org.apache.spark.sql.DataFrame) =>
+      EventStreams.sessionAgg(
+        EventStreams.watermarked(
+          df.select(col("userId").alias("user_id"),
+            timestamp_micros(col("us")).alias("event_time"), col("value")),
+          delay = "0 seconds"),
+        "30 minutes")
+
+    val batchOut = toFrame(events.toDF()).collect().map(_.toSeq).toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val mem = MemoryStream[Event]
+    val q = toFrame(mem.toDF()).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to close and emit all sessions
+      mem.addData(ev(1, 99, Gap * 100), ev(2, 98, Gap * 100))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamOut = sp.table("sess_out")
+      .filter(col("session_start_us") < Gap * 100)
+      .collect().map(_.toSeq).toSet
+
+    assert(streamOut == batchOut)
+    // sanity of the shape itself: user 1 → 2 sessions; user 2 → 1 session
+    // (session_window merges both overlapping AND touching windows)
+    val byUser = batchOut.groupBy(_.head).view.mapValues(_.size).toMap
+    assert(byUser == Map(1L -> 2, 2L -> 1))
+  }
+
+  test("stateful sessionizer carries state across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.statefulSessionCounts(mem.toDS(), Gap).writeStream
+      .format("memory").queryName("stateful_out").outputMode("update").start()
+    try {
+      // batch 1: user 1 opens one session (2 close events)
+      mem.addData(ev(1, 0, 0), ev(1, 1, 1000000))
+      q.processAllAvailable()
+      // batch 2: user 1 continues the SAME session (small gap since last),
+      // then opens a new one; user 2 appears
+      mem.addData(ev(1, 2, 2000000), ev(1, 3, 2000000 + Gap + 1), ev(2, 4, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = sp.table("stateful_out").as[(Long, Long, Long)].collect()
+    // last update per user wins
+    val last = out.zipWithIndex.groupBy(_._1._1).view
+      .mapValues(g => g.maxBy(_._2)._1).toMap
+    assert(last(1L) == ((1L, 2L, 4L))) // 2 sessions, 4 events total
+    assert(last(2L) == ((2L, 1L, 1L)))
+  }
+
+  test("stateful sessionizer batch mode equals window-function islands") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(7)
+    val events = (0 until 500).map { i =>
+      ev(rng.nextInt(5).toLong, i.toLong, rng.nextLong(Gap * 20), rng.nextInt(100) / 10.0)
+    }
+    val got = EventStreams.statefulSessionCounts(events.toDS(), Gap)
+      .collect().map(u => u.user_id -> ((u.n_sessions, u.n_events))).toMap
+
+    // independent islands computation in plain Scala
+    val expect = events.groupBy(_.userId).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e.us, e.eventId))
+      val sessions = sorted.zip(Event(u, -1, Long.MinValue, 0) +: sorted.init)
+        .count { case (cur, prev) => prev.us == Long.MinValue || cur.us - prev.us > Gap }
+      u -> ((sessions.toLong, es.size.toLong))
+    }
+    assert(got == expect)
+  }
+
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val mem = MemoryStream[Event]
+    val in = mem.toDF().select(col("eventId"), col("userId"),
+      timestamp_micros(col("us")).alias("event_time"))
+    val q = EventStreams.dedupStream(in, Seq("eventId"), delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      mem.addData(ev(1, 10, 0), ev(1, 10, 5), ev(2, 11, 9))
+      q.processAllAvailable()
+      mem.addData(ev(1, 10, 20), ev(3, 12, 30)) // 10 is a dup within watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = sp.table("dedup_out").select("eventId").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(10L, 11L, 12L))
+  }
+}
