@@ -474,6 +474,100 @@ final class Packer(
     df.select(df.schema.fieldNames.toIndexedSeq.map(c =>
       topCol(c).alias(meta.prefix + cn.escapeField(c))): _*)
 
+  // ------------------------------------------------------------ skew guard
+
+  /** Two-phase ("salted") pack for SKEWED root keys: when one parent owns a
+    * disproportionate share of leaf rows, the single `groupBy` of
+    * [[packSingleLevel]] builds that parent's entire child list in one task.
+    * Here the leaf level aggregates in two phases: (1) group by
+    * (ancestorKeys, salt) where salt = hash(leaf ids) % buckets — children
+    * of a hot parent spread across `saltBuckets` tasks building partial
+    * chunks; (2) group by ancestorKeys, flatten + `array_sort` the chunks
+    * and strip sort keys. Contents are identical to [[pack]] (equivalence
+    * spec-tested); the final row still holds the whole list — inherent to
+    * the data model — but sort/serialize work parallelizes.
+    *
+    * Deliberately does NOT pre-repartition on the coarsest keys (the
+    * [[pack]] single-shuffle trick) — phase 1 must shuffle by (keys, salt)
+    * for the skew spreading to happen. */
+  def packSalted(df: DataFrame, toLevel: String, saltBuckets: Int = 32,
+                 extraColumns: ExtraColumns = ExtraColumns.Preserve): DataFrame = {
+    require(saltBuckets > 1, s"saltBuckets must be > 1, got $saltBuckets")
+    val (prepared, added) = prepareFrame(df)
+    var cur = prepared
+    val extras = identifyExtraColumns(cur.schema)
+    if (extras.nonEmpty) extraColumns match {
+      case ExtraColumns.Error => throw new HierarchyValidationError(
+        s"Found ${extras.size} column(s) not part of the hierarchy: " +
+          extras.take(5).mkString(", "))
+      case ExtraColumns.Drop => cur = cur.drop(extras: _*)
+      case ExtraColumns.Preserve =>
+    }
+    val targetIdx = spec.levelIndex(toLevel)
+    val leafIdx = metas.size - 1
+    cur = packSingleLevelSalted(cur, leafIdx, saltBuckets)
+    ((leafIdx - 1) to targetIdx by -1).foreach { i => cur = packSingleLevel(cur, i) }
+    dropInternal(dropIfPresent(cur, added))
+  }
+
+  private def packSingleLevelSalted(df0: DataFrame, levelIdx: Int,
+                                    saltBuckets: Int): DataFrame = {
+    var df = df0
+    if (preserveChildOrder && !hasCol(df, RowIdCol))
+      df = df.select((monotonically_increasing_id().alias(RowIdCol) +:
+        df.schema.fieldNames.toIndexedSeq.map(topCol)): _*)
+
+    val meta = metas(levelIdx)
+    val levelCols = df.schema.fieldNames.toIndexedSeq
+      .filter(c => meta.prefix.nonEmpty && c.startsWith(meta.prefix))
+    if (levelCols.isEmpty) return df
+    val groupKeys = meta.ancestorKeys
+    if (groupKeys.isEmpty) return packSingleLevel(df, levelIdx)
+
+    val orderExprs = meta.spec.orderBy
+    val orderTempCols: Seq[String] = orderExprs.indices.map(i => s"$OrderTempPrefix$i")
+    df = orderExprs.zip(orderTempCols).foldLeft(df) {
+      case (d, (e, a)) => d.withColumn(a, e)
+    }
+    // deterministic salt from this level's own ids: a hot parent's children
+    // spread across buckets; the same child always lands in the same bucket
+    df = df.withColumn(SaltCol,
+      pmod(xxhash64(meta.idColumns.filter(hasCol(df, _)).map(topCol): _*),
+        lit(saltBuckets.toLong)))
+
+    val structExpr = struct(levelCols.map(c =>
+      topCol(c).alias(c.substring(meta.prefix.length))): _*).alias(meta.path)
+    val others = df.schema.fieldNames.toIndexedSeq.filterNot(levelCols.contains)
+    df = df.select((others.map(topCol) :+ structExpr): _*)
+
+    val hasRowId = hasCol(df, RowIdCol)
+    val excluded = groupKeys.toSet ++ orderTempCols + meta.path + SaltCol ++
+      (if (hasRowId) Set(RowIdCol) else Set.empty[String])
+    val remaining = df.schema.fieldNames.toIndexedSeq.filterNot(excluded.contains)
+    val sortByCols = orderTempCols ++ (if (preserveChildOrder && hasRowId) Seq(RowIdCol) else Nil)
+
+    def firstAggs = remaining.map(c => first(topCol(c), ignoreNulls = true).alias(c))
+    def rowIdAgg = if (preserveChildOrder && hasRowId)
+      Seq(min(topCol(RowIdCol)).alias(RowIdCol)) else Nil
+
+    // phase 1: partial chunks per (keys, salt) — keyed structs, unsorted
+    val keyed =
+      if (sortByCols.isEmpty) topCol(meta.path)
+      else struct((sortByCols.zipWithIndex.map { case (c, i) =>
+        topCol(c).alias(s"__k$i") } :+ topCol(meta.path).alias("__payload")): _*)
+    val phase1Aggs = firstAggs ++ Seq(collect_list(keyed).alias(meta.path)) ++ rowIdAgg
+    val partial = df.groupBy((groupKeys :+ SaltCol).map(topCol): _*)
+      .agg(phase1Aggs.head, phase1Aggs.tail: _*)
+
+    // phase 2: merge chunks per keys — flatten, sort once, strip sort keys
+    val merged: Column =
+      if (sortByCols.isEmpty) flatten(collect_list(topCol(meta.path))).alias(meta.path)
+      else transform(array_sort(flatten(collect_list(topCol(meta.path)))),
+        x => x.getField("__payload")).alias(meta.path)
+    val phase2Aggs = firstAggs ++ Seq(merged) ++ rowIdAgg
+    partial.groupBy(groupKeys.map(topCol): _*).agg(phase2Aggs.head, phase2Aggs.tail: _*)
+  }
+
   // ------------------------------------------------------- streaming parity
 
   /** P5: parity API for the reference's `pack_streaming`
@@ -543,7 +637,7 @@ final class Packer(
   }
 
   private def dropInternal(df: DataFrame): DataFrame =
-    dropIfPresent(df, Seq(RowIdCol) ++
+    dropIfPresent(df, Seq(RowIdCol, SaltCol) ++
       df.schema.fieldNames.filter(_.startsWith(OrderTempPrefix)))
 }
 
@@ -551,4 +645,5 @@ object Packer {
   /** Internal columns (reference: hierarchical_packer.py:37-38). */
   val RowIdCol = "__hier_row_id"
   val OrderTempPrefix = "__hier_order_"
+  val SaltCol = "__hier_salt"
 }

@@ -91,6 +91,12 @@ object SparkEntry {
       val packed = p.packStreaming(flatOrderLines(s, dir), "lineitem", partitions = 8)
       stripPrefixes(p.unpack(packed, "lineitem"))
     }),
+    // skew guard: two-phase salted pack must reproduce pack's contents
+    "q_pack_salted" -> ((s, dir) => {
+      val p = orderPacker
+      val packed = p.packSalted(flatOrderLines(s, dir), "lineitem", saltBuckets = 8)
+      stripPrefixes(p.unpack(packed, "lineitem"))
+    }),
     // Q1/Q2/Q3: enrich with cross-level aggregation kernels
     "q_enrich_aggs" -> ((s, dir) => {
       val p = orderPacker
@@ -407,6 +413,14 @@ object SparkEntry {
         .select(col("asset_id"), col("n_bytes"),
           round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6).alias("feat_sum"))
     }),
+    // scalar-function passthrough: JSON extraction + grouped agg over events
+    "q_json_props" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = table(s, dir, "events")
+      e.groupBy(col("event_type"))
+        .agg(count(lit(1)).alias("n"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).alias("sum_k"))
+    }),
     // streaming module, batch-checked: session_window aggregation (same
     // code path StreamingSpec drives through readStream with a watermark)
     "q_session_window" -> ((s, dir) => {
@@ -454,6 +468,7 @@ object SparkEntry {
     Map(
       "q_pack_unpack_roundtrip" -> roundtripSql,
       "q_pack_split_join" -> roundtripSql,
+      "q_pack_salted" -> roundtripSql,
       "q_pack_streaming" -> roundtripSql,
       "q_pack_root_unnest" ->
         s"""SELECT ${orderCols.map(c => s"""$c AS "order.$c"""").mkString(", ")}
@@ -652,6 +667,10 @@ object SparkEntry {
           |  CAST(sum(ncnt) AS BIGINT) AS n_cust,
           |  round(avg(navg), 4) AS mean_of_means
           |FROM nc GROUP BY r_regionkey""".stripMargin,
+      "q_json_props" ->
+        """SELECT event_type, count(*) AS n,
+          | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+          |FROM events GROUP BY event_type""".stripMargin,
       "q_session_window" ->
         """WITH o AS (
           |  SELECT user_id, value, epoch_us(ts) AS us,

@@ -202,4 +202,31 @@ class PackerSpec extends SparkSpec {
     assert(unpacked.schema.fieldNames.sorted.toSeq ==
       apartmentDf(spark).schema.fieldNames.sorted.toSeq)
   }
+
+  test("packSalted equals pack, including on a skewed hot key") {
+    val spec = streamingSpec
+    val p = new Packer(spec)
+    // skew: city0 owns 500 streets, every other city ≤ 4
+    val base = streamingDf(spark)
+    val hotSchema = base.schema
+    val hotRows = (0 until 500).map(i =>
+      Row("C0", "city0", "C0", s"hot_$i", "city0"))
+    val hot = spark.createDataFrame(
+      new java.util.ArrayList(hotRows.asJava), hotSchema)
+    val df = base.union(hot)
+
+    val spec2 = HierarchySpec(Seq(
+      spec.levels(0), spec.levels(1),
+      spec.levels(2).copy(orderBy =
+        Seq(ColName.topCol("country.city.street.id")))))
+    val ordered = new Packer(spec2)
+    for (target <- Seq("country", "city")) {
+      assertSameRows(ordered.packSalted(df, target, saltBuckets = 8),
+        ordered.pack(df, target))
+    }
+    // unordered variant (no orderBy, rowId path) — contents equal after unpack
+    assertSameRows(
+      p.unpack(p.packSalted(df, "country", saltBuckets = 8), "street"),
+      p.unpack(p.pack(df, "country"), "street"))
+  }
 }
