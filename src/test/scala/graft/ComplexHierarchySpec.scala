@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Parity with the reference's tests/test_complex_hierarchies.py and the
+  * attribute-expr composability examples: 6-level-deep hierarchies, the same
+  * field name at different levels, boundary shapes, and cross-level
+  * expressions used inside filters / sorts / arithmetic. */
+class ComplexHierarchySpec extends SparkSpec {
+
+  /** 6 levels: a→b→c→d→e→f, one id each, plus a same-named `name` field at
+    * every level (reference: same field name at different levels, :373). */
+  private val deepSpec = HierarchySpec(
+    (0 until 6).map { i =>
+      val n = ('a' + i).toChar.toString
+      LevelSpec(n, Seq(NamedField("id")),
+        parentKeys = if (i == 0) Nil else Seq("parent_id"))
+    })
+
+  private def deepDf: DataFrame = {
+    val paths = (0 until 6).map(i => ('a' to ('a' + i).toChar).mkString("."))
+    val fields = paths.flatMap { p =>
+      Seq(StructField(s"$p.id", LongType), StructField(s"$p.name", StringType)) ++
+        (if (p == "a") Nil else Seq(StructField(s"$p.parent_id", LongType)))
+    }
+    // 2 roots × 2 children per level at the deepest two levels = 8 leaves
+    val rows = for {
+      a <- Seq(0L, 1L); b = a; c = a; d = a
+      e <- Seq(0L, 1L); f <- Seq(0L, 1L)
+    } yield {
+      val vals = Seq(a -> "a", b -> "b", c -> "c", d -> "d", e * 2 + a -> "e",
+        f * 4 + e * 2 + a -> "f")
+      Row.fromSeq(vals.zipWithIndex.flatMap { case ((id, n), i) =>
+        Seq(id, s"$n$id") ++ (if (i == 0) Nil else Seq(vals(i - 1)._1))
+      })
+    }
+    spark.createDataFrame(new java.util.ArrayList(rows.asJava), StructType(fields))
+  }
+
+  test("six-level pack/unpack roundtrip with same-named fields at every level") {
+    val p = new Packer(deepSpec)
+    val df = deepDf
+    val packed = p.pack(df, "a")
+    assert(packed.schema.fieldNames.toSeq == Seq("a"))
+    assert(packed.count() == 2)
+    val unpacked = p.unpack(packed, "f")
+    assertSameRows(unpacked, df)
+  }
+
+  test("pack to every intermediate level and back") {
+    val p = new Packer(deepSpec)
+    val df = deepDf
+    for (lvl <- Seq("e", "d", "c", "b")) {
+      val packed = p.pack(df, lvl)
+      assertSameRows(p.unpack(packed, "f"), df)
+    }
+  }
+
+  test("single-row and single-level boundary shapes") {
+    val p = new Packer(deepSpec)
+    val one = deepDf.limit(1)
+    assertSameRows(p.unpack(p.pack(one, "a"), "f"), one)
+
+    val soloSpec = HierarchySpec(Seq(LevelSpec("x", Seq(NamedField("id")))))
+    val soloP = new Packer(soloSpec)
+    val solo = spark.createDataFrame(
+      new java.util.ArrayList(Seq(Row(1L, "v")).asJava),
+      StructType(Seq(StructField("x.id", LongType), StructField("x.val", StringType))))
+    val packedSolo = soloP.pack(solo, "x")
+    assert(packedSolo.schema.fieldNames.toSeq == Seq("x"))
+    assertSameRows(soloP.unpack(packedSolo, "x"), solo)
+  }
+
+  test("non-hierarchy struct columns pass through pack untouched") {
+    val p = new Packer(Fixtures.streamingSpec)
+    val df = Fixtures.streamingDf(spark)
+      .withColumn("meta", struct(lit(7).alias("n"), lit("z").alias("s")))
+    val packed = p.pack(df, "city")
+    assert(packed.schema.fieldNames.contains("meta"))
+    assert(packed.select(col("meta.n")).distinct().collect().map(_.getInt(0)).toSeq == Seq(7))
+  }
+
+  test("attributeExpr composes into filter, sort, and arithmetic (reference examples.py)") {
+    val p = new Packer(Fixtures.streamingSpec)
+    // pack to "street": streets fold into lists, rows stay at city granularity
+    val packed = p.pack(Fixtures.streamingDf(spark), "street")
+    val nStreets = p.attributeExpr("id", "street", "city", Agg.Count)
+    // filter: cities with more than one street → counts 3,2,4,2
+    val filtered = packed.filter(nStreets > 1)
+    assert(filtered.count() == 4)
+    // arithmetic + sort: double the count, order desc
+    val top = packed
+      .withColumn("n2", nStreets * 2)
+      .orderBy(col("n2").desc, ColName.topCol("country.city.id"))
+      .select(ColName.topCol("country.city.id"), col("n2"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(top.head == (("city3", 8L)))
+    assert(top.map(_._2).toSeq == Seq(8L, 6L, 4L, 4L, 2L, 2L))
+  }
+
+  test("set/single kernels and null attribute handling") {
+    val p = new Packer(Fixtures.streamingSpec)
+    val df = Fixtures.streamingDf(spark)
+      .withColumn("country.city.street.tag",
+        when(ColName.topCol("country.city.street.id").endsWith("_0"), lit("t0")))
+    val packed = p.pack(df, "street")
+    val tags = p.attributeExpr("tag", "street", "city", Agg.Set)
+    val singles = p.attributeExpr("tag", "street", "city", Agg.Single)
+    val out = packed.select(ColName.topCol("country.city.id").alias("c"),
+      tags.alias("tags"), singles.alias("single")).collect()
+    out.foreach { r =>
+      // every city has exactly one street ending in _0 → set == ["t0"]
+      assert(r.getSeq[String](1) == Seq("t0"))
+      assert(r.getString(2) == "t0")
+    }
+  }
+}
