@@ -38,13 +38,24 @@ object Dedup {
 
   // ---------------------------------------------------------- shingles
 
-  /** Word n-gram shingles (distinct), from normalized text. */
+  /** Word n-gram shingles (distinct), from normalized text.
+    *
+    * Built with iterated `zip_with` so `toks` is always a HOF *child*
+    * (evaluated once per row) and never a free variable inside a lambda —
+    * a `transform(sequence(...), i => slice(toks, ...))` formulation
+    * re-evaluates the whole tokenization once PER ELEMENT (O(tokens²)
+    * regex work; measured 10-30x slowdown on real documents). */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
     val count = size(toks) - (n - 1)
+    // zip_with pads the shorter side with null, so after n-1 folds the
+    // first `count` entries are complete n-grams and the tail is null
+    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
     array_distinct(when(count <= 0, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), count - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(slice(grams, lit(1), count)))
   }
 
   /** Exact Jaccard similarity of two distinct-element arrays. */
@@ -69,11 +80,18 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash
 
-  /** MinHash signature: numHashes array_min's over seeded xxhash64 of each
-    * shingle. One pass per row, no explode. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingles, s => xxhash64(s, seed))))
+  /** MinHash signature: per-seed minimum of seeded xxhash64 over the
+    * shingles — ONE `aggregate` pass with an element-wise running min, so
+    * the shingle array is evaluated once (the per-seed
+    * `transform(seq, seed => array_min(transform(shingles, ...)))` shape
+    * re-evaluates the shingle pipeline once per seed). `seeds` is foldable
+    * and constant-folds to a literal array. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val seeds = sequence(lit(0), lit(numHashes - 1))
+    aggregate(shingles,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, seeds, (m, seed) => least(m, xxhash64(s, seed))))
+  }
 
   /** LSH band keys: signature sliced into `bands` rows-per-band groups,
     * each hashed to one bucket key. */
@@ -91,8 +109,17 @@ object Dedup {
                         shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                         maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // The repartition is a deliberate materialization barrier, NOT for
+    // distribution: without it the optimizer collapses the signature
+    // projection into the band lambda, re-evaluating the whole
+    // shingle+minhash tree once PER BAND (16x), and the LSH self-join then
+    // recomputes that doubled pipeline on each side. With the barrier the
+    // signature computes once per row pre-shuffle and ReuseExchange shares
+    // the exchange between both join sides (measured 25x on 100 docs).
+    // Shuffled payload is only (id, 32x8B signature) — negligible at scale.
     val sig = df.select(col(idCol),
       minhashSignature(wordShingles(col(textCol), shingleN), numHashes).alias("__sig"))
+      .repartition(col(idCol))
     val banded = sig.select(col(idCol),
         posexplode(bandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bucket")))
     val pruned = banded

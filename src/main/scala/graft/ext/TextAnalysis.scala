@@ -88,15 +88,19 @@ object TextAnalysis {
 
   /** Heuristic language ID: argmax of marker-hit counts; "und" when no
     * marker hits at all. Ties break in LangMarkers order (en first) —
-    * deterministic, so oracle-checkable. */
+    * deterministic, so oracle-checkable.
+    *
+    * Implemented as an `array_sort` argmax over (−score, rank, lang)
+    * structs: each langScore appears exactly once in the expression tree.
+    * A when/otherwise max-fold would embed earlier scores twice per step —
+    * 2^langs copies of the tokenization pipeline. */
   def langId(text: Column, markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
-    val scored = markers.map { case (lang, ms) => lang -> langScore(text, ms) }
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lang).otherwise(bestLang),
-          when(score > bestScore, score).otherwise(bestScore))
+    val entries = markers.zipWithIndex.map { case ((lang, ms), i) =>
+      struct((-langScore(text, ms)).alias("neg"), lit(i).alias("rank"),
+        lit(lang).alias("lang"))
     }
-    when(best._2 <= 0, "und").otherwise(best._1)
+    val best = get(array_sort(array(entries: _*)), lit(0))
+    when(best.getField("neg") >= 0, "und").otherwise(best.getField("lang"))
   }
 
   /** Canonical text: lowercase, collapse whitespace, trim. */
