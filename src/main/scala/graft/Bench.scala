@@ -122,7 +122,16 @@ object Bench {
     val all = queryTimes ++ parityLarge ++ parityParent
     val qs = all.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // peak RSS of this JVM (Linux VmHWM) — comparable in spirit to the
+    // reference harness's psutil peak-RSS sampling (BASELINE.md), though a
+    // 16g-heap JVM holds memory the way a Rust process does not
+    val peakRssMb: Long = try {
+      val hwm = scala.io.Source.fromFile("/proc/self/status").getLines()
+        .find(_.startsWith("VmHWM")).map(_.replaceAll("[^0-9]", "").toLong)
+      hwm.map(_ / 1024).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""peak_rss_mb":$peakRssMb,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -99,6 +99,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got == expect)
   }
 
+  test("single-level pack works as a streaming aggregation") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    // flat order-lines arrive as a stream; pack folds them into nested rows.
+    // preserveChildOrder=false: monotonically_increasing_id and multi-stage
+    // aggregations are batch-only; a leaf-level unordered pack is one
+    // streaming-legal groupBy.
+    val spec = HierarchySpec(Seq(
+      LevelSpec("order", Seq(NamedField("id"))),
+      LevelSpec("line", Seq(NamedField("n")), parentKeys = Seq("order_id"))))
+    val p = new Packer(spec, preserveChildOrder = false)
+    val mem = MemoryStream[(Long, Long, Double)]
+    val flat = mem.toDF().select(col("_1").alias("order.id"),
+      col("_2").alias("order.line.n"), col("_1").alias("order.line.order_id"),
+      col("_3").alias("order.line.amount"))
+    val q = p.pack(flat, "line").writeStream
+      .format("memory").queryName("pack_out").outputMode("complete").start()
+    try {
+      mem.addData((1L, 1L, 10.0), (1L, 2L, 20.0), (2L, 1L, 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, 3L, 30.0)) // late line joins order 1's list
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = sp.table("pack_out")
+    assert(out.count() == 2)
+    val lines1 = out.filter(col("`order.id`") === 1L)
+      .select(size(col("`order.line`"))).collect()(0).getInt(0)
+    assert(lines1 == 3)
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val sp = spark
     import sp.implicits._
