@@ -101,6 +101,24 @@ class ComplexHierarchySpec extends SparkSpec {
     assert(top.map(_._2).toSeq == Seq(8L, 6L, 4L, 4L, 2L, 2L))
   }
 
+  test("attributeExpr cascades across five hops (a←f in the 6-level spec)") {
+    val p = new Packer(deepSpec)
+    // pack to "b": b..f fold into nested lists, rows stay at `a` granularity
+    val packed = p.pack(deepDf, "b")
+    val out = packed.select(
+      ColName.topCol("a.id").alias("a_id"),
+      p.attributeExpr("id", "f", "a", Agg.Count).alias("n_f"),
+      p.attributeExpr("id", "f", "a", Agg.Sum).alias("sum_f"),
+      p.attributeExpr("id", "f", "a", Agg.Max).alias("max_f"))
+      .orderBy("a_id").collect()
+    // each root has 4 leaves; count cascades as sum-of-counts through
+    // the 4 intermediate hops
+    assert(out.map(_.getDouble(1)).toSeq == Seq(4.0, 4.0))
+    // leaf ids per root a: f = f*4 + e*2 + a for e,f in {0,1}
+    assert(out.map(_.getDouble(2)).toSeq == Seq(0 + 4 + 2 + 6.0, 1 + 5 + 3 + 7.0))
+    assert(out.map(_.getLong(3)).toSeq == Seq(6L, 7L))
+  }
+
   test("set/single kernels and null attribute handling") {
     val p = new Packer(Fixtures.streamingSpec)
     val df = Fixtures.streamingDf(spark)

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct unit coverage for the metadata/discovery/validation surface
+  * (M1-M9) — complementing the oracle queries that exercise them
+  * end-to-end. */
+class MetaSpec extends AnyFunSuite with SparkSpec {
+
+  private val p = new Packer(Fixtures.streamingSpec)
+
+  test("level names, root/leaf, ancestors and descendants (M1/M2)") {
+    val s = Fixtures.streamingSpec
+    assert(s.levelNames == Seq("country", "city", "street"))
+    assert(s.rootLevel == "country" && s.leafLevel == "street")
+    assert(s.ancestorLevels("street") == Seq("country", "city"))
+    assert(s.ancestorLevels("country") == Nil)
+    assert(s.descendantLevels("country") == Seq("city", "street"))
+    assert(s.descendantLevels("street") == Nil)
+    assertThrows[HierarchyConfigError](s.levelIndex("nope"))
+  }
+
+  test("levelKeys short/long forms; ancestors force long form (M3)") {
+    val s = Fixtures.streamingSpec
+    assert(s.levelKeys("city") == Seq("country.city.id"))
+    assert(s.levelKeys("city", longForm = false) == Seq("id"))
+    assert(s.levelKeys("street", includeAncestors = true) ==
+      Seq("country.id", "country.city.id", "country.city.street.id"))
+  }
+
+  test("getLevelFields/getLevelSchema on flat AND packed schemas (M4)") {
+    val flat = Fixtures.streamingDf(spark)
+    assert(p.getLevelFields("city", flat.schema).toSet == Set("id", "country_id"))
+    assert(p.getLevelFields("city", flat.schema, longForm = true).toSet ==
+      Set("country.city.id", "country.city.country_id"))
+    val packed = p.pack(flat, "street")
+    // packed: street is an Array[Struct] column; city fields stay flat
+    assert(p.getLevelFields("street", packed.schema).toSet == Set("id", "city_id"))
+    assert(p.getLevelSchema("street", packed.schema).toMap.apply("id") == StringType)
+    // child level names are excluded from the parent's field list
+    assert(!p.getLevelFields("city", packed.schema).contains("street"))
+  }
+
+  test("inferCurrentLevel across packing states (M5)") {
+    val flat = Fixtures.streamingDf(spark)
+    assert(p.inferCurrentLevel(flat.schema) == "street")
+    assert(p.inferCurrentLevel(p.pack(flat, "street").schema) == "city")
+    assert(p.inferCurrentLevel(p.pack(flat, "city").schema) == "country")
+    assert(p.inferCurrentLevel(p.pack(flat, "country").schema) == "country")
+    val junk = StructType(Seq(StructField("unrelated", LongType)))
+    assertThrows[HierarchyError](p.inferCurrentLevel(junk))
+  }
+
+  test("describe names every level with keys and paths (M6)") {
+    val text = p.describe
+    assert(text.contains("Levels (3)"))
+    for (l <- Seq("country", "city", "street")) assert(text.contains(l))
+    assert(text.contains("root") && text.contains("leaf"))
+    assert(text.contains("country.city.street"))
+  }
+
+  test("validateSchema flags missing key fields in packed structs (M9)") {
+    val flat = Fixtures.streamingDf(spark)
+    val ok = p.validateSchema(p.pack(flat, "street").schema, Some("city"))
+    assert(ok.isCompatible && ok.errors.isEmpty)
+    assert(ok.presentLevels.toSet == Set("country", "city", "street"))
+
+    // drop the street id INSIDE the packed struct → structural error
+    val broken = p.pack(flat, "street").withColumn("country.city.street",
+      transform(ColName.topCol("country.city.street"),
+        x => struct(x.getField("city_id").alias("city_id"))))
+    val res = p.validateSchema(broken.schema)
+    assert(!res.isCompatible)
+    assert(res.errors.exists(_.contains("missing expected key fields: id")))
+
+    // wrong expected level → error
+    val lvl = p.validateSchema(p.pack(flat, "street").schema, Some("street"))
+    assert(lvl.errors.exists(_.contains("inferred level is 'city'")))
+  }
+
+  test("validate counts nulls per key in one pass; raises when asked (M8)") {
+    val flat = Fixtures.streamingDf(spark)
+      .withColumn("country.city.street.id",
+        when(ColName.topCol("country.city.street.id") === "s0_0", lit(null))
+          .otherwise(ColName.topCol("country.city.street.id")))
+    val counts = p.validate(flat, "street", raiseOnError = false)
+    assert(counts("country.city.street.id") == 1L)
+    assert(counts("country.id") == 0L)
+    assertThrows[HierarchyValidationError](p.validate(flat, "street"))
+  }
+}
