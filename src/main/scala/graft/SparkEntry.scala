@@ -362,6 +362,16 @@ object SparkEntry {
         TextAnalysis.qualityScore(col("text")).alias("quality"),
         TextAnalysis.langId(col("text")).alias("lang_pred"))
     }),
+    // vocabulary building: corpus-wide top-k token frequencies. explode →
+    // groupBy(count) has map-side partial aggregation; the global top-k is
+    // a TakeOrderedAndProject (no full sort) — the scalable vocab pattern.
+    "q_vocab_topk" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      d.select(explode(TextAnalysis.tokens(TextAnalysis.normalized(col("text"))))
+          .alias("token"))
+        .groupBy("token").agg(count(lit(1)).alias("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(50)
+    }),
     // exact dedup: surviving doc ids (min id per normalized-text fingerprint)
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "text", "doc_id").select("doc_id")),
@@ -598,6 +608,13 @@ object SparkEntry {
           |       WHEN de > en THEN 'de'
           |       ELSE 'en' END AS lang_pred
           |FROM s""".stripMargin,
+      "q_vocab_topk" ->
+        """SELECT token, count(*) AS cnt FROM (
+          |  SELECT unnest(list_filter(
+          |    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |    x -> len(x) > 0)) AS token
+          |  FROM documents)
+          |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin,
       "q_dedup_exact" ->
         """SELECT min(doc_id) AS doc_id FROM documents
           |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
