@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
  * Near-duplicate test: popcount(simhash(a) XOR simhash(b)) <= r — see
  * [[graft.ext.Dedup.simhashPairs]].
  */
-case class SimHash(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -53,6 +53,36 @@ case class SimHash(child: Expression) extends UnaryExpression with CodegenFallba
     }
     java.lang.Long.valueOf(out)
   }
+
+  /** Whole-stage-codegen body: same loop as [[nullSafeEval]], emitted as
+    * Java so simhash stays inside the fused stage (no interpreted
+    * fallback). `XXH64.hashUnsafeBytes` with seed 42 is exactly what
+    * `functions.xxhash64` lowers to for strings. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val w = ctx.freshName("weights")
+      val h = ctx.freshName("hash")
+      val s = ctx.freshName("str")
+      s"""
+         |int[] $w = new int[64];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $w[$b]++; else $w[$b]--;
+         |    }
+         |  }
+         |}
+         |${ev.value} = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($w[$b] >= 0) ${ev.value} |= (1L << $b);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash = copy(newChild)
   override def prettyName: String = "simhash64"
