@@ -80,6 +80,13 @@ trait PackerMetaOps {
     }
   }
 
+  /** All qualified columns belonging to a level: id columns plus required
+    * columns (reference: get_level_columns, hierarchical_packer.py:1845-1857). */
+  def getLevelColumns(level: String): Seq[String] = {
+    val m = spec.meta(level)
+    m.idColumns ++ m.spec.requiredFields.map(f => m.prefix + cn.escapeField(f))
+  }
+
   /** M6: human-readable hierarchy summary (reference: describe,
     * hierarchical_packer.py:751-795). */
   def describe: String = {

@@ -125,6 +125,11 @@ final case class HierarchySpec(
   def descendantLevels(level: String): Seq[String] =
     levelNames.drop(levelIndex(level) + 1)
 
+  /** The immediate child level, if any (reference: next_level,
+    * hierarchical_packer.py:339-356). */
+  def nextLevel(level: String): Option[LevelSpec] =
+    levels.lift(levelIndex(level) + 1)
+
   /** Key column names of a level. Long form = fully-prefixed flat names;
     * short form = bare field names. Ancestors force long form
     * (reference: get_level_keys, hierarchical_packer.py:507-549). */

@@ -20,6 +20,16 @@ class MetaSpec extends AnyFunSuite with SparkSpec {
     assert(s.descendantLevels("country") == Seq("city", "street"))
     assert(s.descendantLevels("street") == Nil)
     assertThrows[HierarchyConfigError](s.levelIndex("nope"))
+    assert(s.nextLevel("country").map(_.name).contains("city"))
+    assert(s.nextLevel("street").isEmpty)
+  }
+
+  test("getLevelColumns returns qualified id + required columns") {
+    val ap = new Packer(Fixtures.apartmentSpec)
+    assert(ap.getLevelColumns("apartment") ==
+      Seq("country.city.street.building.apartment.id",
+        "country.city.street.building.apartment.id"))
+    assert(p.getLevelColumns("city") == Seq("country.city.id"))
   }
 
   test("levelKeys short/long forms; ancestors force long form (M3)") {
