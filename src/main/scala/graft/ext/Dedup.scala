@@ -179,13 +179,14 @@ object Dedup {
     * [[Similarity.hyperplaneBuckets]] is the scale path). */
   def embeddingNearDupExact(df: DataFrame, vecCol: String, idCol: String,
                             threshold: Double): DataFrame = {
+    val sp = df.sparkSession
     val withN = df.select(col(idCol), col(vecCol),
-      Similarity.l2norm(col(vecCol)).alias("__n"))
+      Similarity.fastL2(sp, col(vecCol)).alias("__n"))
     val l = withN.select(col(idCol).alias("id_a"), col(vecCol).alias("v_a"), col("__n").alias("n_a"))
     val r = withN.select(col(idCol).alias("id_b"), col(vecCol).alias("v_b"), col("__n").alias("n_b"))
     l.join(r, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.dot(col("v_a"), col("v_b")) /
+        round(Similarity.fastDot(sp, col("v_a"), col("v_b")) /
           (col("n_a") * col("n_b")), 6).alias("cosine"))
       .filter(col("cosine") >= threshold)
   }
@@ -195,8 +196,9 @@ object Dedup {
   def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,
                           threshold: Double, planes: Int = 16,
                           bands: Int = 4, dim: Int = 64): DataFrame = {
+    val sp = df.sparkSession
     val sig = Similarity.hyperplaneBuckets(df, vecCol, idCol, planes, bands, dim)
-    val withN = df.select(col(idCol), col(vecCol), Similarity.l2norm(col(vecCol)).alias("__n"))
+    val withN = df.select(col(idCol), col(vecCol), Similarity.fastL2(sp, col(vecCol)).alias("__n"))
     val l = sig.select(col("__band"), col("__bucket"), col(idCol).alias("id_a"))
     val r = sig.select(col("__band"), col("__bucket"), col(idCol).alias("id_b"))
     val cands = l.join(r, Seq("__band", "__bucket")).filter(col("id_a") < col("id_b"))
@@ -205,7 +207,7 @@ object Dedup {
       .join(withN.select(col(idCol).alias("id_a"), col(vecCol).alias("v_a"), col("__n").alias("n_a")), Seq("id_a"))
       .join(withN.select(col(idCol).alias("id_b"), col(vecCol).alias("v_b"), col("__n").alias("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.dot(col("v_a"), col("v_b")) /
+        round(Similarity.fastDot(sp, col("v_a"), col("v_b")) /
           (col("n_a") * col("n_b")), 6).alias("cosine"))
       .filter(col("cosine") >= threshold)
   }

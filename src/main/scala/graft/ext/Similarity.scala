@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Dot product of two float arrays, accumulated in double. */
+  /** Dot product of two float arrays, accumulated in double (HOF form —
+    * session-free and composable; the operators below use the fused
+    * [[graft.functions.DotProduct]] codegen expression, which is
+    * bit-identical: same left-to-right double accumulation, no
+    * intermediate products array). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -35,6 +39,14 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     try_divide(dot(a, b), l2norm(a) * l2norm(b))
 
+  // fused custom-expression kernels (same math, single loop, no allocation)
+  private[ext] def fastDot(s: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot(s, a, b)
+  private[ext] def fastL2(s: org.apache.spark.sql.SparkSession, a: Column): Column =
+    sqrt(graft.functions.DotProduct.dot(s, a, a))
+  private[ext] def fastCosine(s: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column =
+    try_divide(fastDot(s, a, b), fastL2(s, a) * fastL2(s, b))
+
   /**
    * Exact cosine top-k: for each query vector, the k nearest corpus
    * vectors. Scores rounded to 6 dp with id tiebreak so ranking is
@@ -42,13 +54,14 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String, vecCol: String): DataFrame = {
+    val sp = corpus.sparkSession
     val c = corpus.select(col(idCol).alias("vec_id"), col(vecCol).alias("__cv"),
-      l2norm(col(vecCol)).alias("__cn"))
+      fastL2(sp, col(vecCol)).alias("__cn"))
     val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"),
-      l2norm(col(vecCol)).alias("__qn"))
+      fastL2(sp, col(vecCol)).alias("__qn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        round(try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")), 6)
+        round(try_divide(fastDot(sp, col("__qv"), col("__cv")), col("__qn") * col("__cn")), 6)
           .alias("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
@@ -70,8 +83,9 @@ object Similarity {
   def hyperplaneBuckets(df: DataFrame, vecCol: String, idCol: String,
                         planes: Int, bands: Int, dim: Int): DataFrame = {
     val perBand = planes / bands
+    val sp = df.sparkSession
     val planesArr = planeLiterals(planes, dim)
-    val bits = transform(planesArr, p => when(dot(p, col(vecCol)) >= 0, 1L).otherwise(0L))
+    val bits = transform(planesArr, p => when(fastDot(sp, p, col(vecCol)) >= 0, 1L).otherwise(0L))
     val keys = transform(sequence(lit(0), lit(bands - 1)), b =>
       aggregate(slice(bits, b * perBand + 1, lit(perBand)), lit(0L), (acc, x) => acc * 2 + x))
     df.select(col(idCol), posexplode(keys).as(Seq("__band", "__bucket")))
@@ -87,30 +101,31 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String, vecCol: String,
               nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val sp = corpus.sparkSession
     val cents = corpus.orderBy(col(idCol).asc).limit(nlist)
       .select(col(idCol).alias("cent_id"), col(vecCol).alias("cent_vec"))
     // one-pass assignment: min cosine-distance centroid per corpus vector
     val assigned = corpus.crossJoin(broadcast(cents))
       .select(col(idCol), col(vecCol),
-        col("cent_id"), cosine(col(vecCol), col("cent_vec")).alias("__sim"))
+        col("cent_id"), fastCosine(sp, col(vecCol), col("cent_vec")).alias("__sim"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cent_id").asc)))
       .filter(col("__rk") === 1)
       .select(col(idCol).alias("vec_id"), col(vecCol).alias("__cv"),
-        l2norm(col(vecCol)).alias("__cn"), col("cent_id"))
+        fastL2(sp, col(vecCol)).alias("__cn"), col("cent_id"))
     // queries probe their nprobe nearest centroids
     val probes = queries.crossJoin(broadcast(cents))
       .select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"),
-        col("cent_id"), cosine(col(vecCol), col("cent_vec")).alias("__sim"))
+        col("cent_id"), fastCosine(sp, col(vecCol), col("cent_vec")).alias("__sim"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cent_id").asc)))
       .filter(col("__rk") <= nprobe)
-      .select(col("query_id"), col("__qv"), l2norm(col("__qv")).alias("__qn"), col("cent_id"))
+      .select(col("query_id"), col("__qv"), fastL2(sp, col("__qv")).alias("__qn"), col("cent_id"))
     // exact ranking inside the probed lists only
     val scored = assigned.join(probes, Seq("cent_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        round(try_divide(dot(col("__qv"), col("__cv")), col("__qn") * col("__cn")), 6)
+        round(try_divide(fastDot(sp, col("__qv"), col("__cv")), col("__qn") * col("__cn")), 6)
           .alias("cosine"))
       .groupBy(col("query_id"), col("vec_id")).agg(max(col("cosine")).alias("cosine"))
     val w = Window.partitionBy(col("query_id"))

@@ -146,6 +146,24 @@ class ExtSpec extends SparkSpec {
     assert((m.getInt(0), m.getInt(1)) == (8, 4))
   }
 
+  test("DotProduct expression is bit-identical to the HOF dot kernel") {
+    val sp = spark
+    val both = vectors.crossJoin(
+      vectors.select(col("vec_id").alias("id2"), col("embedding").alias("e2")))
+      .limit(500)
+      .select(
+        Similarity.dot(col("embedding"), col("e2")).alias("hof"),
+        graft.functions.DotProduct.dot(sp, col("embedding"), col("e2")).alias("fused"))
+    // exact bitwise equality: same left-to-right double accumulation
+    assert(both.filter(col("hof") =!= col("fused")).count() == 0)
+    // mixed element types: array<double> plane vs array<float> embedding
+    val plane = array((0 until 16).map(i => lit(i * 0.37 - 2.0)): _*)
+    val mixed = vectors.select(
+      Similarity.dot(plane, col("embedding")).alias("hof"),
+      graft.functions.DotProduct.dot(sp, plane, col("embedding")).alias("fused"))
+    assert(mixed.filter(col("hof") =!= col("fused")).count() == 0)
+  }
+
   test("simhash rejects non array<string> input") {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       docs.select(SimHash.simhash64(spark, col("doc_id"))).collect()
