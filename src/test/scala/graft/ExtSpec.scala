@@ -164,6 +164,18 @@ class ExtSpec extends SparkSpec {
     assert(mixed.filter(col("hof") =!= col("fused")).count() == 0)
   }
 
+  test("dedup and similarity operators handle empty inputs") {
+    val noDocs = docs.filter(col("doc_id") < 0)
+    assert(Dedup.exact(noDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.minhashNearDuplicates(noDocs, "text", "doc_id", 0.5, 2, 32, 16).count() == 0)
+    assert(Dedup.simhashPairs(noDocs, "text", "doc_id").count() == 0)
+    val noVecs = vectors.filter(col("vec_id") < 0)
+    assert(Similarity.bruteForceTopK(vectors, noVecs, 5, "vec_id", "embedding").count() == 0)
+    assert(Similarity.bruteForceTopK(noVecs, vectors, 5, "vec_id", "embedding").count() == 0)
+    assert(Dedup.embeddingNearDupExact(noVecs, "embedding", "vec_id", 0.5).count() == 0)
+    assert(TextAnalysis.docStats(noDocs, "text").count() == 0)
+  }
+
   test("simhash rejects non array<string> input") {
     assertThrows[org.apache.spark.sql.AnalysisException] {
       docs.select(SimHash.simhash64(spark, col("doc_id"))).collect()
