@@ -91,19 +91,48 @@ object Similarity {
     df.select(col(idCol), posexplode(keys).as(Seq("__band", "__bucket")))
   }
 
+  /** Deterministic k-means (Lloyd) refinement of IVF centroids, entirely
+    * in DataFrame ops: assign each vector to its nearest centroid, then
+    * recompute centroids as element-wise means via
+    * posexplode → groupBy(cent, pos) → avg → re-collect sorted by pos.
+    * Two small shuffles per iteration; the corpus never collects to the
+    * driver. Seeds = the nlist lowest-id corpus vectors. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, iters: Int): DataFrame = {
+    val sp = corpus.sparkSession
+    var cents = corpus.orderBy(col(idCol).asc).limit(nlist)
+      .select(col(idCol).alias("cent_id"), col(vecCol).alias("cent_vec"))
+    (0 until iters).foreach { _ =>
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .select(col(idCol), col(vecCol), col("cent_id"),
+          fastCosine(sp, col(vecCol), col("cent_vec")).alias("__sim"))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cent_id").asc)))
+        .filter(col("__rk") === 1)
+      cents = assigned
+        .select(col("cent_id"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+        .groupBy(col("cent_id"), col("__pos"))
+        .agg(avg(col("__v")).alias("__m"))
+        .groupBy(col("cent_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          x => x.getField("__m")).alias("cent_vec"))
+    }
+    cents
+  }
+
   /**
-   * IVF-flat ANN: nlist seed centroids = the nlist lowest-id corpus
-   * vectors (deterministic, no kmeans iterations — production systems
-   * train offline; the partitioning/probing plumbing is identical).
-   * Each corpus vector is assigned to its nearest centroid; each query
-   * probes the nprobe nearest centroid lists and ranks exactly within.
+   * IVF-flat ANN. Seed centroids = the nlist lowest-id corpus vectors
+   * (deterministic); `trainIters` > 0 refines them with Lloyd iterations
+   * ([[trainCentroids]]). Each corpus vector is assigned to its nearest
+   * centroid; each query probes the nprobe nearest centroid lists and
+   * ranks exactly within.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String, vecCol: String,
-              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0): DataFrame = {
     val sp = corpus.sparkSession
-    val cents = corpus.orderBy(col(idCol).asc).limit(nlist)
-      .select(col(idCol).alias("cent_id"), col(vecCol).alias("cent_vec"))
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
     // one-pass assignment: min cosine-distance centroid per corpus vector
     val assigned = corpus.crossJoin(broadcast(cents))
       .select(col(idCol), col(vecCol),

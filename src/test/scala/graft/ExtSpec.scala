@@ -164,6 +164,19 @@ class ExtSpec extends SparkSpec {
     assert(mixed.filter(col("hof") =!= col("fused")).count() == 0)
   }
 
+  test("trained IVF centroids keep top-1 recall and match nlist") {
+    val queries = vectors.filter(col("vec_id") < 3)
+    val trained = Similarity.ivfTopK(vectors, queries, 5, "vec_id", "embedding",
+      nlist = 8, nprobe = 4, trainIters = 2)
+    val ivfSet = trained.select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 3L).foreach(i => assert(ivfSet.contains((i, i + 1000))))
+    val cents = Similarity.trainCentroids(vectors, "vec_id", "embedding", 8, 2)
+    assert(cents.count() <= 8) // clusters can empty out, never grow
+    // centroid dimensionality preserved through the posexplode roundtrip
+    assert(cents.select(size(col("cent_vec"))).collect().forall(_.getInt(0) == 16))
+  }
+
   test("dedup and similarity operators handle empty inputs") {
     val noDocs = docs.filter(col("doc_id") < 0)
     assert(Dedup.exact(noDocs, "text", "doc_id").count() == 0)
