@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+import scala.util.Random
+
+/** Property-style randomized checks (beyond the reference's suite, which
+  * has none): for seeded random hierarchies with null attributes and
+  * zero-child parents, pack/unpack roundtrips losslessly, packSalted
+  * reproduces pack, and cross-level kernels equal plain groupBy SQL. */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  private val spec = HierarchySpec(Seq(
+    LevelSpec("p", Seq(NamedField("id"))),
+    LevelSpec("c", Seq(NamedField("id")), parentKeys = Seq("pid"),
+      orderBy = Seq(ColName.topCol("p.c.id")))))
+
+  private val schema = StructType(Seq(
+    StructField("p.id", LongType),
+    StructField("p.attr", StringType),
+    StructField("p.c.id", LongType),
+    StructField("p.c.pid", LongType),
+    StructField("p.c.x", DoubleType)))
+
+  /** Random flat frame: nParents parents, 1-4 children each, ~20% null x,
+    * ~20% null parent attr (but uniform per parent), shuffled row order. */
+  private def randomFlat(seed: Int): DataFrame = {
+    val rnd = new Random(seed)
+    val nParents = 1 + rnd.nextInt(6)
+    val rows = (0 until nParents).flatMap { p =>
+      val attr: String = if (rnd.nextDouble() < 0.2) null else s"attr_$p"
+      val nChildren = 1 + rnd.nextInt(4)
+      (0 until nChildren).map { c =>
+        val x: java.lang.Double =
+          if (rnd.nextDouble() < 0.2) null
+          else java.lang.Double.valueOf((rnd.nextInt(2000) - 1000) / 10.0)
+        Row(p.toLong, attr, c.toLong, p.toLong, x)
+      }
+    }
+    val shuffled = rnd.shuffle(rows)
+    spark.createDataFrame(new java.util.ArrayList(shuffled.asJava), schema)
+  }
+
+  test("property: pack/unpack roundtrip is lossless on random frames") {
+    val p = new Packer(spec)
+    (0 until 8).foreach { seed =>
+      val df = randomFlat(seed)
+      assertSameRows(p.unpack(p.pack(df, "p"), "c"), df)
+    }
+  }
+
+  test("property: packSalted equals pack on random frames") {
+    val p = new Packer(spec)
+    (0 until 8).foreach { seed =>
+      val df = randomFlat(seed)
+      assertSameRows(p.packSalted(df, "p", saltBuckets = 4), p.pack(df, "p"))
+    }
+  }
+
+  test("property: cross-level kernels equal plain groupBy aggregation") {
+    val p = new Packer(spec)
+    (0 until 8).foreach { seed =>
+      val df = randomFlat(seed)
+      val packed = p.pack(df, "c")
+      val got = packed.select(
+        ColName.topCol("p.id").alias("pid"),
+        p.attributeExpr("x", "c", "p", Agg.Sum).alias("sum_x"),
+        p.attributeExpr("x", "c", "p", Agg.Mean).alias("mean_x"),
+        p.attributeExpr("x", "c", "p", Agg.Min).alias("min_x"),
+        p.attributeExpr("x", "c", "p", Agg.Max).alias("max_x"),
+        p.attributeExpr("id", "c", "p", Agg.Count).alias("n_c"))
+      // NB kernel sum coalesces nulls to 0 (Polars list.sum semantics);
+      // count counts ALL children incl. null-x (list.len semantics)
+      val expect = df.groupBy(ColName.topCol("p.id").alias("pid")).agg(
+        coalesce(sum(ColName.topCol("p.c.x")), lit(0.0)).alias("sum_x"),
+        avg(ColName.topCol("p.c.x")).alias("mean_x"),
+        min(ColName.topCol("p.c.x")).alias("min_x"),
+        max(ColName.topCol("p.c.x")).alias("max_x"),
+        count(ColName.topCol("p.c.id")).cast("long").alias("n_c"))
+      assertSameRows(
+        got.select(col("pid"), round(col("sum_x"), 6).alias("s"),
+          round(col("mean_x"), 6).alias("m"), col("min_x"), col("max_x"),
+          col("n_c").cast("long")),
+        expect.select(col("pid"), round(col("sum_x"), 6).alias("s"),
+          round(col("mean_x"), 6).alias("m"), col("min_x"), col("max_x"),
+          col("n_c")))
+    }
+  }
+}
