@@ -98,6 +98,8 @@ object Bench {
     val parityLarge = Seq(
       "parity_pack_large" -> bestOf(packer.pack(large, "image")),
       "parity_pack_no_child_order" -> bestOf(noOrder.pack(large, "image")),
+      "parity_pack_streaming_8" -> bestOf(packer.packStreaming(large, "image", 8)),
+      "parity_pack_streaming_32" -> bestOf(packer.packStreaming(large, "image", 32)),
       "parity_pack_streaming_64" -> bestOf(packer.packStreaming(large, "image", 64)),
       "parity_unpack_large" -> {
         val packed = packer.pack(large, "image").persist(StorageLevel.MEMORY_AND_DISK)
