@@ -69,12 +69,14 @@ object Dedup {
     * correctness baseline; use [[minhashNearDuplicates]] at scale). */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         n: Int, threshold: Double): DataFrame = {
+    val sp = df.sparkSession
     val withSh = df.select(col(idCol), wordShingles(col(textCol), n).alias("__sh"))
     val l = withSh.select(col(idCol).alias("id_a"), col("__sh").alias("sh_a"))
     val r = withSh.select(col(idCol).alias("id_b"), col("__sh").alias("sh_b"))
     l.join(r, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).alias("jaccard"))
+        round(graft.functions.JaccardSim.jaccard(sp, col("sh_a"), col("sh_b")), 6)
+          .alias("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -138,13 +140,15 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
                             threshold: Double, shingleN: Int = 3,
                             numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val sp = df.sparkSession
     val cands = minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands)
     val sh = df.select(col(idCol), wordShingles(col(textCol), shingleN).alias("__sh"))
     cands
       .join(sh.select(col(idCol).alias("id_a"), col("__sh").alias("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).alias("id_b"), col("__sh").alias("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).alias("jaccard"))
+        round(graft.functions.JaccardSim.jaccard(sp, col("sh_a"), col("sh_b")), 6)
+          .alias("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

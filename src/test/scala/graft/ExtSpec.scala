@@ -177,6 +177,20 @@ class ExtSpec extends SparkSpec {
     assert(cents.select(size(col("cent_vec"))).collect().forall(_.getInt(0) == 16))
   }
 
+  test("JaccardSim expression equals the HOF jaccard on shingle arrays") {
+    val sp = spark
+    val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 2).alias("s"))
+    val pairs = sh.crossJoin(sh.select(col("doc_id").alias("id2"), col("s").alias("s2")))
+      .select(
+        Dedup.jaccard(col("s"), col("s2")).alias("hof"),
+        graft.functions.JaccardSim.jaccard(sp, col("s"), col("s2")).alias("fused"))
+    assert(pairs.filter(col("hof") =!= col("fused")).count() == 0)
+    // empty-vs-empty → 0.0 on both paths
+    val e = sp.sql("SELECT CAST(array() AS array<string>) AS a")
+    assert(e.select(graft.functions.JaccardSim.jaccard(sp, col("a"), col("a")))
+      .collect()(0).getDouble(0) == 0.0)
+  }
+
   test("dedup and similarity operators handle empty inputs") {
     val noDocs = docs.filter(col("doc_id") < 0)
     assert(Dedup.exact(noDocs, "text", "doc_id").count() == 0)
