@@ -59,6 +59,12 @@ class ColNameSpec extends AnyFunSuite with SparkSpec {
     assertSameRows(p.unpack(packed, "item"), df)
   }
 
+  test("quote doubles embedded backticks so exotic names still resolve") {
+    assert(ColName.quote("a`b") == "`a``b`")
+    val df = spark.range(1).select(org.apache.spark.sql.functions.lit(7).alias("weird`name.x"))
+    assert(df.select(ColName.topCol("weird`name.x")).collect()(0).getInt(0) == 7)
+  }
+
   test("field names containing the separator survive pack via escaping") {
     val cn = ColName.default
     val spec = HierarchySpec(Seq(

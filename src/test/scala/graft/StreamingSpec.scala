@@ -99,6 +99,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got == expect)
   }
 
+  test("tumbling window counts bucket events by width") {
+    val sp = spark
+    import sp.implicits._
+    val minute = 60L * 1000000
+    val df = Seq(
+      ev(1, 0, 0), ev(1, 1, 30 * minute), ev(1, 2, 59 * minute), // window 0
+      ev(1, 3, 61 * minute), // window 1
+      ev(2, 4, 200 * minute)) // window 3 for user 2
+      .toDF().select(col("userId").alias("user_id"),
+        timestamp_micros(col("us")).alias("event_time"))
+    val out = EventStreams.tumblingCounts(df, "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 0L, 3L), (1L, 60 * minute, 1L), (2L, 180 * minute, 1L)))
+  }
+
   test("single-level pack works as a streaming aggregation") {
     val sp = spark
     import sp.implicits._
