@@ -71,6 +71,21 @@ object EventStreams {
       df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(idCols)
     else df.dropDuplicates(idCols)
 
+  /** Multi-level pack over a STREAM via foreachBatch: a K-level pack is K
+    * chained aggregations, which a single streaming query cannot express —
+    * so each micro-batch is packed as a batch DataFrame and appended to the
+    * sink. Entities whose rows span micro-batches produce one packed row
+    * per batch; exact cross-batch merging is the storage layer's job
+    * (an upsert/merge sink keyed on the root id). Single-level packs can
+    * instead run directly as a streaming aggregation (see StreamingSpec). */
+  def packEachBatch(flat: DataFrame, packer: graft.Packer, toLevel: String,
+                    sinkPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    flat.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        packer.pack(batch, toLevel).write.mode("append").parquet(sinkPath)
+      }
+      .start()
+
   /** Custom sessionization with explicit per-user state
     * (`flatMapGroupsWithState`) — the reference has no streaming at all;
     * this is the Spark-native "custom state" path. Gap semantics match

@@ -145,6 +145,38 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(lines1 == 3)
   }
 
+  test("multi-level pack over a stream via foreachBatch") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val spec = HierarchySpec(Seq(
+      LevelSpec("a", Seq(NamedField("id"))),
+      LevelSpec("b", Seq(NamedField("id")), parentKeys = Seq("aid")),
+      LevelSpec("c", Seq(NamedField("id")), parentKeys = Seq("bid"))))
+    val p = new Packer(spec, preserveChildOrder = false)
+    val sink = "target/tmp/stream_pack_out"
+    new java.io.File(sink).delete()
+    val mem = MemoryStream[(Long, Long, Long)]
+    val flat = mem.toDF().select(col("_1").alias("a.id"),
+      col("_2").alias("a.b.id"), col("_1").alias("a.b.aid"),
+      col("_3").alias("a.b.c.id"), col("_2").alias("a.b.c.bid"))
+    val q = EventStreams.packEachBatch(flat, p, "a", sink)
+    try {
+      mem.addData((1L, 1L, 1L), (1L, 1L, 2L), (1L, 2L, 3L))
+      q.processAllAvailable()
+      mem.addData((2L, 1L, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = sp.read.parquet(sink)
+    // 2 micro-batches → root 1 fully in batch 1, root 2 in batch 2
+    assert(out.count() == 2)
+    val r1 = out.filter(col("a.id") === 1L)
+      .select(size(col("a.b")).alias("nb"),
+        size(element_at(col("a.b"), 1).getField("c")) +
+          size(element_at(col("a.b"), 2).getField("c"))).collect()(0)
+    assert(r1.getInt(0) == 2 && r1.getInt(1) == 3) // 2 b-children, 3 c-leaves
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val sp = spark
     import sp.implicits._
