@@ -506,7 +506,9 @@ final class Packer(
     val targetIdx = spec.levelIndex(toLevel)
     val leafIdx = metas.size - 1
     cur = packSingleLevelSalted(cur, leafIdx, saltBuckets)
-    ((leafIdx - 1) to targetIdx by -1).foreach { i => cur = packSingleLevel(cur, i) }
+    ((leafIdx - 1) to targetIdx by -1).foreach { i =>
+      cur = packSingleLevel(cur, i, validate = validateOnPack)
+    }
     dropInternal(dropIfPresent(cur, added))
   }
 
@@ -544,6 +546,8 @@ final class Packer(
     val excluded = groupKeys.toSet ++ orderTempCols + meta.path + SaltCol ++
       (if (hasRowId) Set(RowIdCol) else Set.empty[String])
     val remaining = df.schema.fieldNames.toIndexedSeq.filterNot(excluded.contains)
+    if (validateOnPack && remaining.nonEmpty)
+      validateAggregationUniformity(df, groupKeys, remaining, meta.name)
     val sortByCols = orderTempCols ++ (if (preserveChildOrder && hasRowId) Seq(RowIdCol) else Nil)
 
     def firstAggs = remaining.map(c => first(topCol(c), ignoreNulls = true).alias(c))

@@ -191,6 +191,10 @@ class PackerSpec extends SparkSpec {
     assertThrows[HierarchyValidationError] {
       strict.pack(df, "street").collect()
     }
+    // the salted path honors the same gate
+    assertThrows[HierarchyValidationError] {
+      strict.packSalted(df, "street", saltBuckets = 4).collect()
+    }
   }
 
   test("empty DataFrame pack/unpack") {

@@ -155,7 +155,11 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       LevelSpec("c", Seq(NamedField("id")), parentKeys = Seq("bid"))))
     val p = new Packer(spec, preserveChildOrder = false)
     val sink = "target/tmp/stream_pack_out"
-    new java.io.File(sink).delete()
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(sink))
     val mem = MemoryStream[(Long, Long, Long)]
     val flat = mem.toDF().select(col("_1").alias("a.id"),
       col("_2").alias("a.b.id"), col("_1").alias("a.b.aid"),
