@@ -372,6 +372,26 @@ object SparkEntry {
         .groupBy("token").agg(count(lit(1)).alias("cnt"))
         .orderBy(col("cnt").desc, col("token").asc).limit(50)
     }),
+    // keyword extraction: top-3 TF-IDF terms per document. tf and df are
+    // two partial-aggregated counts; the corpus size joins in as a
+    // broadcast scalar; ranking is a per-doc window. All integer inputs →
+    // scores are reproducible across engines.
+    "q_tfidf_terms" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 50)
+      val toks = d.select(col("doc_id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalized(col("text")))).alias("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).alias("tf"))
+      val dfreq = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).alias("df"))
+      val nDocs = d.agg(countDistinct(col("doc_id")).alias("n"))
+      val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), round(col("score"), 6).alias("tfidf"),
+          col("rnk").cast("long").alias("rnk"))
+    }),
     // exact dedup: surviving doc ids (min id per normalized-text fingerprint)
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "text", "doc_id").select("doc_id")),
@@ -615,6 +635,24 @@ object SparkEntry {
           |    x -> len(x) > 0)) AS token
           |  FROM documents)
           |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin,
+      "q_tfidf_terms" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(list_filter(
+          |    regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |    x -> len(x) > 0)) AS term
+          |  FROM documents WHERE doc_id < 50),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+          |n AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS score
+          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+          |ranked AS (
+          |  SELECT doc_id, term, score,
+          |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+          |  FROM scored)
+          |SELECT doc_id, term, round(score, 6) AS tfidf, CAST(rnk AS BIGINT) AS rnk
+          |FROM ranked WHERE rnk <= 3""".stripMargin,
       "q_dedup_exact" ->
         """SELECT min(doc_id) AS doc_id FROM documents
           |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
