@@ -383,7 +383,9 @@ object SparkEntry {
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).alias("tf"))
       val dfreq = toks.select("doc_id", "term").distinct()
         .groupBy("term").agg(count(lit(1)).alias("df"))
-      val nDocs = d.agg(countDistinct(col("doc_id")).alias("n"))
+      // N over toks, not documents: a whitespace-only doc yields no tokens
+      // and must not count (the oracle's n is FROM toks)
+      val nDocs = toks.agg(countDistinct(col("doc_id")).alias("n"))
       val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
         .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
       val w = Window.partitionBy(col("doc_id"))

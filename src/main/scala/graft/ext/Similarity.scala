@@ -117,6 +117,9 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("__pos"), col("__m")))),
           x => x.getField("__m")).alias("cent_vec"))
+        // truncate lineage: without this, iteration i's broadcast re-runs
+        // all prior iterations' crossJoins (O(iters²) corpus scans)
+        .localCheckpoint()
     }
     cents
   }

@@ -14,20 +14,21 @@ import org.apache.spark.sql.types._
  * The HOF formulation `aggregate(zip_with(a, b, _*_), 0.0, _+_)` allocates
  * an intermediate products array per row and walks generic element
  * accessors; this expression is a single fused loop in both interpreted
- * and generated code (no allocation). Accumulation is left-to-right in
- * double, exactly like the HOF chain, so results are bit-identical and the
+ * and generated code (no allocation). Semantics match the HOF chain
+ * EXACTLY, including its null behavior: a null element poisons the sum to
+ * null (null product + acc = null), and mismatched lengths yield null
+ * (zip_with pads the shorter side with null). On well-formed inputs the
+ * accumulation is left-to-right in double — bit-identical results, so the
  * DuckDB oracles keep matching.
- *
- * Length mismatch follows zip_with's padding semantics: elements past the
- * shorter array are treated as null → contribute nothing (the HOF chain
- * yields null products which `+` with coalesce... in practice embeddings
- * are fixed-dim; we simply stop at the shorter length). Null elements
- * contribute nothing.
  */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  /** Nullable regardless of input nullability: null ELEMENTS or a length
+    * mismatch yield null even when both array columns are non-null. */
+  override def nullable: Boolean = true
 
   private def elemOk(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType | DoubleType | IntegerType | LongType, _) => true
@@ -54,13 +55,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lt = elemType(left); val rt = elemType(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i))
-        acc += getAsDouble(x, i, lt) * getAsDouble(y, i, rt)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += getAsDouble(x, i, lt) * getAsDouble(y, i, rt)
       i += 1
     }
     java.lang.Double.valueOf(acc)
@@ -77,17 +79,18 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $x.numElements(); $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ${genGet(x, i, elemType(left))} * ${genGet(y, i, elemType(right))};
          |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -97,16 +100,12 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
-  /** Register dot_product in the session's function registry (idempotent). */
+  /** Register dot_product in the session's function registry. Unconditional:
+    * createOrReplaceTempFunction is idempotent, and any caching keyed on
+    * session identity can wrongly skip a NEW session (hashCode reuse). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (registered.add(spark.sessionState.hashCode().toString)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
 
   /** Column API: dot_product(a, b). */
   def dot(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {

@@ -68,15 +68,12 @@ object JaccardSim {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
-  private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
+  /** Register jaccard_sim in the session's function registry. Unconditional:
+    * createOrReplaceTempFunction is idempotent, and any caching keyed on
+    * session identity can wrongly skip a NEW session (hashCode reuse). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (registered.add(spark.sessionState.hashCode().toString)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "jaccard_sim", exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
-    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sim", exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
 
   def jaccard(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
     register(spark)

@@ -89,16 +89,12 @@ case class SimHash(child: Expression) extends UnaryExpression {
 }
 
 object SimHash {
-  private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]())
-
-  /** Register simhash64 in the session's function registry (idempotent). */
+  /** Register simhash64 in the session's function registry. Unconditional:
+    * createOrReplaceTempFunction is idempotent, and any caching keyed on
+    * session identity can wrongly skip a NEW session (hashCode reuse). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (registered.add(spark.sessionState.hashCode().toString)) {
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        "simhash64", exprs => SimHash(exprs.head), "scala_udf")
-    }
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash(exprs.head), "scala_udf")
 
   /** Column API: simhash64(tokensArray). Requires [[register]] on the
     * session first (done by callers in [[graft.ext.Dedup]]). */

@@ -73,18 +73,27 @@ object EventStreams {
 
   /** Multi-level pack over a STREAM via foreachBatch: a K-level pack is K
     * chained aggregations, which a single streaming query cannot express —
-    * so each micro-batch is packed as a batch DataFrame and appended to the
+    * so each micro-batch is packed as a batch DataFrame and written to the
     * sink. Entities whose rows span micro-batches produce one packed row
     * per batch; exact cross-batch merging is the storage layer's job
     * (an upsert/merge sink keyed on the root id). Single-level packs can
-    * instead run directly as a streaming aggregation (see StreamingSpec). */
+    * instead run directly as a streaming aggregation (see StreamingSpec).
+    *
+    * Replay-idempotent: each batch overwrites its own `batch_id=N`
+    * partition directory, so a restarted/replayed micro-batch rewrites the
+    * same data instead of appending duplicates. Pass `checkpointLocation`
+    * for restartable progress tracking. */
   def packEachBatch(flat: DataFrame, packer: graft.Packer, toLevel: String,
-                    sinkPath: String): org.apache.spark.sql.streaming.StreamingQuery =
-    flat.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        packer.pack(batch, toLevel).write.mode("append").parquet(sinkPath)
+                    sinkPath: String,
+                    checkpointLocation: Option[String] = None
+                   ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = flat.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        packer.pack(batch, toLevel).write.mode("overwrite")
+          .parquet(s"$sinkPath/batch_id=$batchId")
       }
-      .start()
+    checkpointLocation.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Custom sessionization with explicit per-user state
     * (`flatMapGroupsWithState`) — the reference has no streaming at all;

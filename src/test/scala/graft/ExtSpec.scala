@@ -154,14 +154,25 @@ class ExtSpec extends SparkSpec {
       .select(
         Similarity.dot(col("embedding"), col("e2")).alias("hof"),
         graft.functions.DotProduct.dot(sp, col("embedding"), col("e2")).alias("fused"))
-    // exact bitwise equality: same left-to-right double accumulation
-    assert(both.filter(col("hof") =!= col("fused")).count() == 0)
+    // exact bitwise equality: same left-to-right double accumulation.
+    // null-safe compare: a null-vs-value divergence must fail, not vanish
+    assert(both.filter(not(col("hof") <=> col("fused"))).count() == 0)
     // mixed element types: array<double> plane vs array<float> embedding
     val plane = array((0 until 16).map(i => lit(i * 0.37 - 2.0)): _*)
     val mixed = vectors.select(
       Similarity.dot(plane, col("embedding")).alias("hof"),
       graft.functions.DotProduct.dot(sp, plane, col("embedding")).alias("fused"))
-    assert(mixed.filter(col("hof") =!= col("fused")).count() == 0)
+    assert(mixed.filter(not(col("hof") <=> col("fused"))).count() == 0)
+    // degenerate inputs: null element and length mismatch poison BOTH paths
+    val weird = sp.sql("""SELECT array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS a,
+      array(CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)) AS b,
+      array(CAST(1.0 AS FLOAT)) AS short""")
+    val degen = weird.select(
+      Similarity.dot(col("a"), col("b")).alias("h1"),
+      graft.functions.DotProduct.dot(sp, col("a"), col("b")).alias("f1"),
+      Similarity.dot(col("short"), col("b")).alias("h2"),
+      graft.functions.DotProduct.dot(sp, col("short"), col("b")).alias("f2")).collect()(0)
+    assert(degen.isNullAt(0) && degen.isNullAt(1) && degen.isNullAt(2) && degen.isNullAt(3))
   }
 
   test("trained IVF centroids keep top-1 recall and match nlist") {
@@ -184,7 +195,7 @@ class ExtSpec extends SparkSpec {
       .select(
         Dedup.jaccard(col("s"), col("s2")).alias("hof"),
         graft.functions.JaccardSim.jaccard(sp, col("s"), col("s2")).alias("fused"))
-    assert(pairs.filter(col("hof") =!= col("fused")).count() == 0)
+    assert(pairs.filter(not(col("hof") <=> col("fused"))).count() == 0)
     // empty-vs-empty → 0.0 on both paths
     val e = sp.sql("SELECT CAST(array() AS array<string>) AS a")
     assert(e.select(graft.functions.JaccardSim.jaccard(sp, col("a"), col("a")))
