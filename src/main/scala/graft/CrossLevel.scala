@@ -51,11 +51,13 @@ trait CrossLevelOps { self: Packer =>
 
   /** Q2 kernels for INTERMEDIATE hops — identical except `count`, which sums
     * the per-child counts instead of re-counting the outer list
-    * (hierarchical_packer.py:1873-1887). NB multi-hop `mean` is
-    * mean-of-means BY DESIGN (hierarchical_packer.py:1920-1921) — do not
-    * "fix" it into a true mean. */
+    * (hierarchical_packer.py:1873-1887). The sum-of-counts stays LongType
+    * like the single-hop count (the reference keeps integer counts too);
+    * exact for any count below 2^53. NB multi-hop `mean` is mean-of-means
+    * BY DESIGN (hierarchical_packer.py:1920-1921) — do not "fix" it into a
+    * true mean. */
   private def intermediateAgg(agg: String): Column => Column = agg match {
-    case Agg.Count => sumKernel
+    case Agg.Count => e => sumKernel(e).cast(LongType)
     case other => finalAgg(other)
   }
 

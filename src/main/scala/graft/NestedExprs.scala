@@ -109,9 +109,13 @@ final class NestedExprBuilder(schema: StructType, mode: StructMode = SelectMode)
       case SelectMode =>
         struct(spec.map { case (fname, fspec) => fieldExpr(fname, fspec).alias(fname) }: _*)
       case WithFieldsMode =>
+        // withField parses unquoted dots as nested paths; quote so field
+        // names containing the separator behave like SelectMode's literal
+        // aliases
         spec.foldLeft(base) {
           case (acc, (_, Keep)) => acc // keep existing field unchanged
-          case (acc, (fname, fspec)) => acc.withField(fname, fieldExpr(fname, fspec))
+          case (acc, (fname, fspec)) =>
+            acc.withField(ColName.quote(fname), fieldExpr(fname, fspec))
         }
     }
   }

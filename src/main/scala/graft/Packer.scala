@@ -101,14 +101,15 @@ final class Packer(
   /** Columns not belonging to any hierarchy level (reference:
     * _identify_extra_columns, hierarchical_packer.py:2479-2526). */
   def identifyExtraColumns(schema: StructType): Seq[String] = {
-    val rootPrefix = metas.head.name + sep
+    // prefixes/paths are built from ESCAPED names; an unescaped
+    // `name + sep` check would misclassify when a level name contains
+    // the separator
     val prefixes = metas.map(_.prefix)
     val paths = metas.map(_.path).toSet
     val aliasTargets = spec.keyAliases.keySet
     schema.fieldNames.toIndexedSeq.filter { c =>
       c != RowIdCol && !paths.contains(c) && !aliasTargets.contains(c) &&
-        !prefixes.exists(c.startsWith) &&
-        !c.startsWith(rootPrefix) && c != metas.head.name
+        !prefixes.exists(c.startsWith)
     }
   }
 
@@ -221,23 +222,26 @@ final class Packer(
   }
 
   /** Root attribute columns: under the root prefix but not a root id, not
-    * in any descendant level (reference: _root_attribute_columns). */
+    * in any descendant level — neither a child's flat columns NOR an
+    * already-packed child list column (reference: _root_attribute_columns). */
   private def rootAttributeColumns(schema: StructType): Seq[String] = {
     val root = metas.head
     val childPrefix = metas.lift(1).map(_.prefix)
+    val childPath = metas.lift(1).map(_.path)
     val ids = root.idColumns.toSet
     schema.fieldNames.toIndexedSeq.filter { c =>
       c.startsWith(root.prefix) && !ids.contains(c) &&
-        !childPrefix.exists(c.startsWith) && c != RowIdCol
+        !childPrefix.exists(c.startsWith) && !childPath.contains(c) && c != RowIdCol
     }
   }
 
   /** P3: split_join strategy (reference: _pack_split_join,
-    * hierarchical_packer.py:1033-1072). The dim table is unique-per-root-key
-    * and usually tiny relative to the fact side — broadcast it. */
+    * hierarchical_packer.py:1033-1072). The dim table is unique-per-root-key;
+    * join strategy is left to Catalyst/AQE — a forced broadcast would OOM
+    * on exactly the heavy-root-attribute workloads SplitJoin targets. */
   private def packSplitJoin(df: DataFrame, toLevel: String,
                             extraColumns: ExtraColumns): DataFrame = {
-    val (prepared, _) = prepareFrame(df)
+    val (prepared, added) = prepareFrame(df)
     val root = metas.head
     val rootKeys = root.idColumns
     val attrCols = rootAttributeColumns(prepared.schema)
@@ -249,20 +253,22 @@ final class Packer(
     val structural = prepared.drop(attrCols: _*)
     val packed = pack(structural, toLevel, extraColumns)
 
-    if (toLevel != root.name) {
-      packed.join(broadcast(dim), rootKeys, "left")
+    val out = if (toLevel != root.name) {
+      packed.join(dim, rootKeys, "left")
     } else {
       // packing to root collapses each entity into a single struct column;
-      // re-inject the attributes as struct fields
+      // re-inject the attributes as struct fields. withField parses dots as
+      // nested paths, so quote names (they may contain escaped separators)
       val structCol = root.path
       val prefix = root.prefix
       val withKeys = rootKeys.foldLeft(packed)((d, k) =>
         d.withColumn(k, topCol(structCol).getField(k.substring(prefix.length))))
-      val joined = withKeys.join(broadcast(dim), rootKeys, "left")
+      val joined = withKeys.join(dim, rootKeys, "left")
       val withFieldsCol = attrCols.foldLeft(topCol(structCol))((acc, c) =>
-        acc.withField(c.substring(prefix.length), topCol(c)))
+        acc.withField(ColName.quote(c.substring(prefix.length)), topCol(c)))
       joined.withColumn(structCol, withFieldsCol).drop((rootKeys ++ attrCols): _*)
     }
+    dropIfPresent(out, added)
   }
 
   // ---------------------------------------------------------------- unpack
@@ -271,17 +277,8 @@ final class Packer(
     * hierarchical_packer.py:1074-1101). Uses `explode_outer` so parents with
     * null/empty children survive as a row of nulls — Polars `explode`
     * semantics (null-children tests, test_complex_hierarchies.py:313-368). */
-  def unpack(df: DataFrame, toLevel: String): DataFrame = {
-    var cur = df
-    var done = false
-    metas.foreach { meta =>
-      if (!done && hasCol(cur, meta.path)) {
-        cur = explodeAndUnnest(cur, meta)
-        if (meta.name == toLevel) done = true
-      }
-    }
-    dropInternal(cur)
-  }
+  def unpack(df: DataFrame, toLevel: String): DataFrame =
+    dropInternal(unpackKeepInternal(df, toLevel))
 
   /** Explode (if List) + unnest one level's nested column in place
     * (reference: _explode_and_unnest, hierarchical_packer.py:2742-2765). */
@@ -532,10 +529,16 @@ final class Packer(
       case (d, (e, a)) => d.withColumn(a, e)
     }
     // deterministic salt from this level's own ids: a hot parent's children
-    // spread across buckets; the same child always lands in the same bucket
+    // spread across buckets; the same child always lands in the same bucket.
+    // With no id columns present, fall back to hashing ALL level columns —
+    // an argless xxhash64 would be a constant and silently disable the
+    // skew spreading this method exists for.
+    val saltSource = {
+      val ids = meta.idColumns.filter(hasCol(df, _))
+      if (ids.nonEmpty) ids else levelCols
+    }
     df = df.withColumn(SaltCol,
-      pmod(xxhash64(meta.idColumns.filter(hasCol(df, _)).map(topCol): _*),
-        lit(saltBuckets.toLong)))
+      pmod(xxhash64(saltSource.map(topCol): _*), lit(saltBuckets.toLong)))
 
     val structExpr = struct(levelCols.map(c =>
       topCol(c).alias(c.substring(meta.prefix.length))): _*).alias(meta.path)
@@ -582,12 +585,14 @@ final class Packer(
     * repartition pre-shards groups exactly like the reference's buckets. */
   def packStreaming(df: DataFrame, toLevel: String, partitions: Int = 64,
                     extraColumns: ExtraColumns = ExtraColumns.Preserve): DataFrame = {
-    val (prepared, _) = prepareFrame(df) // assign row ids BEFORE the shuffle
+    val (prepared, added) = prepareFrame(df) // assign row ids BEFORE the shuffle
     val rootKeys = metas.head.idColumns.filter(hasCol(prepared, _))
     val sharded =
       if (rootKeys.isEmpty) prepared.repartition(partitions)
       else prepared.repartition(partitions, rootKeys.map(topCol): _*)
-    pack(sharded, toLevel, extraColumns)
+    // the inner pack sees alias targets as pre-existing and won't drop
+    // them itself — drop here so the output schema matches pack(df, ...)
+    dropIfPresent(pack(sharded, toLevel, extraColumns), added)
   }
 
   /** P6: parity API for `unpack_streaming` (hierarchical_packer.py:1213-1250):
@@ -632,7 +637,10 @@ final class Packer(
     if (keys.isEmpty) return Map.empty
     val aggs = keys.map(k => sum(when(topCol(k).isNull, 1L).otherwise(0L)).alias(k))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val counts = keys.zipWithIndex.map { case (k, i) => k -> row.getLong(i) }.toMap
+    // sum() over zero rows is null — an empty frame has zero null keys
+    val counts = keys.zipWithIndex.map { case (k, i) =>
+      k -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }.toMap
     val bad = counts.filter(_._2 > 0)
     if (bad.nonEmpty && raiseOnError) throw new HierarchyValidationError(
       s"Null values in key columns at level '$level': " +

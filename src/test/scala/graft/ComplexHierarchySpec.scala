@@ -112,8 +112,8 @@ class ComplexHierarchySpec extends SparkSpec {
       p.attributeExpr("id", "f", "a", Agg.Max).alias("max_f"))
       .orderBy("a_id").collect()
     // each root has 4 leaves; count cascades as sum-of-counts through
-    // the 4 intermediate hops
-    assert(out.map(_.getDouble(1)).toSeq == Seq(4.0, 4.0))
+    // the 4 intermediate hops and stays LongType
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 4L))
     // leaf ids per root a: f = f*4 + e*2 + a for e,f in {0,1}
     assert(out.map(_.getDouble(2)).toSeq == Seq(0 + 4 + 2 + 6.0, 1 + 5 + 3 + 7.0))
     assert(out.map(_.getLong(3)).toSeq == Seq(6L, 7L))

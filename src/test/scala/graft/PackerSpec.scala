@@ -207,6 +207,25 @@ class PackerSpec extends SparkSpec {
       apartmentDf(spark).schema.fieldNames.sorted.toSeq)
   }
 
+  test("validate on an empty frame reports zero null counts, not an error") {
+    val empty = streamingDf(spark).filter(lit(false))
+    val p = new Packer(streamingSpec)
+    val counts = p.validate(empty, "street", raiseOnError = true)
+    assert(counts.nonEmpty && counts.values.forall(_ == 0L))
+  }
+
+  test("synthesized key-alias columns do not leak from streaming/split_join packs") {
+    // drop the alias target so prepareFrame must synthesize it
+    val df = apartmentDf(spark).drop("country.code")
+    val p = new Packer(apartmentSpec)
+    val plain = p.pack(df, "street").schema.fieldNames.sorted.toSeq
+    val stream = p.packStreaming(df, "street", partitions = 4).schema.fieldNames.sorted.toSeq
+    val split = p.pack(df, "street", parentStrategy = ParentStrategy.SplitJoin)
+      .schema.fieldNames.sorted.toSeq
+    assert(stream == plain, s"packStreaming schema diverged: $stream vs $plain")
+    assert(split == plain, s"split_join schema diverged: $split vs $plain")
+  }
+
   test("packSalted equals pack, including on a skewed hot key") {
     val spec = streamingSpec
     val p = new Packer(spec)
