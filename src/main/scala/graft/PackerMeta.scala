@@ -28,15 +28,13 @@ trait PackerMetaOps {
     val names = schema.fieldNames.toSet
     metas.foreach { meta =>
       if (names.contains(meta.path)) {
-        schema(meta.path).dataType match {
-          case _: ArrayType | _: StructType =>
-            return if (meta.index == 0) meta.name else metas(meta.index - 1).name
-          case _ =>
-        }
+        // only Struct / Array[Struct] counts as packed — an array-of-scalar
+        // column that happens to share a level path is a flat attribute
+        // (consistent with unwrapStruct in validateSchema/getLevelSchema)
+        if (unwrapStruct(schema(meta.path).dataType).isDefined)
+          return if (meta.index == 0) meta.name else metas(meta.index - 1).name
       }
     }
-    val leaf = metas.last
-    if (schema.fieldNames.exists(_.startsWith(leaf.prefix))) return leaf.name
     metas.reverseIterator.foreach { meta =>
       if (schema.fieldNames.exists(_.startsWith(meta.prefix))) return meta.name
     }

@@ -55,9 +55,12 @@ object Multimodal {
   /** STUB decode → feature vector: dim doubles in [0,1) derived from
     * seeded hashes of the payload. A real pipeline swaps only this
     * expression for the codec call; schema and plan shape are unchanged. */
-  def fakeDecodeFeatures(payload: Column, dim: Int): Column =
+  def fakeDecodeFeatures(payload: Column, dim: Int): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim (sequence(0, dim-1) would " +
+      "count DOWN for dim <= 0)")
     transform(sequence(lit(0), lit(dim - 1)),
       i => (pmod(xxhash64(payload, i), lit(1000000L))).cast("double") / 1000000.0)
+  }
 
   /** STUB resize: new meta dims, payload truncated proportionally —
     * exercises the withField/binary plumbing of a real resize. */
@@ -70,8 +73,9 @@ object Multimodal {
   /** STUB frame sampling for video-like payloads: every `step`-th frame
     * index with a per-frame content hash. */
   def fakeFrameSample(payload: Column, nFrames: Column, step: Int): Column =
-    transform(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(step)),
-      i => struct(i.alias("frame_idx"), xxhash64(payload, i).alias("frame_hash")))
+    when(nFrames <= 0, array().cast("array<struct<frame_idx:long,frame_hash:long>>"))
+      .otherwise(transform(sequence(lit(0L), (nFrames - 1).cast("long"), lit(step.toLong)),
+        i => struct(i.alias("frame_idx"), xxhash64(payload, i).alias("frame_hash"))))
 
   /** Feature extraction as a single narrow projection. */
   def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame =
@@ -95,16 +99,23 @@ object Multimodal {
       Array.tabulate(dim)(i => math.abs((h * 31 + i) % 1000000L).toDouble / 1000000.0)
     }
     val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
-      // one decoder instance per partition would be initialized here
-      it.map { r => Row(r.getLong(0), decodeOne(r.getAs[Array[Byte]](1))) }
+      // one decoder instance per partition would be initialized here;
+      // null ids/payloads pass through as nulls (schema declares nullable)
+      it.map { r =>
+        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        val payload = if (r.isNullAt(1)) null else decodeOne(r.getAs[Array[Byte]](1))
+        Row(id, payload)
+      }
     }
     spark.createDataFrame(rows, outSchema)
   }
 
-  /** Balance skewed payload sizes across tasks before an expensive decode:
-    * range-partition on a size-derived key so each task gets a similar
-    * byte budget (not row count). */
+  /** Spread assets uniformly across tasks before an expensive decode so no
+    * task inherits a clump of heavy payloads. Hash-spread gives equal
+    * EXPECTED bytes per task (range-partitioning on size would do the
+    * opposite — it concentrates the largest payloads into one range).
+    * True byte-budget bin-packing needs a size-sorted striping pass and
+    * belongs in offline layout, not per-query. */
   def repartitionBySize(assets: DataFrame, partitions: Int): DataFrame =
-    assets.repartitionByRange(partitions,
-      col("meta.n_bytes").desc, col("asset_id"))
+    assets.repartition(partitions, pmod(xxhash64(col("asset_id")), lit(partitions.toLong)))
 }

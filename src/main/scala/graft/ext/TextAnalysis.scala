@@ -100,7 +100,10 @@ object TextAnalysis {
         lit(lang).alias("lang"))
     }
     val best = get(array_sort(array(entries: _*)), lit(0))
-    when(best.getField("neg") >= 0, "und").otherwise(best.getField("lang"))
+    // null text propagates null scores; null >= 0 is null (falsy) and would
+    // fall through to "en" — classify null/absent text as "und" explicitly
+    when(text.isNull || best.getField("neg") >= 0, "und")
+      .otherwise(best.getField("lang"))
   }
 
   /** Canonical text: lowercase, collapse whitespace, trim. */

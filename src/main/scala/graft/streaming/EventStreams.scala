@@ -34,7 +34,8 @@ object EventStreams {
                     out: String = "event_time"): DataFrame =
     // `div` (integral divide), NOT `/`: float division of epoch-nanos longs
     // (~1.7e18 > 2^53) loses up to 256 ns and shifts microsecond boundaries
-    df.withColumn(out, timestamp_micros(expr(s"`$tsCol` div 1000").cast("long")))
+    df.withColumn(out,
+      timestamp_micros(expr(s"${graft.ColName.quote(tsCol)} div 1000").cast("long")))
 
   /** Session aggregation via the built-in `session_window`: an event merges
     * into the previous session when its inter-event gap is <= `gap`
@@ -115,8 +116,11 @@ object EventStreams {
             var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
             sorted.foreach { e =>
               val newSession = st.lastUs == Long.MinValue || e.us - st.lastUs > gapUs
+              // max, not e.us: a LATE event must not regress the frontier —
+              // otherwise the next on-time event measures its gap against
+              // the stale timestamp and wrongly opens a new session
               st = SessionState(st.nSessions + (if (newSession) 1 else 0),
-                st.nEvents + 1, e.us)
+                st.nEvents + 1, math.max(st.lastUs, e.us))
             }
             state.update(st)
             Iterator.single(UserSessions(userId, st.nSessions, st.nEvents))
