@@ -48,6 +48,25 @@ object Similarity {
     try_divide(fastDot(s, a, b), fastL2(s, a) * fastL2(s, b))
 
   /**
+   * Final ranking of scored (query_id, vec_id, cosine) candidates via the
+   * bounded-heap aggregate [[graft.functions.TopKByScore]]: map-side
+   * partial top-k per partition, k-way heap merge per query — no task
+   * ever holds more than numPartitions x k candidates, unlike a
+   * `row_number` window which sorts ALL of a query's candidates in ONE
+   * task (|corpus| rows per query at 100 TB brute force). Ordering is
+   * identical to the window form: cosine DESC, vec_id ASC, null cosines
+   * last (dropped, since every query here has >= k non-null candidates).
+   */
+  private[ext] def topKRank(scored: DataFrame, k: Int): DataFrame = {
+    val sp = scored.sparkSession
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(sp, col("cosine"), col("vec_id"), k).alias("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__i", "__e")))
+      .select(col("query_id"), col("__e.id").alias("vec_id"),
+        col("__e.score").alias("cosine"), (col("__i") + 1).cast("long").alias("rank"))
+  }
+
+  /**
    * Exact cosine top-k: for each query vector, the k nearest corpus
    * vectors. Scores rounded to 6 dp with id tiebreak so ranking is
    * engine-independent. Excludes self-matches when ids collide.
@@ -63,11 +82,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round(try_divide(fastDot(sp, col("__qv"), col("__cv")), col("__qn") * col("__cn")), 6)
           .alias("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank").cast("long").alias("rank"))
+    topKRank(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: planes × dim doubles seeded
@@ -103,12 +118,7 @@ object Similarity {
     var cents = corpus.orderBy(col(idCol).asc).limit(nlist)
       .select(col(idCol).alias("cent_id"), col(vecCol).alias("cent_vec"))
     (0 until iters).foreach { _ =>
-      val assigned = corpus.crossJoin(broadcast(cents))
-        .select(col(idCol), col(vecCol), col("cent_id"),
-          fastCosine(sp, col(vecCol), col("cent_vec")).alias("__sim"))
-        .withColumn("__rk", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cent_id").asc)))
-        .filter(col("__rk") === 1)
+      val assigned = nearestCentroid(sp, corpus, idCol, vecCol, cents)
       cents = assigned
         .select(col("cent_id"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
         .groupBy(col("cent_id"), col("__pos"))
@@ -124,6 +134,23 @@ object Similarity {
     cents
   }
 
+  /** Argmax centroid per vector as a map-side-combinable aggregate:
+    * `max_by` over ord (sim, -cent_id) replicates the window form's
+    * (sim DESC, cent_id ASC, nulls last) exactly — null sims coalesce to
+    * -2.0, below any real cosine — but partial aggregation collapses each
+    * partition's nlist candidate rows per vector BEFORE the shuffle, so
+    * the exchange carries |corpus| rows instead of |corpus| x nlist. */
+  private def nearestCentroid(sp: org.apache.spark.sql.SparkSession, vectors: DataFrame,
+                              idCol: String, vecCol: String, cents: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(cents))
+      .select(col(idCol), col(vecCol), col("cent_id"),
+        coalesce(fastCosine(sp, col(vecCol), col("cent_vec")), lit(-2.0)).alias("__sim"))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col(vecCol).alias("v"), col("cent_id").alias("c")),
+        struct(col("__sim").alias("s"), (-col("cent_id")).alias("nc"))).alias("__best"))
+      .select(col(idCol), col("__best.v").alias(vecCol), col("__best.c").alias("cent_id"))
+
   /**
    * IVF-flat ANN. Seed centroids = the nlist lowest-id corpus vectors
    * (deterministic); `trainIters` > 0 refines them with Lloyd iterations
@@ -136,16 +163,13 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0): DataFrame = {
     val sp = corpus.sparkSession
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
-    // one-pass assignment: min cosine-distance centroid per corpus vector
-    val assigned = corpus.crossJoin(broadcast(cents))
-      .select(col(idCol), col(vecCol),
-        col("cent_id"), fastCosine(sp, col(vecCol), col("cent_vec")).alias("__sim"))
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cent_id").asc)))
-      .filter(col("__rk") === 1)
+    // one-pass assignment: nearest centroid per corpus vector (max_by agg)
+    val assigned = nearestCentroid(sp, corpus, idCol, vecCol, cents)
       .select(col(idCol).alias("vec_id"), col(vecCol).alias("__cv"),
         fastL2(sp, col(vecCol)).alias("__cn"), col("cent_id"))
-    // queries probe their nprobe nearest centroids
+    // queries probe their nprobe nearest centroids. A window is fine HERE:
+    // each group is exactly nlist rows (bounded small), so no task ever
+    // sorts more than nlist candidates — unlike the final ranking below.
     val probes = queries.crossJoin(broadcast(cents))
       .select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"),
         col("cent_id"), fastCosine(sp, col(vecCol), col("cent_vec")).alias("__sim"))
@@ -160,10 +184,6 @@ object Similarity {
         round(try_divide(fastDot(sp, col("__qv"), col("__cv")), col("__qn") * col("__cn")), 6)
           .alias("cosine"))
       .groupBy(col("query_id"), col("vec_id")).agg(max(col("cosine")).alias("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank").cast("long").alias("rank"))
+    topKRank(scored, k)
   }
 }
