@@ -103,24 +103,42 @@ object Dedup {
         transform(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)),
           x => x.cast("string")))))
 
+  /** Tokenize+shingle ONCE into a materialization fence. The repartition
+    * is a deliberate barrier, not for distribution: the id-hash exchange
+    * is reused (ReuseExchange) by every consumer — the signature
+    * derivation AND both sides of the verify join — so the regex
+    * tokenize/shingle pipeline runs exactly once over the corpus instead
+    * of once per consumer. Its output partitioning (hash on id) also
+    * satisfies the verify join's distribution, so the join adds no
+    * exchange on the shingle side. */
+  private[ext] def shingleFrame(df: DataFrame, textCol: String, idCol: String,
+                                shingleN: Int): DataFrame =
+    df.select(col(idCol), wordShingles(col(textCol), shingleN).alias("__sh"))
+      .repartition(col(idCol))
+
   /** Candidate pairs from MinHash LSH: docs sharing ≥1 band bucket.
     * `maxBucketSize` drops degenerate buckets (boilerplate/empty docs) —
     * the standard skew guard; at 100 TB a single hot bucket would
     * otherwise produce O(n²) pairs in one task. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
-                        maxBucketSize: Int = 1000): DataFrame = {
+                        maxBucketSize: Int = 1000): DataFrame =
+    candidatesFromShingles(shingleFrame(df, textCol, idCol, shingleN),
+      idCol, numHashes, bands, maxBucketSize)
+
+  private[ext] def candidatesFromShingles(sh: DataFrame, idCol: String,
+                                          numHashes: Int, bands: Int,
+                                          maxBucketSize: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // The repartition is a deliberate materialization barrier, NOT for
-    // distribution: without it the optimizer collapses the signature
-    // projection into the band lambda, re-evaluating the whole
-    // shingle+minhash tree once PER BAND (16x), and the LSH self-join then
-    // recomputes that doubled pipeline on each side. With the barrier the
-    // signature computes once per row pre-shuffle and ReuseExchange shares
-    // the exchange between both join sides (measured 25x on 100 docs).
-    // Shuffled payload is only (id, 32x8B signature) — negligible at scale.
-    val sig = df.select(col(idCol),
-      minhashSignature(wordShingles(col(textCol), shingleN), numHashes).alias("__sig"))
+    // Second small fence on (id, signature): without it the optimizer
+    // collapses the signature projection into the band lambda,
+    // re-evaluating the 32-seed minhash aggregate once PER BAND, and the
+    // LSH self-join then recomputes that doubled pipeline on each side.
+    // With the fence the signature computes once per row pre-shuffle and
+    // ReuseExchange shares the exchange between both join sides (measured
+    // 25x on 100 docs). Payload is only (id, 32x8B signature).
+    val sig = sh.select(col(idCol),
+      minhashSignature(col("__sh"), numHashes).alias("__sig"))
       .repartition(col(idCol))
     val banded = sig.select(col(idCol),
         posexplode(bandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bucket")))
@@ -136,13 +154,16 @@ object Dedup {
   }
 
   /** MinHash near-duplicates: LSH candidates verified with exact Jaccard.
-    * The verify join re-attaches shingles only for candidate ids. */
+    * The verify join re-attaches shingles only for candidate ids, reading
+    * them from the SAME shingle exchange the signatures were built from
+    * ([[shingleFrame]]) — one tokenize/shingle pass total. */
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
                             threshold: Double, shingleN: Int = 3,
-                            numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                            numHashes: Int = 32, bands: Int = 8,
+                            maxBucketSize: Int = 1000): DataFrame = {
     val sp = df.sparkSession
-    val cands = minhashCandidates(df, textCol, idCol, shingleN, numHashes, bands)
-    val sh = df.select(col(idCol), wordShingles(col(textCol), shingleN).alias("__sh"))
+    val sh = shingleFrame(df, textCol, idCol, shingleN)
+    val cands = candidatesFromShingles(sh, idCol, numHashes, bands, maxBucketSize)
     cands
       .join(sh.select(col(idCol).alias("id_a"), col("__sh").alias("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).alias("id_b"), col("__sh").alias("sh_b")), Seq("id_b"))
