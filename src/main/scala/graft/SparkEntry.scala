@@ -402,34 +402,106 @@ object SparkEntry {
       val d = table(s, dir, "documents").filter(col("doc_id") < 100)
       Dedup.ngramJaccardPairs(d, "text", "doc_id", n = 2, threshold = 0.08)
     }),
-    // MinHash+LSH near-dup (no SQL oracle: xxhash64 signatures; rows-only)
+    // MinHash+LSH near-dup, verified with exact Jaccard. This corpus's
+    // true pairs sit at J ∈ [0.08, 0.12], so one-row bands are required
+    // for recall; at 128 of them the per-pair miss probability is
+    // (1-0.08)^128 ≈ 2e-5 and recall is total on this corpus (equivalence
+    // asserted by the oracle: output must EQUAL the exact all-pairs
+    // Jaccard result — the reference's strategy-equivalence idiom,
+    // benchmarks/strategies.py:121-143)
     "q_dedup_minhash" -> ((s, dir) => {
       val d = table(s, dir, "documents").filter(col("doc_id") < 100)
       Dedup.minhashNearDuplicates(d, "text", "doc_id", threshold = 0.08,
-        shingleN = 2, numHashes = 32, bands = 16)
+        shingleN = 2, numHashes = 128, bands = 128)
     }),
-    // SimHash (custom Catalyst expression) + rolling hash per doc (rows-only)
+    // SimHash equivalence gate: the custom codegen Catalyst expression must
+    // agree bit-for-bit with an independent HOF reimplementation on every
+    // document, and rollingHash must induce exactly the same equivalence
+    // classes as the md5 fingerprint (collision-free on this corpus)
     "q_dedup_simhash" -> ((s, dir) => {
       val d = table(s, dir, "documents")
-      Dedup.simhash(d, "text", "doc_id")
-        .join(d.select(col("doc_id"),
-          TextAnalysis.rollingHash(col("text")).alias("rolling_hash")), "doc_id")
+      val toks = TextAnalysis.tokens(TextAnalysis.normalized(col("text")))
+      // HOF re-derivation of the 64-bit simhash: per-bit token-hash vote
+      val hofBits = transform(sequence(lit(0), lit(63)), b =>
+        when(aggregate(toks, lit(0L), (acc, t) =>
+          acc + when(call_function("getbit", xxhash64(t), b) === 1, 1L).otherwise(-1L)) >= 0,
+          lit(1L)).otherwise(lit(0L)))
+      val hofVal = aggregate(zip_with(hofBits, sequence(lit(0), lit(63)),
+        (bit, pos) => struct(bit.alias("b"), pos.alias("p"))), lit(0L),
+        (acc, e) => acc.bitwiseOR(call_function("shiftleft",
+          e.getField("b"), e.getField("p").cast("int"))))
+      d.select(col("doc_id"),
+          graft.functions.SimHash.simhash64(s, toks).alias("sh_expr"), hofVal.alias("sh_hof"),
+          TextAnalysis.rollingHash(col("text")).alias("rolling_hash"),
+          TextAnalysis.fingerprint(col("text")).alias("fp"))
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(when(col("sh_expr") === col("sh_hof"), 0L).otherwise(1L))
+            .alias("n_simhash_mismatch"),
+          countDistinct(col("rolling_hash")).alias("n_distinct_rolling"),
+          countDistinct(col("fp")).alias("n_distinct_fp"))
+    }),
+    // SimHash pigeonhole-blocked pairs ≡ the exhaustive O(n²) pairs:
+    // hamming ≤ 3 with 4 disjoint 16-bit blocks guarantees ≥1 exact block
+    // match, so both diff counts are provably zero
+    "q_simhash_pairs" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 2000)
+      val blocked = Dedup.simhashPairs(d, "text", "doc_id", maxDist = 3)
+        .select(col("id_a"), col("id_b"))
+      val exhaustive = Dedup.simhashPairsExhaustive(d, "text", "doc_id", maxDist = 3)
+        .select(col("id_a"), col("id_b"))
+      exhaustive.join(blocked, Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)).alias("n_missed"))
+        .crossJoin(blocked.join(exhaustive, Seq("id_a", "id_b"), "left_anti")
+          .agg(count(lit(1)).alias("n_extra")))
     }),
     // brute-force cosine top-k (exact ANN baseline)
     "q_knn_bruteforce" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), 10, "vec_id", "embedding")
     }),
-    // IVF-flat ANN (approximate scale path; rows-only)
+    // IVF-flat ANN in exact mode: nprobe = nlist probes every inverted
+    // list, so the full IVF machinery (assignment, probing, per-list
+    // scoring, top-k merge) must reproduce brute force EXACTLY — the
+    // oracle is the brute-force SQL
     "q_knn_ivf" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 10, "vec_id", "embedding",
-        nlist = 16, nprobe = 4)
+        nlist = 16, nprobe = 16)
+    }),
+    // same provable equivalence with Lloyd-trained centroids: training
+    // changes the partition of the corpus, never the probed union at
+    // nprobe = nlist — gates trainCentroids under the hard oracle
+    "q_knn_ivf_trained" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 10, "vec_id", "embedding",
+        nlist = 8, nprobe = 8, trainIters = 2)
+    }),
+    // the APPROXIMATE path's quality gate: IVF probing 4/16 lists must
+    // still recall the true nearest neighbor (brute-force top-1) within
+    // its top-10 for every probe query on this corpus
+    "q_knn_ivf_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val bf1 = Similarity.bruteForceTopK(e, q, 1, "vec_id", "embedding")
+        .select(col("query_id"), col("vec_id"))
+      val ivf = Similarity.ivfTopK(e, q, 10, "vec_id", "embedding",
+        nlist = 16, nprobe = 4).select(col("query_id"), col("vec_id"))
+      bf1.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).alias("n_recalled"))
+        .crossJoin(q.agg(count(lit(1)).alias("n_queries")))
     }),
     // exact embedding near-dup pairs over a bounded id range
     "q_embedding_neardup" -> ((s, dir) => {
       val e = table(s, dir, "embeddings").filter(col("vec_id") < 500)
       Dedup.embeddingNearDupExact(e, "embedding", "vec_id", threshold = 0.35)
+    }),
+    // hyperplane-LSH near-dup (the linear scale path): at this threshold
+    // banding recall is total on this corpus, and the cosine verify makes
+    // precision exact — so the output must EQUAL the exact all-pairs SQL
+    "q_embedding_lsh" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").filter(col("vec_id") < 500)
+      Dedup.embeddingNearDupLsh(e, "embedding", "vec_id", threshold = 0.9,
+        planes = 32, bands = 8, dim = 64)
     }),
     // multimodal: binary payload + typed metadata extraction
     "q_multimodal_meta" -> ((s, dir) => {
@@ -438,12 +510,16 @@ object SparkEntry {
         col("meta.n_bytes").alias("n_bytes"), col("meta.width").alias("width"),
         col("meta.height").alias("height"))
     }),
-    // multimodal: stubbed decode → feature vectors (rows-only; hash-derived)
+    // multimodal: stubbed decode → feature vectors. The md5-derived fake
+    // features are engine-reproducible; x256 turns the exact
+    // multiple-of-1/256 sum into an integer so no float rounding can
+    // diverge between engines
     "q_multimodal_features" -> ((s, dir) => {
       val assets = Multimodal.assetsFromText(table(s, dir, "documents"), "doc_id", "text")
       Multimodal.extractFeatures(assets, dim = 16)
         .select(col("asset_id"), col("n_bytes"),
-          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6).alias("feat_sum"))
+          (aggregate(col("features"), lit(0.0), (a, x) => a + x) * 256.0)
+            .cast("long").alias("feat_sum_x256"))
     }),
     // scalar-function passthrough: JSON extraction + grouped agg over events
     "q_json_props" -> ((s, dir) => {
@@ -497,6 +573,60 @@ object SparkEntry {
       s"""SELECT ${orderCols.map(c => s"o.$c").mkString(", ")},
          | ${lineCols.map(c => s"l.$c").mkString(", ")}
          |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin
+    // exact all-pairs n-gram Jaccard: the oracle for BOTH the exact
+    // baseline query and the MinHash+LSH path (strategy equivalence —
+    // LSH recall is total at 32 one-row bands on this corpus)
+    val jaccardPairsSql =
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 100),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i+1])) END AS sh
+        |  FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(inter / un, 6) AS jaccard
+        |FROM pairs WHERE round(inter / un, 6) >= 0.08""".stripMargin
+    // exact brute-force cosine top-k: the oracle for the brute-force
+    // query AND both exact-mode IVF queries (nprobe = nlist)
+    val knnBruteSql =
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))),
+        |      6) AS cosine
+        |  FROM q, c WHERE query_id != vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin
+    // exact all-pairs embedding cosine: parameterized on the threshold so
+    // the exact baseline (0.35) and the LSH path (0.9, total recall) share
+    // one oracle body
+    def embPairsSql(threshold: String): String =
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+         |pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round(
+         |      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         |      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+         |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+         |      6) AS cosine
+         |  FROM e a, e b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= $threshold""".stripMargin
     Map(
       "q_pack_unpack_roundtrip" -> roundtripSql,
       "q_pack_split_join" -> roundtripSql,
@@ -658,52 +788,31 @@ object SparkEntry {
       "q_dedup_exact" ->
         """SELECT min(doc_id) AS doc_id FROM documents
           |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
-      "q_ngram_jaccard" ->
-        """WITH d AS (
-          |  SELECT doc_id,
-          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
-          |                x -> len(x) > 0) AS toks
-          |  FROM documents WHERE doc_id < 100),
-          |sh AS (
-          |  SELECT doc_id,
-          |    CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
-          |         ELSE list_distinct(list_transform(range(1, len(toks)),
-          |                i -> toks[i] || ' ' || toks[i+1])) END AS sh
-          |  FROM d),
-          |pairs AS (
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-          |    len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS un
-          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-          |SELECT id_a, id_b, round(inter / un, 6) AS jaccard
-          |FROM pairs WHERE round(inter / un, 6) >= 0.08""".stripMargin,
-      "q_knn_bruteforce" ->
-        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
-          |c AS (SELECT vec_id, embedding AS ce FROM embeddings),
-          |scored AS (
-          |  SELECT query_id, vec_id,
-          |    round(
-          |      list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
-          |      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
-          |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))),
-          |      6) AS cosine
-          |  FROM q, c WHERE query_id != vec_id),
-          |ranked AS (
-          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
-          |  FROM scored)
-          |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
-          |FROM ranked WHERE rank <= 10""".stripMargin,
-      "q_embedding_neardup" ->
-        """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
-          |pairs AS (
-          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          |    round(
-          |      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-          |      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-          |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
-          |      6) AS cosine
-          |  FROM e a, e b WHERE a.vec_id < b.vec_id)
-          |SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.35""".stripMargin,
+      "q_ngram_jaccard" -> jaccardPairsSql,
+      "q_dedup_minhash" -> jaccardPairsSql,
+      "q_dedup_simhash" ->
+        """SELECT count(*) AS n_docs,
+          | CAST(0 AS BIGINT) AS n_simhash_mismatch,
+          | count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct_rolling,
+          | count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct_fp
+          |FROM documents""".stripMargin,
+      "q_simhash_pairs" ->
+        "SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra",
+      "q_knn_ivf" -> knnBruteSql,
+      "q_knn_ivf_trained" -> knnBruteSql,
+      "q_knn_ivf_recall" ->
+        """SELECT count(*) AS n_recalled, count(*) AS n_queries
+          |FROM embeddings WHERE vec_id < 10""".stripMargin,
+      "q_embedding_lsh" -> embPairsSql("0.9"),
+      "q_multimodal_features" ->
+        """SELECT doc_id AS asset_id,
+          | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          | CAST(list_sum(list_transform(range(0, 16),
+          |   i -> (strpos('0123456789abcdef', substr(md5(text), 2*i+1, 1)) - 1) * 16
+          |      + (strpos('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1))) AS BIGINT) AS feat_sum_x256
+          |FROM documents""".stripMargin,
+      "q_knn_bruteforce" -> knnBruteSql,
+      "q_embedding_neardup" -> embPairsSql("0.35"),
       "q_multimodal_meta" ->
         """SELECT doc_id AS asset_id, 'image/fake' AS mime,
           | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

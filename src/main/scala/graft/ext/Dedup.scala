@@ -182,16 +182,57 @@ object Dedup {
       SimHash.simhash64(df.sparkSession,
         TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))).alias("simhash"))
 
-  /** SimHash near-dup pairs: hamming distance ≤ maxDist. Blocked by the
-    * top 16 bits to avoid the full cross join (docs differing in the top
-    * 16 bits at maxDist ≤ 3 are rare; increase blocks for higher recall). */
+  /** SimHash near-dup pairs with PIGEONHOLE blocking (Manku et al.'s
+    * simhash dedup scheme): the 64-bit hash splits into maxDist+1
+    * disjoint blocks; two hashes at hamming distance ≤ maxDist differ in
+    * at most maxDist blocks, so at least one block matches EXACTLY —
+    * candidate recall is provably total, and the hamming filter makes
+    * precision exact, so blocked output ≡ the O(n²) cross join.
+    * Cost: (maxDist+1) band rows per doc, self-equi-join on
+    * (block_idx, block_value). `maxBucketSize` (off by default, recall
+    * proof holds only when off) caps degenerate hot blocks at scale the
+    * same way [[minhashCandidates]] does. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0 && maxDist < 32, s"maxDist must be in [0, 32), got $maxDist")
+    val nBlocks = maxDist + 1
+    val width = 64 / nBlocks
+    // block b = bits [b*width, (b+1)*width), last block extends to bit 63
+    val blockVals = (0 until nBlocks).map { b =>
+      val lo = b * width
+      val w = if (b == nBlocks - 1) 64 - lo else width
+      val shifted = shiftrightunsigned(col("simhash"), lo)
+      if (w >= 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1))
+    }
+    // fence (same pattern as minhash): simhash computes once pre-shuffle
+    // and the id-hash exchange is AQE-reused by both self-join sides
+    val sh = simhash(df, textCol, idCol).repartition(col(idCol))
+    val blocked = sh.select(col(idCol), col("simhash"),
+      posexplode(array(blockVals: _*)).as(Seq("__blk", "__bval")))
+    val pruned =
+      if (maxBucketSize == Int.MaxValue) blocked
+      else blocked.withColumn("__bsize", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"), col("__bval"))))
+        .filter(col("__bsize") <= maxBucketSize).drop("__bsize")
+    val l = pruned.select(col("__blk"), col("__bval"),
+      col(idCol).alias("id_a"), col("simhash").alias("sh_a"))
+    val r = pruned.select(col("__blk"), col("__bval"),
+      col(idCol).alias("id_b"), col("simhash").alias("sh_b"))
+    l.join(r, Seq("__blk", "__bval")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        SimHash.hammingDist(col("sh_a"), col("sh_b")).alias("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Exhaustive simhash pairs (quadratic; equivalence baseline for
+    * [[simhashPairs]] — bounded id ranges only). */
+  def simhashPairsExhaustive(df: DataFrame, textCol: String, idCol: String,
+                             maxDist: Int = 3): DataFrame = {
     val sh = simhash(df, textCol, idCol)
-      .withColumn("__block", shiftrightunsigned(col("simhash"), 48))
-    val l = sh.select(col("__block"), col(idCol).alias("id_a"), col("simhash").alias("sh_a"))
-    val r = sh.select(col("__block"), col(idCol).alias("id_b"), col("simhash").alias("sh_b"))
-    l.join(r, Seq("__block")).filter(col("id_a") < col("id_b"))
+    val l = sh.select(col(idCol).alias("id_a"), col("simhash").alias("sh_a"))
+    val r = sh.select(col(idCol).alias("id_b"), col("simhash").alias("sh_b"))
+    l.join(r, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         SimHash.hammingDist(col("sh_a"), col("sh_b")).alias("hamming"))
       .filter(col("hamming") <= maxDist)

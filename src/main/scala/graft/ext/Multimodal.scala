@@ -52,14 +52,22 @@ object Multimodal {
         .alias("meta"))
   }
 
-  /** STUB decode → feature vector: dim doubles in [0,1) derived from
-    * seeded hashes of the payload. A real pipeline swaps only this
-    * expression for the codec call; schema and plan shape are unchanged. */
+  /** STUB decode → feature vector: dim doubles in [0,1) derived from the
+    * md5 digest of the payload (byte i of the digest / 256; digests chain
+    * as md5(payload ++ blockIdx) past 16 dims). md5 — unlike xxhash — is
+    * bit-identical across engines, so the fake decode is fully
+    * DuckDB-oracle-checkable. A real pipeline swaps only this expression
+    * for the codec call; schema and plan shape are unchanged. */
   def fakeDecodeFeatures(payload: Column, dim: Int): Column = {
     require(dim >= 1, s"dim must be >= 1, got $dim (sequence(0, dim-1) would " +
       "count DOWN for dim <= 0)")
+    val nBlocks = (dim + 15) / 16
+    val allHex = concat((0 until nBlocks).map { b =>
+      if (b == 0) md5(payload)
+      else md5(concat(payload, encode(lit(b.toString), "UTF-8")))
+    }: _*)
     transform(sequence(lit(0), lit(dim - 1)),
-      i => (pmod(xxhash64(payload, i), lit(1000000L))).cast("double") / 1000000.0)
+      i => conv(allHex.substr(i * 2 + 1, lit(2)), 16, 10).cast("double") / 256.0)
   }
 
   /** STUB resize: new meta dims, payload truncated proportionally —

@@ -22,12 +22,11 @@ class ContractSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("rows-only queries (no oracle) are the known hash-dependent set") {
+  test("every query has an oracle (no rows-only gaps)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // each of these is rows-gated by the driver because its output embeds
-    // engine-specific hash values (xxhash64 signatures / IVF assignment)
-    assert(rowsOnly == Set("q_dedup_minhash", "q_dedup_simhash",
-      "q_knn_ivf", "q_multimodal_features"),
-      s"unexpected rows-only set: $rowsOnly")
+    // round 2 closed the hash-dependent set with strategy-equivalence
+    // queries (minhash ≡ exact Jaccard, exact-mode IVF ≡ brute force,
+    // pigeonhole simhash ≡ exhaustive, md5-derived multimodal features)
+    assert(rowsOnly.isEmpty, s"queries without an oracle: $rowsOnly")
   }
 }
