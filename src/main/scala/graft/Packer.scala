@@ -98,6 +98,22 @@ final class Packer(
     if (present.isEmpty) df else df.drop(present: _*)
   }
 
+  /** Shared extra-columns policy gate: every pack entry point reports the
+    * same condition with the same message and remediation hint. */
+  private def applyExtraColumnsPolicy(df: DataFrame, policy: ExtraColumns): DataFrame = {
+    val extras = identifyExtraColumns(df.schema)
+    if (extras.isEmpty) df
+    else policy match {
+      case ExtraColumns.Error =>
+        throw new HierarchyValidationError(
+          s"Found ${extras.size} column(s) not part of the hierarchy: " +
+            s"${extras.take(5).mkString(", ")}${if (extras.size > 5) "..." else ""}. " +
+            "Use ExtraColumns.Preserve to keep them or Drop to remove them.")
+      case ExtraColumns.Drop => df.drop(extras: _*)
+      case ExtraColumns.Preserve => df // kept; uniformity enforced when validateOnPack
+    }
+  }
+
   /** Columns not belonging to any hierarchy level (reference:
     * _identify_extra_columns, hierarchical_packer.py:2479-2526). */
   def identifyExtraColumns(schema: StructType): Seq[String] = {
@@ -125,17 +141,7 @@ final class Packer(
       case ParentStrategy.SplitJoin => packSplitJoin(df, toLevel, extraColumns)
       case ParentStrategy.Aggregate =>
         val (prepared0, added) = prepareFrame(df)
-        var cur = prepared0
-        val extras = identifyExtraColumns(cur.schema)
-        if (extras.nonEmpty) extraColumns match {
-          case ExtraColumns.Error =>
-            throw new HierarchyValidationError(
-              s"Found ${extras.size} column(s) not part of the hierarchy: " +
-                s"${extras.take(5).mkString(", ")}${if (extras.size > 5) "..." else ""}. " +
-                "Use ExtraColumns.Preserve to keep them or Drop to remove them.")
-          case ExtraColumns.Drop => cur = cur.drop(extras: _*)
-          case ExtraColumns.Preserve => // kept; uniformity enforced when validateOnPack
-        }
+        var cur = applyExtraColumnsPolicy(prepared0, extraColumns)
         val targetIdx = spec.levelIndex(toLevel)
         // Multi-level packs group by successively coarser keys. One explicit
         // repartition on the COARSEST stage's keys satisfies every stage's
@@ -491,15 +497,7 @@ final class Packer(
                  extraColumns: ExtraColumns = ExtraColumns.Preserve): DataFrame = {
     require(saltBuckets > 1, s"saltBuckets must be > 1, got $saltBuckets")
     val (prepared, added) = prepareFrame(df)
-    var cur = prepared
-    val extras = identifyExtraColumns(cur.schema)
-    if (extras.nonEmpty) extraColumns match {
-      case ExtraColumns.Error => throw new HierarchyValidationError(
-        s"Found ${extras.size} column(s) not part of the hierarchy: " +
-          extras.take(5).mkString(", "))
-      case ExtraColumns.Drop => cur = cur.drop(extras: _*)
-      case ExtraColumns.Preserve =>
-    }
+    var cur = applyExtraColumnsPolicy(prepared, extraColumns)
     val targetIdx = spec.levelIndex(toLevel)
     val leafIdx = metas.size - 1
     cur = packSingleLevelSalted(cur, leafIdx, saltBuckets)
@@ -596,7 +594,11 @@ final class Packer(
   }
 
   /** P6: parity API for `unpack_streaming` (hierarchical_packer.py:1213-1250):
-    * optional disk-to-disk staging around unpack. */
+    * optional disk-to-disk staging around unpack.
+    *
+    * EAGER when `sinkPath` is set: the staging parquet write (overwrite)
+    * executes at CALL time, mirroring the reference's eager staging dance —
+    * schema-only consumers should call with `sinkPath = None`. */
   def unpackStreaming(df: DataFrame, toLevel: String,
                       sinkPath: Option[String] = None): DataFrame = {
     val out = unpack(df, toLevel)

@@ -241,13 +241,14 @@ object SparkEntry {
         ColName.topCol("order.o_totalprice").alias("o_totalprice"),
         size(ColName.topCol("order.lineitem")).cast("long").alias("n_items"))
     }),
-    // P6: unpack_streaming — disk-to-disk staging around unpack
+    // P6: unpack_streaming — disk-to-disk staging around unpack. The
+    // staging sink is parameterized off java.io.tmpdir (NOT the repo);
+    // the write is eager at query-construction time by design
     "q_unpack_streaming" -> ((s, dir) => {
       val p = orderPacker
       val packed = p.pack(flatOrderLines(s, dir), "lineitem")
-      val out = p.unpackStreaming(packed, "lineitem",
-        Some("/root/repo/target/tmp/q_unpack_streaming"))
-      stripPrefixes(out)
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q_unpack_streaming"
+      stripPrefixes(p.unpackStreaming(packed, "lineitem", Some(sink)))
     }),
     // P11: prepare_level_table — rename via column mapping + level prefixing
     "q_prepare_level_table" -> ((s, dir) => {
@@ -644,10 +645,15 @@ object SparkEntry {
           | round(avg(l_discount), 6) AS avg_disc
           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           |GROUP BY o_orderkey""".stripMargin,
+      // composite ordering key: DuckDB 1.0 min_by takes scalar keys only,
+      // so encode (l_linenumber, l_partkey) as linenumber * 2^40 + partkey
+      // — lexicographically faithful while l_partkey < 2^40 (~1.1e12,
+      // beyond any TPC-H scale factor) and overflow-free for
+      // l_linenumber < 2^23
       "q_promote_first_last" ->
         """SELECT o_orderkey,
-          | min_by(l_partkey, l_linenumber * 1000000 + l_partkey) AS first_part,
-          | max_by(l_partkey, l_linenumber * 1000000 + l_partkey) AS last_part
+          | min_by(l_partkey, l_linenumber * (1::BIGINT << 40) + l_partkey) AS first_part,
+          | max_by(l_partkey, l_linenumber * (1::BIGINT << 40) + l_partkey) AS last_part
           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           |GROUP BY o_orderkey""".stripMargin,
       "q_promote_sum" ->
@@ -728,7 +734,8 @@ object SparkEntry {
         """SELECT doc_id,
           | CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS n_tokens,
           | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subtokens,
-          | round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+          | round(CASE WHEN length(text) = 0 THEN 0.0
+          |   ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
           | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
           |FROM documents""".stripMargin,
       "q_text_quality" ->
@@ -741,18 +748,20 @@ object SparkEntry {
           |  SELECT doc_id,
           |    len(toks) AS n_toks,
           |    CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'))) AS DOUBLE) AS stop_hits,
-          |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) AS punct,
-          |    CAST(list_sum(list_transform(toks_orig, x -> len(x))) AS DOUBLE) / len(toks_orig) AS mtl,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |      ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) END AS punct,
+          |    CASE WHEN len(toks_orig) = 0 THEN 0.0
+          |      ELSE CAST(list_sum(list_transform(toks_orig, x -> len(x))) AS DOUBLE) / len(toks_orig) END AS mtl,
           |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','with'))) AS en,
           |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','mit'))) AS de,
           |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','avec'))) AS fr,
           |    len(list_filter(toks, x -> x IN ('el','la','los','y','es','con'))) AS es
           |  FROM t)
           |SELECT doc_id,
-          |  round(stop_hits / n_toks, 6) AS stopword_ratio,
+          |  round(CASE WHEN n_toks = 0 THEN 0.0 ELSE stop_hits / n_toks END, 6) AS stopword_ratio,
           |  floor((least(n_toks / 100.0, 1.0)
           |       + (1.0 - least(punct * 5.0, 1.0))
-          |       + least(stop_hits / n_toks * 4.0, 1.0)
+          |       + least(CASE WHEN n_toks = 0 THEN 0.0 ELSE stop_hits / n_toks END * 4.0, 1.0)
           |       + greatest(least((mtl - 2.0) / 8.0, 1.0), 0.0)) * 0.25 * 1e6) / 1e6 AS quality,
           |  CASE WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
           |       WHEN es > greatest(en, de, fr) THEN 'es'
