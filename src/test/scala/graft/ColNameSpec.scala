@@ -86,4 +86,10 @@ class ColNameSpec extends AnyFunSuite with SparkSpec {
     assert(inner.fieldNames.contains(cn.escapeField("the.id")))
     assertSameRows(p.unpack(packed, "child"), df)
   }
+
+  test("escape char equal to the separator is rejected (reference :282)") {
+    val e = intercept[IllegalArgumentException](ColName(".", "."))
+    assert(e.getMessage.contains("must differ"))
+    intercept[IllegalArgumentException](ColName("..", "\\")) // multi-char separator
+  }
 }

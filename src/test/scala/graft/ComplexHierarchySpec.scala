@@ -135,4 +135,109 @@ class ComplexHierarchySpec extends SparkSpec {
       assert(r.getString(2) == "t0")
     }
   }
+
+  // ---- null-handling + orphan parity (reference
+  // test_complex_hierarchies.py:313-368, :608-633) ----
+
+  private val pcSpec = HierarchySpec(Seq(
+    LevelSpec("parent", Seq(NamedField("id"))),
+    LevelSpec("child", Seq(NamedField("id")), parentKeys = Seq("parent_id"))))
+
+  private def pcFlat(rows: Seq[Row], extraChildCols: Seq[StructField] = Nil): DataFrame =
+    spark.createDataFrame(new java.util.ArrayList(rows.asJava), StructType(Seq(
+      StructField("parent.id", StringType),
+      StructField("parent.name", StringType),
+      StructField("parent.child.id", StringType),
+      StructField("parent.child.value", LongType)) ++ extraChildCols))
+
+  test("parent with a null child packs to one row and unpack preserves the null") {
+    val p = new Packer(pcSpec)
+    val df = pcFlat(Seq(
+      Row("p1", "Parent 1", "c1", 10L),
+      Row("p2", "Parent 2", null, null)))
+    val packed = p.pack(df, "parent")
+    assert(packed.count() == 2)
+    val unpacked = p.unpack(packed, "child")
+    val nullChild = unpacked.filter(ColName.topCol("parent.id") === "p2").collect()
+    assert(nullChild.length == 1)
+    assert(nullChild(0).isNullAt(nullChild(0).fieldIndex("parent.child.id")))
+  }
+
+  test("parent whose children are all null still packs (one row per parent)") {
+    val p = new Packer(pcSpec)
+    val df = pcFlat(Seq(
+      Row("p1", "Parent 1", null, null),
+      Row("p1", "Parent 1", null, null)))
+    assert(p.pack(df, "parent").count() == 1)
+  }
+
+  test("buildFromTables drops orphan children; childless parents survive left but not inner") {
+    val p = new Packer(pcSpec)
+    val parents = spark.createDataFrame(
+      new java.util.ArrayList(Seq(Row("p1", "Parent 1"), Row("p2", "Parent 2")).asJava),
+      StructType(Seq(StructField("id", StringType), StructField("name", StringType))))
+    // c2's parent does not exist → orphan, dropped under BOTH join types
+    val children = spark.createDataFrame(
+      new java.util.ArrayList(Seq(Row("c1", "p1"), Row("c2", "p_unknown")).asJava),
+      StructType(Seq(StructField("id", StringType), StructField("parent_id", StringType))))
+
+    val left = p.unpack(p.buildFromTables(
+      Map("parent" -> parents, "child" -> children), joinType = "left"), "child")
+    assert(left.count() == 2) // c1 + childless p2 as a null-child row
+    val leftIds = left.select(ColName.topCol("parent.child.id")).collect().map(_.getString(0))
+    assert(leftIds.toSet == Set("c1", null))
+
+    val inner = p.unpack(p.buildFromTables(
+      Map("parent" -> parents, "child" -> children), joinType = "inner"), "child")
+    val innerRows = inner.select(ColName.topCol("parent.id"), ColName.topCol("parent.child.id"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(innerRows.toSeq == Seq(("p1", "c1"))) // p2 dropped, c2 dropped
+  }
+
+  test("buildFromTables carries extra non-key columns through to unpack") {
+    val p = new Packer(pcSpec)
+    val parents = spark.createDataFrame(
+      new java.util.ArrayList(Seq(Row("p1", "Parent 1", "a"), Row("p2", "Parent 2", "b")).asJava),
+      StructType(Seq(StructField("id", StringType), StructField("name", StringType),
+        StructField("extra_parent_col", StringType))))
+    val children = spark.createDataFrame(
+      new java.util.ArrayList(Seq(Row("c1", "p1", 1L), Row("c2", "p1", 2L), Row("c3", "p2", 3L)).asJava),
+      StructType(Seq(StructField("id", StringType), StructField("parent_id", StringType),
+        StructField("extra_child_col", LongType))))
+    val unpacked = p.unpack(p.buildFromTables(Map("parent" -> parents, "child" -> children)), "child")
+    val cols = unpacked.schema.fieldNames.toSet
+    assert(cols.contains("parent.extra_parent_col"))
+    assert(cols.contains("parent.child.extra_child_col"))
+    assert(unpacked.count() == 3)
+  }
+
+  test("denormalize left join gives childless parents a null child list; attributes recover") {
+    val p = new Packer(pcSpec)
+    // per-level tables in normalize's output encoding (qualified names,
+    // child rows carry ancestor keys); p2 has NO child rows at all
+    val parentTable = spark.createDataFrame(
+      new java.util.ArrayList(Seq(Row("p1", "Parent 1"), Row("p2", "Parent 2")).asJava),
+      StructType(Seq(StructField("parent.id", StringType), StructField("parent.name", StringType))))
+    val childTable = spark.createDataFrame(
+      new java.util.ArrayList(Seq(Row("p1", "c1", 10L)).asJava),
+      StructType(Seq(StructField("parent.id", StringType),
+        StructField("parent.child.id", StringType),
+        StructField("parent.child.value", LongType))))
+    val rebuilt = p.denormalize(Map("parent" -> parentTable, "child" -> childTable),
+      Some("parent"))
+    // p2's child list is null (left-join miss), not a fabricated empty struct
+    val p2 = rebuilt.filter(ColName.topCol("parent.id") === "p2").collect()(0)
+    assert(p2.isNullAt(p2.fieldIndex("parent.child")))
+    // unpack keeps the childless parent with its attributes and null child fields
+    val unpacked = p.unpack(rebuilt, "child")
+    assert(unpacked.count() == 2)
+    val r2 = unpacked.filter(ColName.topCol("parent.id") === "p2").collect()(0)
+    assert(r2.getString(r2.fieldIndex("parent.name")) == "Parent 2")
+    assert(r2.isNullAt(r2.fieldIndex("parent.child.id")))
+    assert(r2.isNullAt(r2.fieldIndex("parent.child.value")))
+    // the populated parent round-trips exactly
+    val r1 = unpacked.filter(ColName.topCol("parent.id") === "p1").collect()(0)
+    assert(r1.getString(r1.fieldIndex("parent.child.id")) == "c1")
+    assert(r1.getLong(r1.fieldIndex("parent.child.value")) == 10L)
+  }
 }
