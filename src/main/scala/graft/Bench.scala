@@ -17,7 +17,16 @@ import org.apache.spark.storage.StorageLevel
   *    (reference benchmarks/harness.py);
   *  - parity data generation is persisted and counted BEFORE timing, like
   *    the reference which excludes generation from timings
-  *    (benchmarks/README.md:113).
+  *    (benchmarks/README.md:113);
+  *  - per-scenario peak RSS is sampled from /proc/self/status VmRSS at
+  *    50 ms during each parity scenario — the reference harness's psutil
+  *    protocol (harness.py:79-118). Shared-JVM caveat: a 16g-heap JVM
+  *    releases memory lazily, so per-scenario peaks are upper bounds that
+  *    include residue from earlier scenarios, unlike the reference's
+  *    fork-per-scenario isolation;
+  *  - `floor_sec` measures Spark's minimum job latency (trivial two-stage
+  *    aggregate over 6,400 rows) — the scheduling floor any sub-0.1 s
+  *    Polars number has to be read against (BASELINE.md).
   */
 object Bench {
 
@@ -28,14 +37,38 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  /** Peak VmRSS (MB) observed by a 50 ms sampler while `f` runs. */
+  private def sampleRss[A](f: => A): (A, Long) = {
+    @volatile var stop = false
+    @volatile var peakKb = 0L
+    def rssKb(): Long =
+      try scala.io.Source.fromFile("/proc/self/status").getLines()
+        .find(_.startsWith("VmRSS")).map(_.replaceAll("[^0-9]", "").toLong).getOrElse(0L)
+      catch { case _: Throwable => 0L }
+    val t = new Thread(() => {
+      while (!stop) {
+        peakKb = math.max(peakKb, rssKb())
+        Thread.sleep(50)
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+    try { val a = f; (a, peakKb / 1024) } finally { stop = true; t.join(200) }
+  }
+
   /** image -> tile -> patch flat frame in the reference's dotted-column
-    * encoding (IMAGE_SPEC, reference benchmarks/data_generator.py:16-29). */
+    * encoding (IMAGE_SPEC, reference benchmarks/data_generator.py:16-29).
+    * `skewShare`: route every second row to image 0 — one hot root key
+    * owning ~50% of all leaf rows (skew-guard scenario). */
   private def imageData(spark: SparkSession, images: Int, tiles: Int,
                         patches: Int, pixels: Int,
-                        rootPayload: Int = 0, rootAttrs: Int = 0): DataFrame = {
+                        rootPayload: Int = 0, rootAttrs: Int = 0,
+                        skewed: Boolean = false): DataFrame = {
     val n = images.toLong * tiles * patches
+    val evenImage = (col("id") / (tiles.toLong * patches)).cast("long")
+    val imageId = if (skewed) when(col("id") % 2 === 0, 0L).otherwise(evenImage) else evenImage
     val base = Seq(
-      (col("id") / (tiles.toLong * patches)).cast("long").alias("image.image_id"),
+      imageId.alias("image.image_id"),
       ((col("id") / patches) % tiles).cast("long").alias("image.tile.tile_id"),
       (col("id") % patches).cast("long").alias("image.tile.patch.patch_id"),
       transform(sequence(lit(0), lit(pixels - 1)),
@@ -43,10 +76,10 @@ object Bench {
     val heavyRoot =
       if (rootPayload <= 0) Nil
       else Seq(transform(sequence(lit(0), lit(rootPayload - 1)),
-        i => (i + col("id") / (tiles.toLong * patches) % 5).cast("float"))
+        i => (i + imageId % 5).cast("float"))
         .alias("image.thumbnail"))
     val attrs = (0 until rootAttrs).map(k =>
-      concat(lit(s"attr${k}_"), (col("id") / (tiles.toLong * patches)).cast("string"))
+      concat(lit(s"attr${k}_"), imageId.cast("string"))
         .alias(s"image.attr_$k"))
     spark.range(n).select(base ++ heavyRoot ++ attrs: _*)
   }
@@ -83,6 +116,20 @@ object Bench {
       name -> bestOf(fn(spark, sfDir))
     }
 
+    val rss = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def scenario(name: String)(f: => DataFrame): (String, Double) = {
+      val (t, peak) = sampleRss(bestOf(f))
+      rss(name) = peak
+      name -> t
+    }
+
+    // Spark's minimum job latency: a trivial two-stage aggregate at the
+    // parent-dominant preset's row count. Any parity target below this is
+    // a scheduling-floor artifact, not an operator gap.
+    val floorSec = bestOf(spark.range(6400)
+      .select((col("id") % 64).alias("k"), col("id").alias("v"))
+      .groupBy("k").agg(count(lit(1)).alias("n"), sum(col("v")).alias("s")))
+
     // ---- parity workloads vs BASELINE.md (same shapes as the reference) ----
     // `large`: 200 images x 16 tiles x 16 patches, 64x64 f32 (~800 MB pixels);
     // reference pack median 1.51 s, pack_streaming(64) 8.76 s,
@@ -96,44 +143,72 @@ object Bench {
     // otherwise absorbs all JIT/GC warmup (measured 5-13s vs 0.7s steady)
     try materialize(packer.pack(large, "image")) catch { case _: Throwable => }
     val parityLarge = Seq(
-      "parity_pack_large" -> bestOf(packer.pack(large, "image")),
-      "parity_pack_no_child_order" -> bestOf(noOrder.pack(large, "image")),
-      "parity_pack_streaming_8" -> bestOf(packer.packStreaming(large, "image", 8)),
-      "parity_pack_streaming_32" -> bestOf(packer.packStreaming(large, "image", 32)),
-      "parity_pack_streaming_64" -> bestOf(packer.packStreaming(large, "image", 64)),
-      "parity_unpack_large" -> {
+      scenario("parity_pack_large")(packer.pack(large, "image")),
+      scenario("parity_pack_no_child_order")(noOrder.pack(large, "image")),
+      scenario("parity_pack_streaming_8")(packer.packStreaming(large, "image", 8)),
+      scenario("parity_pack_streaming_32")(packer.packStreaming(large, "image", 32)),
+      scenario("parity_pack_streaming_64")(packer.packStreaming(large, "image", 64)),
+      {
         val packed = packer.pack(large, "image").persist(StorageLevel.MEMORY_AND_DISK)
         packed.count()
-        val t = bestOf(packer.unpack(packed, "patch"))
-        packed.unpersist(); t
+        val r = scenario("parity_unpack_large")(packer.unpack(packed, "patch"))
+        packed.unpersist(); r
       })
     large.unpersist()
 
     // parent-dominant: 100 images x 8x8 patches, 16384-px root thumbnail +
-    // 16 root attrs; reference pack 0.27 s vs split_join 0.03 s.
+    // 16 root attrs; reference pack 0.27 s vs split_join 0.03 s — both
+    // BELOW floor_sec here, so the 2k-preset below is where the strategy
+    // ratio is actually observable on Spark.
     val parentDom = imageData(spark, images = 100, tiles = 8, patches = 8,
       pixels = 64, rootPayload = 16384, rootAttrs = 16)
       .persist(StorageLevel.MEMORY_AND_DISK)
     parentDom.count()
     val parityParent = Seq(
-      "parity_pack_parent_dominant" -> bestOf(packer.pack(parentDom, "image")),
-      "parity_pack_split_join_parent_dominant" ->
-        bestOf(packer.pack(parentDom, "image", parentStrategy = ParentStrategy.SplitJoin)))
+      scenario("parity_pack_parent_dominant")(packer.pack(parentDom, "image")),
+      scenario("parity_pack_split_join_parent_dominant")(
+        packer.pack(parentDom, "image", parentStrategy = ParentStrategy.SplitJoin)))
     parentDom.unpersist()
 
-    val all = queryTimes ++ parityLarge ++ parityParent
+    // parent-dominant at 20x the rows (2,000 images, 128,000 leaf rows,
+    // ~2.4 GB of root payload): clears the job-latency floor so the
+    // split_join-vs-aggregate ratio is measurable (reference ratio 0.11x,
+    // benchmarks/README.md:154)
+    val parentDom2k = imageData(spark, images = 2000, tiles = 8, patches = 8,
+      pixels = 64, rootPayload = 16384, rootAttrs = 16)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    parentDom2k.count()
+    val parityParent2k = Seq(
+      scenario("parity_pack_parent_dominant_2k")(packer.pack(parentDom2k, "image")),
+      scenario("parity_pack_split_join_parent_dominant_2k")(
+        packer.pack(parentDom2k, "image", parentStrategy = ParentStrategy.SplitJoin)))
+    parentDom2k.unpersist()
+
+    // skew guard: one image owns ~50% of 51,200 leaf rows. packSalted's
+    // two-phase leaf aggregation must stay >= parity with plain pack
+    // (whose single hot group serializes in one task).
+    val skewed = imageData(spark, images = 200, tiles = 16, patches = 16,
+      pixels = 4096, skewed = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    skewed.count()
+    val paritySkew = Seq(
+      scenario("parity_pack_skewed")(packer.pack(skewed, "image")),
+      scenario("parity_pack_salted_skewed")(packer.packSalted(skewed, "image", saltBuckets = 32)))
+    skewed.unpersist()
+
+    val all = queryTimes ++ parityLarge ++ parityParent ++ parityParent2k ++ paritySkew
     val qs = all.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val rssJson = rss.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
-    // peak RSS of this JVM (Linux VmHWM) — comparable in spirit to the
-    // reference harness's psutil peak-RSS sampling (BASELINE.md), though a
-    // 16g-heap JVM holds memory the way a Rust process does not
+    // peak RSS of this JVM (Linux VmHWM) — whole-run high-water mark
     val peakRssMb: Long = try {
       val hwm = scala.io.Source.fromFile("/proc/self/status").getLines()
         .find(_.startsWith("VmHWM")).map(_.replaceAll("[^0-9]", "").toLong)
       hwm.map(_ / 1024).getOrElse(-1L)
     } catch { case _: Throwable => -1L }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""peak_rss_mb":$peakRssMb,"queries":$qs,"sf":"$sfDir"}""")
+      s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,""" +
+      s""""scenario_rss_mb":$rssJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -141,26 +141,34 @@ final class Packer(
       case ParentStrategy.SplitJoin => packSplitJoin(df, toLevel, extraColumns)
       case ParentStrategy.Aggregate =>
         val (prepared0, added) = prepareFrame(df)
-        var cur = applyExtraColumnsPolicy(prepared0, extraColumns)
-        val targetIdx = spec.levelIndex(toLevel)
-        // Multi-level packs group by successively coarser keys. One explicit
-        // repartition on the COARSEST stage's keys satisfies every stage's
-        // clustering requirement (HashPartitioning on a subset of each finer
-        // stage's grouping keys), so the whole pack runs with a SINGLE
-        // shuffle instead of one per level — the distributed analogue of the
-        // reference's root-key bucketing (hierarchical_packer.py:1193),
-        // applied by default because it is strictly fewer shuffles.
-        val stages = (metas.size - 1 to targetIdx by -1)
-          .filter(i => metas(i).ancestorKeys.nonEmpty)
-        if (stages.size >= 2) {
-          val coarsest = metas(stages.last).ancestorKeys.filter(hasCol(cur, _))
-          if (coarsest.nonEmpty) cur = cur.repartition(coarsest.map(topCol): _*)
-        }
-        (metas.size - 1 to targetIdx by -1).foreach { i =>
-          cur = packSingleLevel(cur, i, validate = validateOnPack)
-        }
-        dropInternal(dropIfPresent(cur, added))
+        packAggregate(prepared0, toLevel, extraColumns, added)
     }
+
+  /** Aggregate-strategy pack over an ALREADY-PREPARED frame — shared by
+    * [[pack]] and [[packSplitJoin]] so the split path runs frame prep and
+    * extra-column classification exactly once. */
+  private def packAggregate(prepared: DataFrame, toLevel: String,
+                            extraColumns: ExtraColumns, added: Seq[String]): DataFrame = {
+    var cur = applyExtraColumnsPolicy(prepared, extraColumns)
+    val targetIdx = spec.levelIndex(toLevel)
+    // Multi-level packs group by successively coarser keys. One explicit
+    // repartition on the COARSEST stage's keys satisfies every stage's
+    // clustering requirement (HashPartitioning on a subset of each finer
+    // stage's grouping keys), so the whole pack runs with a SINGLE
+    // shuffle instead of one per level — the distributed analogue of the
+    // reference's root-key bucketing (hierarchical_packer.py:1193),
+    // applied by default because it is strictly fewer shuffles.
+    val stages = (metas.size - 1 to targetIdx by -1)
+      .filter(i => metas(i).ancestorKeys.nonEmpty)
+    if (stages.size >= 2) {
+      val coarsest = metas(stages.last).ancestorKeys.filter(hasCol(cur, _))
+      if (coarsest.nonEmpty) cur = cur.repartition(coarsest.map(topCol): _*)
+    }
+    (metas.size - 1 to targetIdx by -1).foreach { i =>
+      cur = packSingleLevel(cur, i, validate = validateOnPack)
+    }
+    dropInternal(dropIfPresent(cur, added))
+  }
 
   /** P2: pack exactly one level (reference: _pack_single_level,
     * hierarchical_packer.py:2614-2698). */
@@ -257,7 +265,9 @@ final class Packer(
     val dim = prepared.select((rootKeys ++ attrCols).map(topCol): _*)
       .dropDuplicates(rootKeys)
     val structural = prepared.drop(attrCols: _*)
-    val packed = pack(structural, toLevel, extraColumns)
+    // already prepared — go straight to the aggregate path (alias drops
+    // happen once, below, on the joined output)
+    val packed = packAggregate(structural, toLevel, extraColumns, Nil)
 
     val out = if (toLevel != root.name) {
       packed.join(dim, rootKeys, "left")
