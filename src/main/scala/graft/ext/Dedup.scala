@@ -82,12 +82,13 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash
 
-  /** MinHash signature: per-seed minimum of seeded xxhash64 over the
-    * shingles — ONE `aggregate` pass with an element-wise running min, so
-    * the shingle array is evaluated once (the per-seed
-    * `transform(seq, seed => array_min(transform(shingles, ...)))` shape
-    * re-evaluates the shingle pipeline once per seed). `seeds` is foldable
-    * and constant-folds to a literal array. */
+  /** HOF MinHash signature (reference model): per-seed minimum of seeded
+    * xxhash64 over the shingles — ONE `aggregate` pass with an
+    * element-wise running min, so the shingle array is evaluated once.
+    * Costs k string hashes per shingle; the production path
+    * ([[candidatesFromShingles]]) uses the fused one-hash
+    * [[graft.functions.MinHashSignature]] expression instead (k× less
+    * hashing, single codegen'd loop). Kept as the readable baseline. */
   def minhashSignature(shingles: Column, numHashes: Int): Column = {
     val seeds = sequence(lit(0), lit(numHashes - 1))
     aggregate(shingles,
@@ -132,13 +133,14 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // Second small fence on (id, signature): without it the optimizer
     // collapses the signature projection into the band lambda,
-    // re-evaluating the 32-seed minhash aggregate once PER BAND, and the
-    // LSH self-join then recomputes that doubled pipeline on each side.
+    // re-evaluating the k-seed minhash once PER BAND, and the LSH
+    // self-join then recomputes that doubled pipeline on each side.
     // With the fence the signature computes once per row pre-shuffle and
     // ReuseExchange shares the exchange between both join sides (measured
-    // 25x on 100 docs). Payload is only (id, 32x8B signature).
+    // 25x on 100 docs). Payload is only (id, k x 8B signature).
     val sig = sh.select(col(idCol),
-      minhashSignature(col("__sh"), numHashes).alias("__sig"))
+      graft.functions.MinHashSignature.signature(sh.sparkSession, col("__sh"), numHashes)
+        .alias("__sig"))
       .repartition(col(idCol))
     val banded = sig.select(col(idCol),
         posexplode(bandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bucket")))
@@ -264,7 +266,11 @@ object Dedup {
                           bands: Int = 4, dim: Int = 64): DataFrame = {
     val sp = df.sparkSession
     val sig = Similarity.hyperplaneBuckets(df, vecCol, idCol, planes, bands, dim)
+    // fence (same pattern as minhash's shingleFrame): the (id, vec, norm)
+    // exchange materializes once and AQE reuses it for BOTH verify-join
+    // sides instead of re-scanning and re-deriving norms per side
     val withN = df.select(col(idCol), col(vecCol), Similarity.fastL2(sp, col(vecCol)).alias("__n"))
+      .repartition(col(idCol))
     val l = sig.select(col("__band"), col("__bucket"), col(idCol).alias("id_a"))
     val r = sig.select(col("__band"), col("__bucket"), col(idCol).alias("id_b"))
     val cands = l.join(r, Seq("__band", "__bucket")).filter(col("id_a") < col("id_b"))

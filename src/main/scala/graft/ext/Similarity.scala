@@ -57,7 +57,7 @@ object Similarity {
    * identical to the window form: cosine DESC, vec_id ASC, null cosines
    * last (dropped, since every query here has >= k non-null candidates).
    */
-  private[ext] def topKRank(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def topKRank(scored: DataFrame, k: Int): DataFrame = {
     val sp = scored.sparkSession
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore.topK(sp, col("cosine"), col("vec_id"), k).alias("__top"))

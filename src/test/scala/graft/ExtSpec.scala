@@ -219,4 +219,77 @@ class ExtSpec extends SparkSpec {
       docs.select(SimHash.simhash64(spark, col("doc_id"))).collect()
     }
   }
+
+  test("TopKByScore equals the window-rank reference on random scored data") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    // random scores with deliberate ties and some nulls, uneven group sizes
+    val rows = (0 until 400).map { i =>
+      val q = (i % 7).toLong
+      val score: java.lang.Double =
+        if (rnd.nextInt(20) == 0) null else rnd.nextInt(12) / 10.0
+      Row(q, i.toLong, score)
+    } ++ Seq(Row(99L, 1L, java.lang.Double.valueOf(0.5))) // group smaller than k
+    val scored = spark.createDataFrame(new java.util.ArrayList(rows.asJava),
+      StructType(Seq(StructField("query_id", LongType), StructField("vec_id", LongType),
+        StructField("cosine", DoubleType))))
+    val k = 5
+    val got = Similarity.topKRank(scored, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id").asc)
+    val want = scored.filter(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want)
+    // the undersized group ranks its single candidate
+    assert(got.contains((99L, 1L, 0.5, 1L)))
+  }
+
+  test("MinHashSignature expression matches the one-hash affine-mix model") {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 16
+    val (a, b) = graft.functions.MinHashSignature.mixFor(k)
+    def expected(shingles: Seq[String]): Seq[Long] = {
+      val acc = Array.fill(k)(Long.MaxValue)
+      shingles.foreach { s =>
+        val h = XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+        (0 until k).foreach { j =>
+          val v = h * a(j) + b(j)
+          if (v < acc(j)) acc(j) = v
+        }
+      }
+      acc.toSeq
+    }
+    val sh = docs.select(col("doc_id"), Dedup.wordShingles(col("text"), 2).alias("s"))
+    val got = sh.select(col("doc_id"),
+        graft.functions.MinHashSignature.signature(spark, col("s"), k).alias("sig"),
+        col("s"))
+      .collect()
+    got.foreach { r =>
+      val shingles = r.getSeq[String](r.fieldIndex("s"))
+      assert(r.getSeq[Long](r.fieldIndex("sig")) == expected(shingles),
+        s"doc ${r.getLong(0)}")
+    }
+    // empty array → MaxValue slots; null array → null; wrong type rejected
+    val edge = spark.sql("SELECT CAST(array() AS array<string>) AS e, CAST(NULL AS array<string>) AS n")
+      .select(graft.functions.MinHashSignature.signature(spark, col("e"), 4).alias("se"),
+        graft.functions.MinHashSignature.signature(spark, col("n"), 4).alias("sn"))
+      .collect()(0)
+    assert(edge.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue))
+    assert(edge.isNullAt(1))
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      docs.select(graft.functions.MinHashSignature.signature(spark, col("doc_id"), 4)).collect()
+    }
+  }
+
+  test("topKRank plan is a partial aggregate, not a window sort") {
+    val scored = vectors.select(col("vec_id").alias("query_id"),
+      (col("vec_id") + 1).alias("vec_id"), lit(0.5).alias("cosine"))
+    val plan = Similarity.topKRank(scored, 3).queryExecution.sparkPlan.toString
+    // map-side partial top-k must appear below the exchange, and no
+    // window/sort operator may survive in the ranking path
+    assert(plan.contains("partial_top_k_by_score"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
 }
