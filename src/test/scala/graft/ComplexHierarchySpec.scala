@@ -211,6 +211,28 @@ class ComplexHierarchySpec extends SparkSpec {
     assert(unpacked.count() == 3)
   }
 
+  test("cross-level error paths: coarser from_level, non-adjacent filters, missing attribute") {
+    val p = new Packer(deepSpec)
+    // attribute_expr: from_level coarser than to_level is a config error
+    intercept[HierarchyConfigError](p.attributeExpr("id", "a", "f", Agg.Sum))
+    // exists/forall demand immediate parent-child adjacency
+    val packed = p.pack(deepDf, "e")
+    intercept[HierarchyConfigError](
+      p.anyChildSatisfies(packed, "f", "a", _.getField("id") > 0))
+    intercept[HierarchyConfigError](
+      p.allChildrenSatisfy(packed, "f", "a", _.getField("id") > 0))
+    // promote_attribute validates the field exists inside the packed struct
+    val e = intercept[HierarchyConfigError](
+      p.promoteAttribute(deepDf, "no_such_field", "f", "e", Agg.Sum))
+    assert(e.getMessage.contains("no_such_field"))
+    assert(e.getMessage.contains("Available fields"))
+    // same-level attribute_expr degenerates to the plain qualified column:
+    // pack(df, "f") nests only f, so e's own attributes stay flat
+    val fPacked = p.pack(deepDf, "f")
+    val c = fPacked.select(p.attributeExpr("id", "e", "e").alias("x"))
+    assert(c.schema("x").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("denormalize left join gives childless parents a null child list; attributes recover") {
     val p = new Packer(pcSpec)
     // per-level tables in normalize's output encoding (qualified names,

@@ -90,6 +90,90 @@ class MetaSpec extends AnyFunSuite with SparkSpec {
     assert(lvl.errors.exists(_.contains("inferred level is 'city'")))
   }
 
+  test("discoverLevels: flat schema gives depths, paths, parents; nothing packed") {
+    val schema = StructType(Seq(
+      StructField("country.id", LongType),
+      StructField("country.name", StringType),
+      StructField("country.city.id", LongType),
+      StructField("country.city.street.id", LongType),
+      StructField("country.city.street.name", StringType),
+      StructField("loose_scalar", LongType))) // non-hierarchical, ignored
+    val d = Discovery.discoverLevels(schema)
+    assert(d.map(_.path) == Seq("country", "country.city", "country.city.street"))
+    assert(d.map(_.depth) == Seq(0, 1, 2))
+    assert(d.map(_.parent) == Seq(None, Some("country"), Some("city")))
+    assert(d.forall(!_.isPacked))
+    assert(d.head.fields == Seq("id", "name"))
+    assert(d.last.fields == Seq("id", "name"))
+  }
+
+  test("discoverLevels: packed and partially packed schemas mark isPacked") {
+    val packedStreet = ArrayType(StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType))))
+    val partial = StructType(Seq(
+      StructField("country.id", LongType),
+      StructField("country.city.id", LongType),
+      StructField("country.city.street", packedStreet)))
+    val d = Discovery.discoverLevels(partial)
+    assert(d.map(l => l.name -> l.isPacked) ==
+      Seq("country" -> false, "city" -> false, "street" -> true))
+    // fully packed from the root: one top-level struct column
+    val full = StructType(Seq(StructField("country", StructType(Seq(
+      StructField("id", LongType),
+      StructField("city", ArrayType(StructType(Seq(
+        StructField("id", LongType),
+        StructField("street", packedStreet))))))))))
+    val d2 = Discovery.discoverLevels(full)
+    assert(d2.map(l => l.name -> l.isPacked) ==
+      Seq("country" -> true, "city" -> true, "street" -> true))
+    assert(d2.map(_.depth) == Seq(0, 1, 2))
+  }
+
+  test("discoverLevels: sibling branches, custom separator, intermediate backfill") {
+    val siblings = StructType(Seq(
+      StructField("org.team.id", LongType),
+      StructField("org.site.id", LongType))) // two branches under org
+    val d = Discovery.discoverLevels(siblings)
+    assert(d.map(_.path).toSet == Set("org", "org.site", "org.team"))
+    assert(d.filter(_.depth == 1).flatMap(_.parent).toSet == Set("org"))
+    // "org" itself has no direct fields — backfilled as an intermediate
+    assert(d.find(_.path == "org").get.fields.isEmpty)
+    val slash = Discovery.discoverLevels(
+      StructType(Seq(StructField("a/b/c", LongType))), ColName("/"))
+    assert(slash.map(_.path) == Seq("a", "a/b"))
+    assert(slash.last.fields == Seq("c"))
+  }
+
+  test("discoverLevels: empty and non-hierarchical schemas yield no levels") {
+    assert(Discovery.discoverLevels(StructType(Nil)).isEmpty)
+    assert(Discovery.discoverLevels(StructType(Seq(
+      StructField("x", LongType), StructField("y", StringType)))).isEmpty)
+  }
+
+  test("validateSchema: no hierarchy columns at all is incompatible") {
+    val res = p.validateSchema(StructType(Seq(StructField("unrelated", LongType))))
+    assert(!res.isCompatible)
+    assert(res.presentLevels.isEmpty)
+    assert(res.missingLevels == Seq("country", "city", "street"))
+    assert(res.errors.exists(_.contains("No hierarchy levels found")))
+    // present/missing partition the level set (reference: disjointness test)
+    assert(res.presentLevels.toSet.intersect(res.missingLevels.toSet).isEmpty)
+  }
+
+  test("validateSchema: expected-level mismatch and non-scalar keys are errors") {
+    val flat = Fixtures.streamingDf(spark)
+    val mism = p.validateSchema(flat.schema, Some("city"))
+    assert(!mism.isCompatible)
+    assert(mism.errors.exists(_.contains("inferred level is")))
+    val badType = StructType(Seq(
+      StructField("country.id", ArrayType(LongType)), // key must be scalar
+      StructField("country.city.id", LongType),
+      StructField("country.city.street.id", LongType)))
+    val res = p.validateSchema(badType)
+    assert(!res.isCompatible)
+    assert(res.errors.exists(e => e.contains("country.id") && e.contains("scalar")))
+  }
+
   test("validate counts nulls per key in one pass; raises when asked (M8)") {
     val flat = Fixtures.streamingDf(spark)
       .withColumn("country.city.street.id",
