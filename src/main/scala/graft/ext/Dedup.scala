@@ -223,8 +223,11 @@ object Dedup {
     l.join(r, Seq("__blk", "__bval")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         SimHash.hammingDist(col("sh_a"), col("sh_b")).alias("hamming"))
-      .distinct()
+      // filter BEFORE distinct: only passing pairs enter the dedup shuffle
+      // (a pair matching several blocks would otherwise multiply the
+      // aggregate's input by up to maxDist+1)
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Exhaustive simhash pairs (quadratic; equivalence baseline for

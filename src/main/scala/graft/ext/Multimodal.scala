@@ -66,8 +66,14 @@ object Multimodal {
       if (b == 0) md5(payload)
       else md5(concat(payload, encode(lit(b.toString), "UTF-8")))
     }: _*)
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => conv(allHex.substr(i * 2 + 1, lit(2)), 16, 10).cast("double") / 256.0)
+    // split the digest into hex pairs FIRST so the md5 chain is the
+    // transform's CHILD (evaluated once per row). Referencing allHex
+    // inside the lambda would re-evaluate the digests once per output
+    // element (the free-variable hazard documented at Dedup.wordShingles).
+    // regexp_replace pairs up chars ("ab12" -> "ab,12,"); slice drops the
+    // trailing empty split cell.
+    val hexPairs = slice(split(regexp_replace(allHex, "(..)", "$1,"), ","), 1, dim)
+    transform(hexPairs, h => conv(h, 16, 10).cast("double") / 256.0)
   }
 
   /** STUB resize: new meta dims, payload truncated proportionally —

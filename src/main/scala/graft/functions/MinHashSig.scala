@@ -31,15 +31,7 @@ case class MinHashSignature(left: Expression, right: Expression)
 
   private lazy val k: Int = right.eval().asInstanceOf[Number].intValue()
 
-  private lazy val (aArr, bArr): (Array[Long], Array[Long]) = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    (Array.tabulate(k)(i => mix(2L * i) | 1L), Array.tabulate(k)(i => mix(2L * i + 1)))
-  }
+  private lazy val (aArr, bArr): (Array[Long], Array[Long]) = MinHashSignature.mixFor(k)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
