@@ -112,6 +112,38 @@ class NestedExprsSpec extends AnyFunSuite with SparkSpec {
     assert(out.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("ann", "bob"))
   }
 
+  test("list of primitives: recursion errors, Fn transforms the whole list") {
+    val df = nestedDf.withColumn("numbers", array(lit(1L), lit(2L), lit(3L)))
+    val e = intercept[IllegalArgumentException] {
+      NestedExprs(df, Seq("numbers" -> Nested("inner" -> Keep)), SelectMode)
+    }
+    assert(e.getMessage.contains("recurse"))
+    val out = NestedExprs(df,
+      Seq("numbers" -> Fn(a => transform(a, x => x * 2))), WithFieldsMode)
+    assert(out.select("numbers").first().getSeq[Long](0) == Seq(2L, 4L, 6L))
+  }
+
+  test("empty nested spec: with_fields keeps all fields; select yields empty struct") {
+    val wf = NestedExprs(nestedDf, Seq("user" -> Nested()), WithFieldsMode)
+    assert(wf.schema("user").dataType == nestedDf.schema("user").dataType)
+    // divergence from the reference documented: Polars cannot build empty
+    // structs and raises; Spark can, so select mode yields struct<> here
+    val sel = NestedExprs(nestedDf, Seq("user" -> Nested()), SelectMode)
+    assert(sel.schema("user").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].isEmpty)
+  }
+
+  test("multiple top-level columns transform in one call, spec order preserved") {
+    val out = NestedExprs(nestedDf, Seq(
+      "id" -> Fn(_ * 10),
+      "user" -> Nested("age" -> Fn(_ + 1))), WithFieldsMode)
+    assert(out.columns.toSeq == nestedDf.columns.toSeq) // with_fields keeps frame shape
+    val r = out.orderBy("id").select(col("id"), col("user.age")).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(10L, 20L))
+    assert(r.map(_.getLong(1)).toSeq ==
+      nestedDf.orderBy("id").select(col("user.age")).collect().map(_.getLong(0) + 1).toSeq)
+  }
+
   test("structuring: unnestAll flattens recursively; schemaToMap round describes") {
     val flat = Structuring.unnestAll(nestedDf.select("id", "user"))
     assert(flat.columns.toSet ==

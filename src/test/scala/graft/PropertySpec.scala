@@ -89,4 +89,26 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
           col("n_c")))
     }
   }
+
+  test("property: pigeonhole-blocked simhash pairs equal the exhaustive pairs") {
+    // random near-dup-ish corpora: word sequences drawn from a tiny
+    // vocabulary so some pairs land within small hamming distances
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    (0 until 3).foreach { seed =>
+      val rnd = new Random(100 + seed)
+      val rows = (0 until 40).map { i =>
+        val n = 3 + rnd.nextInt(8)
+        Row(i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val df = spark.createDataFrame(new java.util.ArrayList(rows.asJava),
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+      for (maxDist <- Seq(0, 3, 7)) {
+        val blocked = graft.ext.Dedup.simhashPairs(df, "text", "doc_id", maxDist)
+          .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exhaustive = graft.ext.Dedup.simhashPairsExhaustive(df, "text", "doc_id", maxDist)
+          .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(blocked == exhaustive, s"seed=$seed maxDist=$maxDist")
+      }
+    }
+  }
 }
