@@ -415,6 +415,16 @@ object SparkEntry {
       Dedup.minhashNearDuplicates(d, "text", "doc_id", threshold = 0.08,
         shingleN = 2, numHashes = 128, bands = 128)
     }),
+    // the full near-dup DEDUP operator: minhash pairs → connected
+    // components → surviving id set (min id per dup cluster + all
+    // unmatched docs). At these settings the pair set provably equals the
+    // exact Jaccard pairs, so the oracle recomputes the same clustering
+    // with a recursive CTE over the exact pairs
+    "q_dedup_survivors" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 100)
+      Dedup.nearDupSurvivors(d, "text", "doc_id", threshold = 0.08,
+        shingleN = 2, numHashes = 128, bands = 128).select("doc_id")
+    }),
     // SimHash equivalence gate: the custom codegen Catalyst expression must
     // agree bit-for-bit with an independent HOF reimplementation on every
     // document, and rollingHash must induce exactly the same equivalence
@@ -807,6 +817,33 @@ object SparkEntry {
           |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
       "q_ngram_jaccard" -> jaccardPairsSql,
       "q_dedup_minhash" -> jaccardPairsSql,
+      // connected components over the exact pair graph via recursive CTE;
+      // survivors = fixed points (min id per component) + singletons
+      "q_dedup_survivors" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE doc_id < 100),
+          |sh AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
+          |         ELSE list_distinct(list_transform(range(1, len(toks)),
+          |                i -> toks[i] || ' ' || toks[i+1])) END AS sh
+          |  FROM d),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.08),
+          |sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+          |cc(node, comp) AS (
+          |  SELECT a, a FROM sym
+          |  UNION
+          |  SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.node),
+          |lab AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node)
+          |SELECT doc_id FROM d
+          |WHERE doc_id NOT IN (SELECT node FROM lab WHERE node != comp)""".stripMargin,
       "q_dedup_simhash" ->
         """SELECT count(*) AS n_docs,
           | CAST(0 AS BIGINT) AS n_simhash_mismatch,

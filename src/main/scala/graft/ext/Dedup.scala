@@ -175,6 +175,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ------------------------------------------------------ dup clustering
+
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every node's label converges to the minimum id
+    * in its component after O(diameter) rounds. Each round is one
+    * join + groupBy(min) — all map-side-combinable shuffles — with a
+    * `localCheckpoint` lineage cut (without it round i re-executes rounds
+    * 1..i-1). Near-dup graphs have tiny diameters (dup clusters are
+    * near-cliques), so rounds stay single-digit at any corpus size; for
+    * adversarial long-chain graphs the published large-star/small-star
+    * halving (Kiveris et al., "Connected Components in MapReduce") is the
+    * drop-in upgrade. Throws if `maxIter` rounds don't converge — a
+    * silently partial clustering would under-merge and leak duplicates. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = pairs.select(col(aCol).alias("src"), col(bCol).alias("dst"))
+      .union(pairs.select(col(bCol).alias("src"), col(aCol).alias("dst")))
+      .localCheckpoint() // reused every round — cut off the pair pipeline
+    var labels = sym.select(col("src").alias("id")).distinct()
+      .select(col("id"), col("id").alias("comp"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").alias("id")).agg(min(col("comp")).alias("__nbr"))
+      val updated = labels.alias("l")
+        .join(nbrMin.alias("n"), col("l.id") === col("n.id"), "left")
+        .select(col("l.id").alias("id"),
+          least(col("l.comp"), coalesce(col("__nbr"), col("l.comp"))).alias("comp"))
+        .localCheckpoint()
+      converged = updated.alias("u").join(labels.alias("o"), "id")
+        .filter(col("u.comp") =!= col("o.comp")).isEmpty
+      labels = updated
+      i += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIter rounds")
+    labels
+  }
+
+  /** Near-duplicate DEDUP (not just pair detection): MinHash pairs →
+    * connected components → keep the minimum id per duplicate cluster,
+    * plus every document that matched nothing. This is the operator a
+    * training-data pipeline actually runs — the output is the surviving
+    * corpus id set. */
+  def nearDupSurvivors(df: DataFrame, textCol: String, idCol: String,
+                       threshold: Double, shingleN: Int = 3,
+                       numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val pairs = minhashNearDuplicates(df, textCol, idCol, threshold, shingleN,
+      numHashes, bands)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    // on convergence comp == min id of the component, so survivors within
+    // dup clusters are exactly the fixed points
+    val keepFromClusters = comps.filter(col("id") === col("comp"))
+      .select(col("id").alias(idCol))
+    val singletons = df.select(col(idCol))
+      .join(comps.select(col("id").alias(idCol)), Seq(idCol), "left_anti")
+    singletons.union(keepFromClusters)
+  }
+
   // ----------------------------------------------------------- simhash
 
   /** Per-doc 64-bit SimHash over whitespace tokens (custom Catalyst

@@ -220,6 +220,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents labels chains, stars, and disjoint cliques by min id") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),   // chain 1-2-3-4
+      (10L, 11L), (10L, 12L), (10L, 13L), // star around 10
+      (20L, 21L), (21L, 22L), (20L, 22L)) // triangle
+    val df = spark.createDataFrame(
+      new java.util.ArrayList(edges.map { case (a, b) => Row(a, b) }.asJava),
+      StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+    val comp = Dedup.connectedComponents(df, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L, 13L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(comp(_) == 20L))
+    // empty pair set → empty labeling, no convergence failure
+    assert(Dedup.connectedComponents(df.limit(0), "id_a", "id_b").count() == 0)
+  }
+
+  test("nearDupSurvivors keeps min id per dup cluster plus all singletons") {
+    val out = Dedup.nearDupSurvivors(docs, "text", "doc_id", threshold = 0.5,
+      shingleN = 2, numHashes = 32, bands = 32)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // docs 1,2,3 form one near-dup cluster at 0.5 (1≡2 exact, 3 near) →
+    // survivor 1; docs 4,5,6 match nothing
+    assert(out == Seq(1L, 4L, 5L, 6L))
+  }
+
   test("TopKByScore equals the window-rank reference on random scored data") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(11)
