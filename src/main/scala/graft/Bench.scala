@@ -196,7 +196,19 @@ object Bench {
       scenario("parity_pack_salted_skewed")(packer.packSalted(skewed, "image", saltBuckets = 32)))
     skewed.unpersist()
 
-    val all = queryTimes ++ parityLarge ++ parityParent ++ parityParent2k ++ paritySkew
+    // scale scenario (not a reference parity): full-corpus near-dup dedup
+    // — minhash pairs → connected components → survivor set — over EVERY
+    // document at this sf, at production-ish LSH settings (the oracle-gated
+    // q_dedup_survivors covers 100 docs; this times the banded path at
+    // corpus scale)
+    val scaleDedup = Seq(
+      scenario("scale_neardup_survivors")(
+        graft.ext.Dedup.nearDupSurvivors(
+          spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
+          threshold = 0.5, shingleN = 3, numHashes = 128, bands = 32)))
+
+    val all = queryTimes ++ parityLarge ++ parityParent ++ parityParent2k ++
+      paritySkew ++ scaleDedup
     val qs = all.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val rssJson = rss.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum

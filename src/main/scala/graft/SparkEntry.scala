@@ -398,6 +398,20 @@ object SparkEntry {
     // exact dedup: surviving doc ids (min id per normalized-text fingerprint)
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "text", "doc_id").select("doc_id")),
+    // end-to-end corpus curation: quality gate → exact dedup → corpus
+    // stats. One pipeline chaining the text-analysis and dedup operators;
+    // min/max (order-independent) rather than float sums keep the
+    // aggregate engine-comparable
+    "q_corpus_curation" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val q = d.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+      val surv = Dedup.exact(q, "text", "doc_id")
+      surv.agg(
+        count(lit(1)).alias("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).alias("total_tokens"),
+        round(min(TextAnalysis.qualityScore(col("text"))), 6).alias("min_quality"),
+        round(max(TextAnalysis.qualityScore(col("text"))), 6).alias("max_quality"))
+    }),
     // exact n-gram Jaccard pairs (correctness baseline for MinHash)
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = table(s, dir, "documents").filter(col("doc_id") < 100)
@@ -815,6 +829,36 @@ object SparkEntry {
       "q_dedup_exact" ->
         """SELECT min(doc_id) AS doc_id FROM documents
           |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
+      "q_corpus_curation" ->
+        """WITH t AS (
+          |  SELECT doc_id, text,
+          |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+          |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks_orig
+          |  FROM documents),
+          |s AS (
+          |  SELECT doc_id, fp, len(toks_orig) AS n_toks,
+          |    len(toks) AS n_toks_l,
+          |    CAST(len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','for','on','with','as','at','by','it','this','that'))) AS DOUBLE) AS stop_hits,
+          |    CASE WHEN length(text) = 0 THEN 0.0
+          |      ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) END AS punct,
+          |    CASE WHEN len(toks_orig) = 0 THEN 0.0
+          |      ELSE CAST(list_sum(list_transform(toks_orig, x -> len(x))) AS DOUBLE) / len(toks_orig) END AS mtl
+          |  FROM t),
+          |scored AS (
+          |  SELECT doc_id, fp, n_toks,
+          |    floor((least(n_toks_l / 100.0, 1.0)
+          |         + (1.0 - least(punct * 5.0, 1.0))
+          |         + least(CASE WHEN n_toks_l = 0 THEN 0.0 ELSE stop_hits / n_toks_l END * 4.0, 1.0)
+          |         + greatest(least((mtl - 2.0) / 8.0, 1.0), 0.0)) * 0.25 * 1e6) / 1e6 AS quality
+          |  FROM s),
+          |q AS (SELECT * FROM scored WHERE quality >= 0.5),
+          |surv AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY fp)
+          |SELECT count(*) AS n_docs,
+          |  CAST(sum(q.n_toks) AS BIGINT) AS total_tokens,
+          |  round(min(q.quality), 6) AS min_quality,
+          |  round(max(q.quality), 6) AS max_quality
+          |FROM q JOIN surv USING (doc_id)""".stripMargin,
       "q_ngram_jaccard" -> jaccardPairsSql,
       "q_dedup_minhash" -> jaccardPairsSql,
       // connected components over the exact pair graph via recursive CTE;
