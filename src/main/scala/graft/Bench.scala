@@ -37,6 +37,24 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
+  private[graft] def bestOfN(repeat: Int)(f: => DataFrame): Double = {
+    System.gc() // level the GC field between queries; variance otherwise 5-10x
+    val runs = (1 to repeat).map { _ =>
+      try time(materialize(f)) catch { case _: Throwable => -1.0 }
+    }
+    if (runs.exists(_ < 0)) -1.0 else runs.min
+  }
+
+  private[graft] def materializeDf(df: DataFrame): Unit = materialize(df)
+
+  /** Linux VmHWM of this process in MB (true peak RSS — meaningful per
+    * scenario only in a forked child process). */
+  private[graft] def vmHwmMb(): Long = try {
+    scala.io.Source.fromFile("/proc/self/status").getLines()
+      .find(_.startsWith("VmHWM")).map(_.replaceAll("[^0-9]", "").toLong / 1024)
+      .getOrElse(-1L)
+  } catch { case _: Throwable => -1L }
+
   /** Peak VmRSS (MB) observed by a 50 ms sampler while `f` runs. */
   private def sampleRss[A](f: => A): (A, Long) = {
     @volatile var stop = false
@@ -89,6 +107,42 @@ object Bench {
     LevelSpec("tile", Seq(NamedField("tile_id")), parentKeys = Seq("image_id")),
     LevelSpec("patch", Seq(NamedField("patch_id")), parentKeys = Seq("tile_id"))))
 
+  private val packer = new Packer(imageSpec)
+  private val noOrder = new Packer(imageSpec, preserveChildOrder = false)
+
+  /** Parity dataset builders, keyed so the in-process runner and the
+    * forked per-scenario runner ([[BenchScenario]]) share one source of
+    * truth. "packed_large" derives from "large" (for the unpack timing). */
+  private[graft] def buildDataset(spark: SparkSession, key: String): DataFrame = key match {
+    case "large" => imageData(spark, images = 200, tiles = 16, patches = 16, pixels = 4096)
+    case "packed_large" => packer.pack(buildDataset(spark, "large"), "image")
+    case "parent_dom" => imageData(spark, images = 100, tiles = 8, patches = 8,
+      pixels = 64, rootPayload = 16384, rootAttrs = 16)
+    case "parent_dom_2k" => imageData(spark, images = 2000, tiles = 8, patches = 8,
+      pixels = 64, rootPayload = 16384, rootAttrs = 16)
+    case "skewed" => imageData(spark, images = 200, tiles = 16, patches = 16,
+      pixels = 4096, skewed = true)
+    case other => throw new IllegalArgumentException(s"unknown dataset '$other'")
+  }
+
+  /** (name, dataset key, query builder) for every reference-parity
+    * scenario — see BASELINE.md for the targets each one answers to. */
+  private[graft] val parityScenarios: Seq[(String, String, DataFrame => DataFrame)] = Seq(
+    ("parity_pack_large", "large", d => packer.pack(d, "image")),
+    ("parity_pack_no_child_order", "large", d => noOrder.pack(d, "image")),
+    ("parity_pack_streaming_8", "large", d => packer.packStreaming(d, "image", 8)),
+    ("parity_pack_streaming_32", "large", d => packer.packStreaming(d, "image", 32)),
+    ("parity_pack_streaming_64", "large", d => packer.packStreaming(d, "image", 64)),
+    ("parity_unpack_large", "packed_large", d => packer.unpack(d, "patch")),
+    ("parity_pack_parent_dominant", "parent_dom", d => packer.pack(d, "image")),
+    ("parity_pack_split_join_parent_dominant", "parent_dom",
+      d => packer.pack(d, "image", parentStrategy = ParentStrategy.SplitJoin)),
+    ("parity_pack_parent_dominant_2k", "parent_dom_2k", d => packer.pack(d, "image")),
+    ("parity_pack_split_join_parent_dominant_2k", "parent_dom_2k",
+      d => packer.pack(d, "image", parentStrategy = ParentStrategy.SplitJoin)),
+    ("parity_pack_skewed", "skewed", d => packer.pack(d, "image")),
+    ("parity_pack_salted_skewed", "skewed", d => packer.packSalted(d, "image", saltBuckets = 32)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -100,13 +154,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def bestOf(f: => DataFrame): Double = {
-      System.gc() // level the GC field between queries; variance otherwise 5-10x
-      val runs = (1 to repeat).map { _ =>
-        try time(materialize(f)) catch { case _: Throwable => -1.0 }
-      }
-      if (runs.exists(_ < 0)) -1.0 else runs.min
-    }
+    def bestOf(f: => DataFrame): Double = bestOfN(repeat)(f)
 
     // JVM + codegen warmup on the smallest sf; excluded from timings
     try materialize(SparkEntry.queries("q_enrich_aggs")(spark, "/root/testdata/sf0.001"))
@@ -131,70 +179,38 @@ object Bench {
       .groupBy("k").agg(count(lit(1)).alias("n"), sum(col("v")).alias("s")))
 
     // ---- parity workloads vs BASELINE.md (same shapes as the reference) ----
-    // `large`: 200 images x 16 tiles x 16 patches, 64x64 f32 (~800 MB pixels);
-    // reference pack median 1.51 s, pack_streaming(64) 8.76 s,
-    // no_child_order 1.34 s.
-    val large = imageData(spark, images = 200, tiles = 16, patches = 16, pixels = 4096)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    large.count()
-    val packer = new Packer(imageSpec)
-    val noOrder = new Packer(imageSpec, preserveChildOrder = false)
-    // one untimed warmup pass: the first heavy job after the cache build
-    // otherwise absorbs all JIT/GC warmup (measured 5-13s vs 0.7s steady)
-    try materialize(packer.pack(large, "image")) catch { case _: Throwable => }
-    val parityLarge = Seq(
-      scenario("parity_pack_large")(packer.pack(large, "image")),
-      scenario("parity_pack_no_child_order")(noOrder.pack(large, "image")),
-      scenario("parity_pack_streaming_8")(packer.packStreaming(large, "image", 8)),
-      scenario("parity_pack_streaming_32")(packer.packStreaming(large, "image", 32)),
-      scenario("parity_pack_streaming_64")(packer.packStreaming(large, "image", 64)),
-      {
-        val packed = packer.pack(large, "image").persist(StorageLevel.MEMORY_AND_DISK)
-        packed.count()
-        val r = scenario("parity_unpack_large")(packer.unpack(packed, "patch"))
-        packed.unpersist(); r
-      })
-    large.unpersist()
-
-    // parent-dominant: 100 images x 8x8 patches, 16384-px root thumbnail +
-    // 16 root attrs; reference pack 0.27 s vs split_join 0.03 s — both
-    // BELOW floor_sec here, so the 2k-preset below is where the strategy
-    // ratio is actually observable on Spark.
-    val parentDom = imageData(spark, images = 100, tiles = 8, patches = 8,
-      pixels = 64, rootPayload = 16384, rootAttrs = 16)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    parentDom.count()
-    val parityParent = Seq(
-      scenario("parity_pack_parent_dominant")(packer.pack(parentDom, "image")),
-      scenario("parity_pack_split_join_parent_dominant")(
-        packer.pack(parentDom, "image", parentStrategy = ParentStrategy.SplitJoin)))
-    parentDom.unpersist()
-
-    // parent-dominant at 20x the rows (2,000 images, 128,000 leaf rows,
-    // ~2.4 GB of root payload): clears the job-latency floor so the
-    // split_join-vs-aggregate ratio is measurable (reference ratio 0.11x,
-    // benchmarks/README.md:154)
-    val parentDom2k = imageData(spark, images = 2000, tiles = 8, patches = 8,
-      pixels = 64, rootPayload = 16384, rootAttrs = 16)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    parentDom2k.count()
-    val parityParent2k = Seq(
-      scenario("parity_pack_parent_dominant_2k")(packer.pack(parentDom2k, "image")),
-      scenario("parity_pack_split_join_parent_dominant_2k")(
-        packer.pack(parentDom2k, "image", parentStrategy = ParentStrategy.SplitJoin)))
-    parentDom2k.unpersist()
-
-    // skew guard: one image owns ~50% of 51,200 leaf rows. packSalted's
-    // two-phase leaf aggregation must stay >= parity with plain pack
-    // (whose single hot group serializes in one task).
-    val skewed = imageData(spark, images = 200, tiles = 16, patches = 16,
-      pixels = 4096, skewed = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    skewed.count()
-    val paritySkew = Seq(
-      scenario("parity_pack_skewed")(packer.pack(skewed, "image")),
-      scenario("parity_pack_salted_skewed")(packer.packSalted(skewed, "image", saltBuckets = 32)))
-    skewed.unpersist()
+    // Datasets and scenario definitions live in [[parityScenarios]] /
+    // [[buildDataset]]. Default mode runs them in this JVM (per-scenario
+    // RSS = 50 ms VmRSS sampling, upper bounds — shared-heap caveat in the
+    // scaladoc). SPARK_GRAFT_FORK=1 instead spawns one child JVM per
+    // scenario (the reference harness's spawn-mode isolation,
+    // harness.py:253-259): slower, but peak_rss_mb becomes a true
+    // per-process VmHWM and the partitions-sweep memory story (BASELINE.md
+    // :32) is directly comparable.
+    val forkMode = sys.env.get("SPARK_GRAFT_FORK").contains("1")
+    val parityResults: Seq[(String, Double)] =
+      if (forkMode) parityScenarios.map { case (name, _, _) =>
+        val (sec, rssMb) = BenchScenario.runForked(name, cpus, repeat)
+        rss(name) = rssMb
+        name -> sec
+      }
+      else {
+        // iterate datasets in first-appearance order, persist each once
+        val dsOrder = parityScenarios.map(_._2).distinct
+        dsOrder.flatMap { dsKey =>
+          val ds = buildDataset(spark, dsKey).persist(StorageLevel.MEMORY_AND_DISK)
+          ds.count()
+          val defs = parityScenarios.filter(_._2 == dsKey)
+          // one untimed warmup pass on the first dataset: the first heavy
+          // job after a cache build otherwise absorbs all JIT/GC warmup
+          // (measured 5-13s vs 0.7s steady)
+          if (dsKey == dsOrder.head)
+            try materialize(defs.head._3(ds)) catch { case _: Throwable => }
+          val out = defs.map { case (name, _, fn) => scenario(name)(fn(ds)) }
+          ds.unpersist()
+          out
+        }
+      }
 
     // scale scenario (not a reference parity): full-corpus near-dup dedup
     // — minhash pairs → connected components → survivor set — over EVERY
@@ -207,8 +223,7 @@ object Bench {
           spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
           threshold = 0.5, shingleN = 3, numHashes = 128, bands = 32)))
 
-    val all = queryTimes ++ parityLarge ++ parityParent ++ parityParent2k ++
-      paritySkew ++ scaleDedup
+    val all = queryTimes ++ parityResults ++ scaleDedup
     val qs = all.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val rssJson = rss.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
@@ -219,8 +234,75 @@ object Bench {
       hwm.map(_ / 1024).getOrElse(-1L)
     } catch { case _: Throwable => -1L }
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,""" +
+      s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
       s""""scenario_rss_mb":$rssJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+}
+
+/**
+ * Child-process entry for fork-isolated parity scenarios
+ * (SPARK_GRAFT_FORK=1): runs ONE scenario from [[Bench.parityScenarios]]
+ * in its own JVM — its VmHWM is a clean per-scenario peak RSS, matching
+ * the reference harness's spawn-mode child processes — and prints one
+ * line `SCENARIO_RESULT <sec> <peak_rss_mb>`.
+ */
+object BenchScenario {
+
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val (_, dsKey, fn) = Bench.parityScenarios.find(_._1 == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown scenario '$name'"))
+    val ds = Bench.buildDataset(spark, dsKey).persist(StorageLevel.MEMORY_AND_DISK)
+    ds.count()
+    try Bench.materializeDf(fn(ds)) catch { case _: Throwable => } // JIT warmup
+    val sec = Bench.bestOfN(repeat)(fn(ds))
+    println(s"SCENARIO_RESULT $sec ${Bench.vmHwmMb()}")
+    spark.stop()
+  }
+
+  /** Spawn a child JVM running [[main]] for `name`; returns (sec, rssMb).
+    * Classpath is inherited (sbt forks `run`, so java.class.path is the
+    * real application classpath) and the JDK-17 add-opens list matches
+    * build.sbt. */
+  private[graft] def runForked(name: String, cpus: String, repeat: Int): (Double, Long) = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx16g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.BenchScenario", name)).toArray
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+    pb.environment().put("SPARK_GRAFT_REPEAT", repeat.toString)
+    pb.redirectErrorStream(true)
+    try {
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+        .find(_.startsWith("SCENARIO_RESULT"))
+      val rc = proc.waitFor()
+      out match {
+        case Some(line) if rc == 0 =>
+          val parts = line.split("\\s+")
+          (parts(1).toDouble, parts(2).toLong)
+        case _ => (-1.0, -1L)
+      }
+    } catch { case _: Throwable => (-1.0, -1L) }
   }
 }
