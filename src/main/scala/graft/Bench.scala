@@ -122,6 +122,9 @@ object Bench {
       pixels = 64, rootPayload = 16384, rootAttrs = 16)
     case "skewed" => imageData(spark, images = 200, tiles = 16, patches = 16,
       pixels = 4096, skewed = true)
+    case "parent_heavy" => imageData(spark, images = 200, tiles = 16, patches = 16,
+      pixels = 4096, rootPayload = 4096, rootAttrs = 8)
+    case "very_large" => imageData(spark, images = 400, tiles = 16, patches = 16, pixels = 4096)
     case other => throw new IllegalArgumentException(s"unknown dataset '$other'")
   }
 
@@ -141,7 +144,15 @@ object Bench {
     ("parity_pack_split_join_parent_dominant_2k", "parent_dom_2k",
       d => packer.pack(d, "image", parentStrategy = ParentStrategy.SplitJoin)),
     ("parity_pack_skewed", "skewed", d => packer.pack(d, "image")),
-    ("parity_pack_salted_skewed", "skewed", d => packer.packSalted(d, "image", saltBuckets = 32)))
+    ("parity_pack_salted_skewed", "skewed", d => packer.packSalted(d, "image", saltBuckets = 32)),
+    // parent_heavy: BOTH payloads heavy — reference pack 1.34 s / split_join
+    // 1.57 s (1.17x: split_join LOSES when children dominate anyway)
+    ("parity_pack_parent_heavy", "parent_heavy", d => packer.pack(d, "image")),
+    ("parity_pack_split_join_parent_heavy", "parent_heavy",
+      d => packer.pack(d, "image", parentStrategy = ParentStrategy.SplitJoin)),
+    // very_large: 2x `large` (102,400 leaf rows, ~1.6 GB) — no published
+    // reference number; scale-up-linearity evidence vs parity_pack_large
+    ("parity_pack_very_large", "very_large", d => packer.pack(d, "image")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
