@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Shared query-building helpers over the driver's TPC-H-ish testdata
   * (TESTDATA.md). The hierarchy treats `orders` → `lineitem` as a 2-level
@@ -411,6 +411,67 @@ object SparkEntry {
         sum(TextAnalysis.tokenCount(col("text"))).alias("total_tokens"),
         round(min(TextAnalysis.qualityScore(col("text"))), 6).alias("min_quality"),
         round(max(TextAnalysis.qualityScore(col("text"))), 6).alias("max_quality"))
+    }),
+    // Gopher-style repetition filters: duplicate token / 2-gram / 3-gram
+    // fractions + keep flag. Pure per-row codegen — one corpus scan.
+    "q_repetition_stats" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Curation.repetitionStats(d, "text")
+        .select("doc_id", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac", "keep")
+    }),
+    // PII redaction over a deterministic synthetic profile string (the
+    // corpus itself carries no PII): emails, IPv4s, and phone-shaped
+    // numbers are constructed from doc_id arithmetic, redacted to typed
+    // placeholders, and counted — byte-compared against DuckDB running the
+    // same RE2/Java-shared-subset regexes.
+    "q_pii_redact" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val profile = concat(
+        lit("doc "), col("doc_id").cast("string"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@"), col("source"), lit(".example.org call 555-"),
+        (lit(100) + col("doc_id") % 900).cast("string"), lit("-"),
+        (lit(1000) + col("doc_id") % 9000).cast("string"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit("."), (col("doc_id") % 200).cast("string"))
+      d.select(Seq(col("doc_id"),
+        Curation.redactPii(profile).alias("redacted")) ++
+        Curation.piiCounts(profile): _*)
+    }),
+    // benchmark-contamination check: distinct 3-gram overlap of every
+    // corpus doc (source <> 'src0') against the broadcast benchmark set
+    // (source = 'src0')
+    "q_contamination" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Curation.contamination(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"),
+        "doc_id", "text", n = 3, maxOverlapFrac = 0.1)
+    }),
+    // deterministic stratified downsampling: md5-hash keep-rates per
+    // language (en 0.25, zh 0.5, rest 1.0) — the corpus-rebalancing step;
+    // reproducible across runs/partitionings, so exact-oracle-checkable
+    "q_stratified_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Curation.stratifiedSample(d, "lang", "doc_id",
+        Map("en" -> 0.25, "zh" -> 0.5), defaultRate = 1.0)
+        .select("doc_id", "lang", "source")
+    }),
+    // exact-quota sampling: the 40 smallest-hash docs per language via the
+    // bounded-heap TopKByScore aggregate (map-side partial top-k; no
+    // one-task-per-stratum window)
+    "q_quota_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Curation.quotaSample(d, "lang", "doc_id", k = 40)
+        .withColumnRenamed("rank", "smp_rank")
+    }),
+    // concat-and-chunk sequence packing: documents sharded by hash into 8
+    // independent streams, concatenated in (shard, doc_id) order, split
+    // every 512 tokens; each doc is tagged with the chunk its first token
+    // lands in
+    "q_seq_packing" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Curation.packSequences(d, "doc_id", "text", maxTokens = 512, numShards = 8)
     }),
     // exact n-gram Jaccard pairs (correctness baseline for MinHash)
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -859,6 +920,91 @@ object SparkEntry {
           |  round(min(q.quality), 6) AS min_quality,
           |  round(max(q.quality), 6) AS max_quality
           |FROM q JOIN surv USING (doc_id)""".stripMargin,
+      "q_repetition_stats" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, toks,
+          |    CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
+          |         ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS g2,
+          |    CASE WHEN len(toks) - 2 <= 0 THEN [array_to_string(toks, ' ')]
+          |         ELSE list_transform(range(1, len(toks) - 1),
+          |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS g3
+          |  FROM t),
+          |f AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) = 0 THEN 0.0
+          |      ELSE floor((1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)) * 1e6) / 1e6 END AS dup_token_frac,
+          |    floor((1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)) * 1e6) / 1e6 AS dup_2gram_frac,
+          |    floor((1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)) * 1e6) / 1e6 AS dup_3gram_frac
+          |  FROM g)
+          |SELECT doc_id, dup_token_frac, dup_2gram_frac, dup_3gram_frac,
+          |  (dup_token_frac <= 0.6 AND dup_3gram_frac <= 0.3) AS keep
+          |FROM f""".stripMargin,
+      "q_pii_redact" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    'doc ' || CAST(doc_id AS VARCHAR) || ' contact user' || CAST(doc_id AS VARCHAR)
+          |    || '@' || source || '.example.org call 555-'
+          |    || CAST(100 + doc_id % 900 AS VARCHAR) || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+          |    || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+          |    || '.' || CAST(doc_id % 200 AS VARCHAR) AS prof
+          |  FROM documents)
+          |SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(prof,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+          |    '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted,
+          |  CAST(len(regexp_extract_all(prof, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(prof, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+          |  CAST(len(regexp_extract_all(prof, '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b')) AS BIGINT) AS n_phones
+          |FROM p""".stripMargin,
+      "q_contamination" ->
+        """WITH t AS (
+          |  SELECT doc_id, source,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |g AS (
+          |  SELECT doc_id, source,
+          |    CASE WHEN len(toks) - 2 <= 0 THEN [array_to_string(toks, ' ')]
+          |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+          |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS grams
+          |  FROM t),
+          |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'),
+          |corpus AS (SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS total_ngrams
+          |           FROM g WHERE source <> 'src0'),
+          |ex AS (SELECT doc_id, unnest(grams) AS gram FROM corpus),
+          |hits AS (SELECT ex.doc_id, count(*) AS matched
+          |         FROM ex JOIN bench USING (gram) GROUP BY ex.doc_id)
+          |SELECT c.doc_id, c.total_ngrams,
+          |  CAST(COALESCE(h.matched, 0) AS BIGINT) AS matched_ngrams,
+          |  floor(CAST(COALESCE(h.matched, 0) AS DOUBLE) / c.total_ngrams * 1e6) / 1e6 AS overlap_frac,
+          |  (floor(CAST(COALESCE(h.matched, 0) AS DOUBLE) / c.total_ngrams * 1e6) / 1e6 > 0.1) AS contaminated
+          |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+      "q_stratified_sample" ->
+        s"""SELECT doc_id, lang, source FROM documents
+           |WHERE ${Curation.hashUnitSql("doc_id")} <
+           |  CASE lang WHEN 'en' THEN 0.25 WHEN 'zh' THEN 0.5 ELSE 1.0 END""".stripMargin,
+      "q_quota_sample" ->
+        s"""WITH h AS (SELECT lang, doc_id, ${Curation.hashUnitSql("doc_id")} AS hu FROM documents)
+           |SELECT lang,
+           |  CAST(row_number() OVER (PARTITION BY lang ORDER BY hu, doc_id) AS BIGINT) AS smp_rank,
+           |  doc_id
+           |FROM h QUALIFY smp_rank <= 40""".stripMargin,
+      "q_seq_packing" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(floor(${Curation.hashUnitSql("doc_id")} * 8) AS BIGINT) AS shard,
+           |    CAST(len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           |                         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+           |  FROM documents)
+           |SELECT doc_id, shard, n_tokens,
+           |  CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS DOUBLE) / 512) AS BIGINT) AS chunk
+           |FROM t""".stripMargin,
       "q_ngram_jaccard" -> jaccardPairsSql,
       "q_dedup_minhash" -> jaccardPairsSql,
       // connected components over the exact pair graph via recursive CTE;

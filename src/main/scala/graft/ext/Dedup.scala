@@ -45,18 +45,8 @@ object Dedup {
     * a `transform(sequence(...), i => slice(toks, ...))` formulation
     * re-evaluates the whole tokenization once PER ELEMENT (O(tokens²)
     * regex work; measured 10-30x slowdown on real documents). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(TextAnalysis.normalized(text))
-    val count = size(toks) - (n - 1)
-    // zip_with pads the shorter side with null, so after n-1 folds the
-    // first `count` entries are complete n-grams and the tail is null
-    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
-        (a, b) => concat(a, lit(" "), b))
-    }
-    array_distinct(when(count <= 0, array(concat_ws(" ", toks)))
-      .otherwise(slice(grams, lit(1), count)))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(TextAnalysis.ngramsAll(text, n))
 
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {

@@ -106,6 +106,24 @@ object TextAnalysis {
       .otherwise(best.getField("lang"))
   }
 
+  /** All word n-grams of `toks` IN ORDER, duplicates preserved (a doc with
+    * fewer than n tokens yields its single joined gram). Built by n-1
+    * zip_with folds — zip_with pads the shorter side with null, so after
+    * the folds the first `len-n+1` entries are complete n-grams and the
+    * tail is null; the slice drops the tail. Per-row, codegen-friendly,
+    * no shuffle. */
+  def ngramsOf(toks: Column, n: Int): Column = {
+    val count = size(toks) - (n - 1)
+    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(count <= 0, array(concat_ws(" ", toks))).otherwise(slice(grams, lit(1), count))
+  }
+
+  /** All word n-grams of the normalized text, duplicates preserved. */
+  def ngramsAll(text: Column, n: Int): Column = ngramsOf(tokens(normalized(text)), n)
+
   /** Canonical text: lowercase, collapse whitespace, trim. */
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.ext.Curation
+import scala.jdk.CollectionConverters._
+
+class CurationSpec extends SparkSpec {
+
+  private def docsOf(rows: (Long, String)*): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.createDataFrame(rows.map { case (i, t) => Row(i, t) }.asJava, schema)
+  }
+
+  // ------------------------------------------------ repetition filters
+
+  test("dup token/ngram fractions on crafted repetition") {
+    val df = docsOf(
+      1L -> "a a a a",                       // 1 distinct of 4 tokens
+      2L -> "one two three four",            // all distinct
+      3L -> "x y x y x y",                   // 2 distinct of 6; 2-grams: x y,y x,x y,y x,x y → 2/5 distinct
+      4L -> "",                              // empty → 0 everywhere
+      5L -> (null: String))
+    val out = Curation.repetitionStats(df, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(r(out(1L), "dup_token_frac")) == 0.75)
+    assert(out(2L).getDouble(r(out(2L), "dup_token_frac")) == 0.0)
+    assert(math.abs(out(3L).getDouble(r(out(3L), "dup_token_frac")) - (1.0 - 2.0 / 6)) < 1e-6)
+    assert(math.abs(out(3L).getDouble(r(out(3L), "dup_2gram_frac")) - (1.0 - 2.0 / 5)) < 1e-6)
+    assert(out(4L).getDouble(r(out(4L), "dup_token_frac")) == 0.0)
+    assert(!out(1L).getBoolean(r(out(1L), "keep"))) // 0.75 > 0.6 threshold
+    assert(out(2L).getBoolean(r(out(2L), "keep")))
+  }
+
+  private def r(row: Row, name: String): Int = row.fieldIndex(name)
+
+  // --------------------------------------------------------------- PII
+
+  test("pii redaction replaces emails, ips, phones and counts them") {
+    val df = docsOf(
+      1L -> "mail alice.smith+x@example.co.uk or bob@test.org now",
+      2L -> "server at 10.0.255.1 and 192.168.1.254 up",
+      3L -> "call 555-123-4567 or 011-5555-0199",
+      4L -> "mixed bob@x.io on 10.1.1.1 call 555-111-2222",
+      5L -> "clean text with no pii at all, honest 12-34")
+    val out = df.select(Seq(col("doc_id"),
+      Curation.redactPii(col("text")).alias("red")) ++
+      Curation.piiCounts(col("text")): _*)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(out(1L).getString(1) == "mail <EMAIL> or <EMAIL> now")
+    assert(out(1L).getLong(r(out(1L), "n_emails")) == 2L)
+    assert(out(2L).getString(1) == "server at <IP> and <IP> up")
+    assert(out(2L).getLong(r(out(2L), "n_ips")) == 2L)
+    assert(out(3L).getString(1) == "call <PHONE> or <PHONE>")
+    assert(out(3L).getLong(r(out(3L), "n_phones")) == 2L)
+    assert(out(4L).getString(1) == "mixed <EMAIL> on <IP> call <PHONE>")
+    assert(out(5L).getString(1) == "clean text with no pii at all, honest 12-34")
+    assert(out(5L).getLong(r(out(5L), "n_emails")) == 0L)
+  }
+
+  // ----------------------------------------------------- contamination
+
+  test("contamination counts shared ngrams against a benchmark set") {
+    val corpus = docsOf(
+      1L -> "the quick brown fox jumps high",   // shares "the quick brown","quick brown fox" w/ bench
+      2L -> "totally unrelated words here now",
+      3L -> "the quick brown fox jumps high")   // same as 1
+    val bench = docsOf(
+      100L -> "the quick brown fox sat")
+    val out = Curation.contamination(corpus, bench, "doc_id", "text", n = 3,
+      maxOverlapFrac = 0.4)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    // doc 1: grams = 4 (the quick brown / quick brown fox / brown fox jumps / fox jumps high); 2 matched
+    assert(out(1L).getLong(r(out(1L), "total_ngrams")) == 4L)
+    assert(out(1L).getLong(r(out(1L), "matched_ngrams")) == 2L)
+    assert(out(1L).getBoolean(r(out(1L), "contaminated"))) // 0.5 > 0.4
+    assert(out(2L).getLong(r(out(2L), "matched_ngrams")) == 0L)
+    assert(!out(2L).getBoolean(r(out(2L), "contaminated")))
+    assert(out(3L).getLong(r(out(3L), "matched_ngrams")) == 2L)
+  }
+
+  // ---------------------------------------------- deterministic sampling
+
+  test("hashUnit is uniform-ish, deterministic, in [0,1)") {
+    val n = 2000
+    val vals = spark.range(n).select(Curation.hashUnit(col("id")).alias("u"))
+      .collect().map(_.getDouble(0))
+    assert(vals.forall(v => v >= 0.0 && v < 1.0))
+    val mean = vals.sum / n
+    assert(math.abs(mean - 0.5) < 0.02, s"mean $mean")
+    // deterministic across evaluations
+    val again = spark.range(n).select(Curation.hashUnit(col("id")).alias("u"))
+      .collect().map(_.getDouble(0))
+    assert(vals.toSeq == again.toSeq)
+  }
+
+  test("stratifiedSample keeps ~rate per stratum and is exactly reproducible") {
+    val df = spark.range(4000).select(col("id"),
+      when(col("id") % 2 === 0, "en").otherwise("de").alias("lang"))
+    val out = Curation.stratifiedSample(df, "lang", "id",
+      Map("en" -> 0.25), defaultRate = 1.0)
+    val counts = out.groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(counts("de") == 2000L) // default rate 1.0 keeps everything
+    assert(math.abs(counts("en") - 500L) < 120, s"en kept ${counts("en")}")
+    // reproducible: same rows both times
+    val ids1 = out.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Curation.stratifiedSample(df, "lang", "id", Map("en" -> 0.25))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("quotaSample returns exactly k per stratum, ranked by hash, stable under repartition") {
+    val df = spark.range(1000).select(col("id"),
+      (col("id") % 3).cast("string").alias("s"))
+    val out = Curation.quotaSample(df, "s", "id", k = 7).collect()
+    assert(out.length == 21)
+    val byStratum = out.groupBy(_.getString(0))
+    assert(byStratum.forall(_._2.length == 7))
+    // rank order must agree with ascending hashUnit
+    val hu = spark.range(1000).select(col("id"), Curation.hashUnit(col("id")).alias("u"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    byStratum.foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getLong(1)).map(x => x.getLong(2))
+      assert(ordered.map(hu).toSeq == ordered.map(hu).sorted.toSeq)
+    }
+    // physical partitioning must not change the answer
+    val re = Curation.quotaSample(df.repartition(17), "s", "id", k = 7)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet
+    assert(re == out.map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSet)
+    // small stratum: returns all rows when fewer than k
+    val tiny = Curation.quotaSample(df.filter(col("id") < 4), "s", "id", k = 7)
+    assert(tiny.count() == 4)
+  }
+
+  // ------------------------------------------------- sequence packing
+
+  test("packSequences assigns concat-and-chunk bins per shard") {
+    val df = docsOf(
+      1L -> "a b c d",        // 4 tokens
+      2L -> "e f g",          // 3
+      3L -> "h i j k l",      // 5
+      4L -> "m n")            // 2
+    // single shard → deterministic order by doc_id: prefixes 0,4,7,12
+    val out = Curation.packSequences(df, "doc_id", "text", maxTokens = 5, numShards = 1)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(out(1L).getLong(r(out(1L), "chunk")) == 0L) // starts at token 0
+    assert(out(2L).getLong(r(out(2L), "chunk")) == 0L) // starts at 4
+    assert(out(3L).getLong(r(out(3L), "chunk")) == 1L) // starts at 7
+    assert(out(4L).getLong(r(out(4L), "chunk")) == 2L) // starts at 12
+    assert(out(3L).getLong(r(out(3L), "n_tokens")) == 5L)
+    // sharded: chunks never cross shards; union of (shard,chunk) bins covers all docs
+    val sharded = Curation.packSequences(df, "doc_id", "text", maxTokens = 5, numShards = 4)
+    assert(sharded.count() == 4)
+    // invariant under physical repartitioning
+    val a = sharded.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3))).toSet
+    val b = Curation.packSequences(df.repartition(7), "doc_id", "text", 5, 4)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(3))).toSet
+    assert(a == b)
+  }
+}
