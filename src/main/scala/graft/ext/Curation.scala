@@ -100,11 +100,13 @@ object Curation {
    *
    * Plan shape at 100 TB: the benchmark side is aggregated to DISTINCT
    * n-grams and *broadcast* (eval benchmarks are MBs, corpora are TBs), so
-   * the corpus is scanned exactly once; the post-join `groupBy(doc)` count
-   * partial-aggregates map-side and only matched (doc, count) pairs reach
-   * the shuffle. Unmatched documents never shuffle at all — they are
-   * recovered by the final left join against the (already computed)
-   * per-doc gram totals.
+   * the corpus is scanned exactly ONCE: the per-doc gram total rides along
+   * the explode, the broadcast join is LEFT (unmatched grams keep their
+   * doc), and the `groupBy(doc, total)` count partial-aggregates map-side —
+   * only one small (doc, total, count) row per doc reaches the shuffle.
+   * `explode_outer` rather than `explode` on purpose: a plain explode's
+   * non-empty precondition is pushed down as a separate Filter that
+   * re-evaluates the whole n-gram expression a second time per row.
    */
   def contamination(corpus: DataFrame, bench: DataFrame,
                     idCol: String, textCol: String, n: Int,
@@ -112,17 +114,14 @@ object Curation {
     val benchGrams = bench
       .select(explode(Dedup.wordShingles(col(textCol), n)).alias("gram"))
       .distinct()
-    val corpusGrams = corpus.select(col(idCol),
-      Dedup.wordShingles(col(textCol), n).alias("__grams"))
-    val totals = corpusGrams.select(col(idCol),
-      size(col("__grams")).cast("long").alias("total_ngrams"))
-    val hits = corpusGrams
-      .select(col(idCol), explode(col("__grams")).alias("gram"))
-      .join(broadcast(benchGrams), "gram")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).alias("matched_ngrams"))
-    totals.join(hits, Seq(idCol), "left")
-      .na.fill(0L, Seq("matched_ngrams"))
+      .withColumn("__hit", lit(1))
+    corpus
+      .select(col(idCol), Dedup.wordShingles(col(textCol), n).alias("__grams"))
+      .select(col(idCol), size(col("__grams")).cast("long").alias("total_ngrams"),
+        explode_outer(col("__grams")).alias("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy(col(idCol), col("total_ngrams"))
+      .agg(count(col("__hit")).alias("matched_ngrams"))
       .withColumn("overlap_frac",
         trunc6(col("matched_ngrams").cast("double") / col("total_ngrams")))
       .withColumn("contaminated", col("overlap_frac") > maxOverlapFrac)
