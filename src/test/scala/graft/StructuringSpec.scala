@@ -55,6 +55,59 @@ class StructuringSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("unnestAll handles sibling structs at multiple depths, preserving column " +
+    "and row order (reference test_unnest_all_complex_mixed_nesting/_multiple_struct_columns)") {
+    val userT = StructType(Seq(
+      StructField("name", StringType),
+      StructField("profile", StructType(Seq(
+        StructField("bio", StringType),
+        StructField("settings", StructType(Seq(StructField("theme", StringType))))))),
+      StructField("contact", StructType(Seq(StructField("email", StringType))))))
+    val schema = StructType(Seq(StructField("id", LongType), StructField("user", userT)))
+    val d = df(schema,
+      Row(1L, Row("Alice", Row("Developer", Row("dark")), Row("alice@example.com"))),
+      Row(2L, Row("Bob", Row("Designer", Row("light")), Row("bob@example.com"))))
+    val out = Structuring.unnestAll(d)
+    assert(out.columns.toSeq == Seq("id", "user.name", "user.profile.bio",
+      "user.profile.settings.theme", "user.contact.email"))
+    val rows = out.orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("Alice", "Bob"))
+    assert(rows.map(_.getString(3)).toSeq == Seq("dark", "light"))
+    assert(rows.map(_.getString(4)).toSeq == Seq("alice@example.com", "bob@example.com"))
+  }
+
+  test("unnestAll five levels deep (reference test_unnest_all_very_deeply_nested_structs)") {
+    val l5 = StructType(Seq(StructField("value", LongType)))
+    val l4 = StructType(Seq(StructField("e", l5)))
+    val l3 = StructType(Seq(StructField("d", l4)))
+    val l2 = StructType(Seq(StructField("c", l3)))
+    val l1 = StructType(Seq(StructField("b", l2)))
+    val schema = StructType(Seq(StructField("a", l1)))
+    val out = Structuring.unnestAll(df(schema, Row(Row(Row(Row(Row(Row(42L))))))))
+    assert(out.columns.toSeq == Seq("a.b.c.d.e.value"))
+    assert(out.collect()(0).getLong(0) == 42L)
+  }
+
+  test("unnestAll stops at arrays: structs INSIDE lists keep their shape " +
+    "(reference scope: unnest_all flattens structs only)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("s", StructType(Seq(
+        StructField("items", ArrayType(StructType(Seq(StructField("v", LongType))))))))))
+    val out = Structuring.unnestAll(df(schema, Row(1L, Row(Seq(Row(7L))))))
+    assert(out.columns.toSeq == Seq("id", "s.items"))
+    assert(out.schema("s.items").dataType.isInstanceOf[ArrayType])
+  }
+
+  test("unnestAll on a frame with no structs is the identity " +
+    "(reference test_unnest_all_no_struct_columns)") {
+    val schema = StructType(Seq(StructField("x", LongType), StructField("y", StringType)))
+    val d = df(schema, Row(1L, "a"), Row(2L, "b"))
+    val out = Structuring.unnestAll(d)
+    assert(out.columns.toSeq == Seq("x", "y"))
+    assert(out.count() == 2)
+  }
+
   test("schemaToMap mirrors the dtype tree") {
     val schema = StructType(Seq(
       StructField("n", LongType),
