@@ -593,6 +593,8 @@ final class Packer(
     * repartition pre-shards groups exactly like the reference's buckets. */
   def packStreaming(df: DataFrame, toLevel: String, partitions: Int = 64,
                     extraColumns: ExtraColumns = ExtraColumns.Preserve): DataFrame = {
+    if (partitions < 1) throw new HierarchyConfigError(
+      s"partitions must be >= 1, got $partitions")
     val (prepared, added) = prepareFrame(df) // assign row ids BEFORE the shuffle
     val rootKeys = metas.head.idColumns.filter(hasCol(prepared, _))
     val sharded =

@@ -262,4 +262,79 @@ class ComplexHierarchySpec extends SparkSpec {
     assert(r1.getString(r1.fieldIndex("parent.child.id")) == "c1")
     assert(r1.getLong(r1.fieldIndex("parent.child.value")) == 10L)
   }
+
+  test("a LIST attribute at the parent level is data, not a child level " +
+    "(reference test_hierarchy_with_nested_list_attribute)") {
+    val spec = HierarchySpec(Seq(
+      LevelSpec("order", Seq(NamedField("id"))),
+      LevelSpec("item", Seq(NamedField("sku")))))
+    val p = new Packer(spec)
+    val schema = StructType(Seq(
+      StructField("order.id", StringType),
+      StructField("order.customer_tags", ArrayType(StringType)),
+      StructField("order.item.sku", StringType),
+      StructField("order.item.qty", LongType)))
+    val df = spark.createDataFrame(Seq(
+      Row("o1", Seq("vip", "repeat"), "SKU001", 2L),
+      Row("o1", Seq("vip", "repeat"), "SKU002", 3L)).asJava, schema)
+    val packed = p.pack(df, "order")
+    assert(packed.count() == 1 && packed.columns.contains("order"))
+    val unpacked = p.unpack(packed, "item")
+    assert(unpacked.columns.contains("order.customer_tags"))
+    assert(unpacked.count() == 2)
+    assert(unpacked.select(ColName.topCol("order.customer_tags"))
+      .collect()(0).getSeq[String](0).toSeq == Seq("vip", "repeat"))
+  }
+
+  test("NestedExprs transforms compose over a PACKED hierarchy " +
+    "(reference test_apply_nested_operations_on_packed_hierarchy)") {
+    val spec = HierarchySpec(Seq(
+      LevelSpec("store", Seq(NamedField("id"))),
+      LevelSpec("product", Seq(NamedField("sku")))))
+    val p = new Packer(spec)
+    val schema = StructType(Seq(
+      StructField("store.id", StringType),
+      StructField("store.name", StringType),
+      StructField("store.product.sku", StringType),
+      StructField("store.product.price", DoubleType),
+      StructField("store.product.cost", DoubleType)))
+    val df = spark.createDataFrame(Seq(
+      Row("s1", "Store 1", "A", 10.0, 5.0),
+      Row("s1", "Store 1", "B", 20.0, 10.0),
+      Row("s2", "Store 2", "C", 15.0, 8.0)).asJava, schema)
+    val packed = p.pack(df, "store")
+    val result = NestedExprs.apply(packed,
+      Seq("store" -> Nested(
+        "product" -> Nested(
+          "profit" -> Derive(e => e.getField("price") - e.getField("cost"))))),
+      mode = WithFieldsMode)
+    val unpacked = p.unpack(result, "product")
+    assert(unpacked.columns.contains("store.product.profit"))
+    val profits = unpacked.select(ColName.topCol("store.product.sku"),
+      ColName.topCol("store.product.profit")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(profits == Map("A" -> 5.0, "B" -> 10.0, "C" -> 7.0))
+  }
+
+  test("wide hierarchy: 20 attribute columns per level round-trip " +
+    "(reference test_wide_hierarchy_many_columns_per_level)") {
+    val spec = HierarchySpec(Seq(
+      LevelSpec("parent", Seq(NamedField("id"))),
+      LevelSpec("child", Seq(NamedField("id")))))
+    val p = new Packer(spec)
+    val fields = Seq(StructField("parent.id", StringType),
+      StructField("parent.child.id", StringType)) ++
+      (0 until 20).map(i => StructField(s"parent.attr_$i", StringType)) ++
+      (0 until 20).map(i => StructField(s"parent.child.field_$i", LongType))
+    val rows = Seq(
+      Row.fromSeq(Seq("p1", "c1") ++ (0 until 20).map(i => s"val_$i") ++
+        (0 until 20).map(_.toLong)),
+      Row.fromSeq(Seq("p1", "c2") ++ (0 until 20).map(i => s"val_$i") ++
+        (0 until 20).map(i => (i + 1).toLong)))
+    val df = spark.createDataFrame(rows.asJava, StructType(fields))
+    val unpacked = p.unpack(p.pack(df, "parent"), "child")
+    assert(unpacked.columns.length == df.columns.length)
+    assert(unpacked.count() == 2)
+    assert(unpacked.columns.toSet == df.columns.toSet)
+  }
 }

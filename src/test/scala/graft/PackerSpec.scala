@@ -151,6 +151,33 @@ class PackerSpec extends SparkSpec {
     }
   }
 
+  test("pack_streaming to an intermediate level equals plain pack " +
+    "(reference test_pack_streaming_to_intermediate_level)") {
+    val p = new Packer(streamingSpec)
+    val df = streamingDf(spark)
+    assertSameRows(p.packStreaming(df, "country", 8), p.pack(df, "country"))
+  }
+
+  test("pack_streaming rejects non-positive partitions " +
+    "(reference test_pack_streaming_rejects_bad_partitions)") {
+    val p = new Packer(streamingSpec)
+    val df = streamingDf(spark)
+    assertThrows[HierarchyConfigError](p.packStreaming(df, "city", 0))
+    assertThrows[HierarchyConfigError](p.packStreaming(df, "city", -3))
+  }
+
+  test("unpack_streaming with a parquet sink stages to disk and re-scans losslessly " +
+    "(reference test_unpack_streaming_parquet_source_and_sink)") {
+    val p = new Packer(streamingSpec)
+    val df = streamingDf(spark)
+    val packed = p.pack(df, "city")
+    val sink = java.nio.file.Files.createTempDirectory("unpack_stage").toString + "/out"
+    val staged = p.unpackStreaming(packed, "street", sinkPath = Some(sink))
+    assertSameRows(staged, p.unpack(packed, "street"))
+    // the returned frame is the RE-SCAN of the sink, not the in-memory plan
+    assert(spark.read.parquet(sink).count() == staged.count())
+  }
+
   test("null children survive pack/unpack roundtrip (explode_outer semantics)") {
     // parent row whose child columns are entirely null
     val schema = StructType(Seq(
