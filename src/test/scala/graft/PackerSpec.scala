@@ -105,6 +105,29 @@ class PackerSpec extends SparkSpec {
     assertSameRows(aggRoot, sjRoot)
   }
 
+  test("split_join without root attributes falls back to the aggregate path " +
+    "(reference test_pack_split_join_without_root_attrs_falls_back)") {
+    // apartmentDf has NO non-key root attributes → nothing to split off;
+    // split_join must equal aggregate exactly.
+    val df = apartmentDf(spark)
+    assertSameRows(
+      packer.pack(df, "street", parentStrategy = ParentStrategy.SplitJoin),
+      packer.pack(df, "street"))
+  }
+
+  test("pack handles a dropped aliased key column: alias synthesizes it, " +
+    "roundtrip omits it (reference test_pack_handles_missing_country_code_alias)") {
+    // country.code is aliased to country.city.id; dropping the physical
+    // column must still pack (key recovered via the alias) and the
+    // roundtrip must NOT re-materialize the dropped column.
+    val df = apartmentDf(spark).drop(ColName.topCol("country.code"))
+    val packed = packer.pack(df, "street")
+    assert(!packed.columns.contains("country.code"))
+    val roundtrip = packer.unpack(packed, "apartment")
+    assert(!roundtrip.columns.contains("country.code"))
+    assertSameRows(roundtrip, df)
+  }
+
   test("child order preserved within parent lists (reference test_streaming.py:99-108)") {
     val p = new Packer(streamingSpec)
     val packed = p.pack(streamingDf(spark), "street")

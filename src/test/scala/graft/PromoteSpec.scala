@@ -166,4 +166,35 @@ class PromoteSpec extends SparkSpec {
     val vals = byKey(out, "country.code", "country.population")
     assert(vals("US") == 12000000.0 && vals("CA") == 3000000.0)
   }
+
+  test("enrich adds multiple attribute columns at once (reference test_multiple_specs)") {
+    val packed = packer.pack(promoteDf, "city")
+    val out = packer.enrich(packed, "country",
+      LevelAttribute("id", "city", Agg.Count, alias = Some("city_count")),
+      LevelAttribute("population", "city", Agg.Sum, alias = Some("total_pop")))
+    assert(out.columns.contains("country.city_count"))
+    assert(out.columns.contains("country.total_pop"))
+    val counts = byKey(out, "country.code", "country.city_count")
+    val pops = byKey(out, "country.code", "country.total_pop")
+    assert(counts("US") == 2L && counts("CA") == 1L)
+    assert(pops("US") == 12000000.0 && pops("CA") == 3000000.0)
+  }
+
+  test("enrich same-level attribute access via single (reference test_same_level_spec)") {
+    val packed = packer.pack(promoteDf, "city")
+    val out = packer.enrich(packed, "country",
+      LevelAttribute("name", "country", Agg.Single, alias = Some("cname")))
+    assert(out.columns.contains("country.cname"))
+    val names = byKey(out, "country.code", "country.cname")
+    assert(names("US") == "United States" && names("CA") == "Canada")
+  }
+
+  test("enrich default alias is the attribute name (reference test_default_alias)") {
+    val packed = packer.pack(promoteDf, "city")
+    val out = packer.enrich(packed, "country",
+      LevelAttribute("population", "city", Agg.Sum))
+    assert(out.columns.contains("country.population"))
+    val pops = byKey(out, "country.code", "country.population")
+    assert(pops("US") == 12000000.0 && pops("CA") == 3000000.0)
+  }
 }
