@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 /** Extra-column policy for pack (reference: ExtraColumnsMode). */
 sealed trait ExtraColumns
@@ -44,8 +45,10 @@ object ParentStrategy {
  *    reference's `drop_nulls().first()` (hierarchical_packer.py:2678).
  *
  * @param validateOnPack run the per-level aggregation-uniformity check
- *        (an extra Spark job per packed level — the same cost gate as the
- *        reference's eager-only validation, hierarchical_packer.py:1000-1001)
+ *        (reference's eager validation gate, hierarchical_packer.py:1000-1001).
+ *        The audit evidence (min/max per group) rides the pack's own
+ *        aggregation — no second scan; cost is one narrow check job over
+ *        the persisted packed output, which then serves downstream levels.
  */
 final class Packer(
     val spec: HierarchySpec,
@@ -210,9 +213,6 @@ final class Packer(
       (if (hasRowId) Set(RowIdCol) else Set.empty[String])
     val remaining = df.schema.fieldNames.toIndexedSeq.filterNot(excluded.contains)
 
-    if (validate && remaining.nonEmpty)
-      validateAggregationUniformity(df, groupKeys, remaining, meta.name)
-
     val firstAggs = remaining.map(c => first(topCol(c), ignoreNulls = true).alias(c))
 
     val sortByCols = orderTempCols ++ (if (preserveChildOrder && hasRowId) Seq(RowIdCol) else Nil)
@@ -231,8 +231,21 @@ final class Packer(
       if (preserveChildOrder && hasRowId) Seq(min(topCol(RowIdCol)).alias(RowIdCol))
       else Nil
 
-    val aggs = firstAggs ++ Seq(childList) ++ rowIdAgg
-    df.groupBy(groupKeys.map(topCol): _*).agg(aggs.head, aggs.tail: _*)
+    // M10 audit folded into the SAME aggregation: uniform within a group
+    // ⟺ min(c) <=> max(c) (nulls ignored by both, like the reference's
+    // drop_nulls + n_unique). min/max are partial-aggregatable and add no
+    // Expand step, unlike a countDistinct alongside collect_list.
+    val auditAggs =
+      if (validate && remaining.nonEmpty)
+        remaining.zipWithIndex.flatMap { case (c, i) => Seq(
+          min(topCol(c)).alias(s"${AuditPrefix}min_$i"),
+          max(topCol(c)).alias(s"${AuditPrefix}max_$i")) }
+      else Nil
+
+    val aggs = firstAggs ++ Seq(childList) ++ rowIdAgg ++ auditAggs
+    val packed = df.groupBy(groupKeys.map(topCol): _*).agg(aggs.head, aggs.tail: _*)
+    if (auditAggs.isEmpty) packed
+    else runUniformityAudit(packed, remaining, meta.name)
   }
 
   /** Root attribute columns: under the root prefix but not a root id, not
@@ -557,20 +570,33 @@ final class Packer(
     val excluded = groupKeys.toSet ++ orderTempCols + meta.path + SaltCol ++
       (if (hasRowId) Set(RowIdCol) else Set.empty[String])
     val remaining = df.schema.fieldNames.toIndexedSeq.filterNot(excluded.contains)
-    if (validateOnPack && remaining.nonEmpty)
-      validateAggregationUniformity(df, groupKeys, remaining, meta.name)
     val sortByCols = orderTempCols ++ (if (preserveChildOrder && hasRowId) Seq(RowIdCol) else Nil)
 
     def firstAggs = remaining.map(c => first(topCol(c), ignoreNulls = true).alias(c))
     def rowIdAgg = if (preserveChildOrder && hasRowId)
       Seq(min(topCol(RowIdCol)).alias(RowIdCol)) else Nil
 
+    // M10 audit rides both phases: per-(keys,salt) min/max in phase 1,
+    // min-of-mins / max-of-maxes per keys in phase 2 — composes exactly
+    // because min/max are associative (see packSingleLevel's audit note).
+    val doAudit = validateOnPack && remaining.nonEmpty
+    val auditP1 =
+      if (doAudit) remaining.zipWithIndex.flatMap { case (c, i) => Seq(
+        min(topCol(c)).alias(s"${AuditPrefix}min_$i"),
+        max(topCol(c)).alias(s"${AuditPrefix}max_$i")) }
+      else Nil
+    val auditP2 =
+      if (doAudit) remaining.indices.flatMap { i => Seq(
+        min(col(s"${AuditPrefix}min_$i")).alias(s"${AuditPrefix}min_$i"),
+        max(col(s"${AuditPrefix}max_$i")).alias(s"${AuditPrefix}max_$i")) }
+      else Nil
+
     // phase 1: partial chunks per (keys, salt) — keyed structs, unsorted
     val keyed =
       if (sortByCols.isEmpty) topCol(meta.path)
       else struct((sortByCols.zipWithIndex.map { case (c, i) =>
         topCol(c).alias(s"__k$i") } :+ topCol(meta.path).alias("__payload")): _*)
-    val phase1Aggs = firstAggs ++ Seq(collect_list(keyed).alias(meta.path)) ++ rowIdAgg
+    val phase1Aggs = firstAggs ++ Seq(collect_list(keyed).alias(meta.path)) ++ rowIdAgg ++ auditP1
     val partial = df.groupBy((groupKeys :+ SaltCol).map(topCol): _*)
       .agg(phase1Aggs.head, phase1Aggs.tail: _*)
 
@@ -579,8 +605,10 @@ final class Packer(
       if (sortByCols.isEmpty) flatten(collect_list(topCol(meta.path))).alias(meta.path)
       else transform(array_sort(flatten(collect_list(topCol(meta.path)))),
         x => x.getField("__payload")).alias(meta.path)
-    val phase2Aggs = firstAggs ++ Seq(merged) ++ rowIdAgg
-    partial.groupBy(groupKeys.map(topCol): _*).agg(phase2Aggs.head, phase2Aggs.tail: _*)
+    val phase2Aggs = firstAggs ++ Seq(merged) ++ rowIdAgg ++ auditP2
+    val packed = partial.groupBy(groupKeys.map(topCol): _*)
+      .agg(phase2Aggs.head, phase2Aggs.tail: _*)
+    if (!doAudit) packed else runUniformityAudit(packed, remaining, meta.name)
   }
 
   // ------------------------------------------------------- streaming parity
@@ -624,24 +652,40 @@ final class Packer(
 
   /** M10: grouped values must be identical within each group before the
     * first-non-null dedup (reference: _validate_aggregation_uniformity,
-    * hierarchical_packer.py:2700-2740). One batched job per level. */
-  private def validateAggregationUniformity(df: DataFrame, groupKeys: Seq[String],
-                                            valueCols: Seq[String], levelName: String): Unit = {
-    // per-group distinct counts (nulls ignored, as the reference drops nulls
-    // before n_unique), then max over groups — one batched job
-    val perGroup = valueCols.zipWithIndex.map { case (c, i) =>
-      countDistinct(topCol(c)).alias(s"__nuniq_$i") }
-    val grouped = df.groupBy(groupKeys.map(topCol): _*)
-      .agg(perGroup.head, perGroup.tail: _*)
-    val maxed = valueCols.indices.map(i => max(col(s"__nuniq_$i")))
-    val row = grouped.agg(maxed.head, maxed.tail: _*).collect()(0)
+    * hierarchical_packer.py:2700-2740). The per-group evidence
+    * (`min`/`max` audit columns) rides the pack's OWN groupBy — no second
+    * scan of the raw frame. The packed output is persisted
+    * (MEMORY_AND_DISK) so the eager check and the caller's downstream
+    * action share one shuffle; the check job materializes the cache. Only
+    * the latest audit cache per Packer is retained — each new one
+    * unpersists its predecessor, and the last stays hot to serve the
+    * caller (ContextCleaner reclaims it once unreferenced). */
+  private def runUniformityAudit(packedWithAudit: DataFrame, valueCols: Seq[String],
+                                 levelName: String): DataFrame = {
+    val persisted = packedWithAudit.persist(StorageLevel.MEMORY_AND_DISK)
+    val checks = valueCols.indices.map(i =>
+      max(when(!(col(s"${AuditPrefix}min_$i") <=> col(s"${AuditPrefix}max_$i")), 1L)
+        .otherwise(0L)))
+    // this collect scans every partition → fully populates the cache
+    val row = persisted.agg(checks.head, checks.tail: _*).collect()(0)
+    val prev = lastAuditCache.getAndSet(persisted)
+    if (prev != null) prev.unpersist(false)
     valueCols.zipWithIndex.foreach { case (c, i) =>
-      val m = if (row.isNullAt(i)) 0L else row.getLong(i)
-      if (m > 1) throw new HierarchyValidationError(
-        s"Column '$c' has non-uniform values within groups at level '$levelName'. " +
-          "Values at coarser granularity should be identical within each group.")
+      // agg over zero rows yields null — an empty frame has no violations
+      if (!row.isNullAt(i) && row.getLong(i) > 0) {
+        persisted.unpersist(false)
+        throw new HierarchyValidationError(
+          s"Column '$c' has non-uniform values within groups at level '$levelName'. " +
+            "Values at coarser granularity should be identical within each group.")
+      }
     }
+    val auditCols = valueCols.indices.flatMap(i =>
+      Seq(s"${AuditPrefix}min_$i", s"${AuditPrefix}max_$i"))
+    persisted.drop(auditCols: _*)
   }
+
+  private val lastAuditCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** M8: data validation — null counts in key columns, batched into ONE
     * aggregation pass (reference: validate, hierarchical_packer.py:1667-1717
@@ -672,4 +716,5 @@ object Packer {
   val RowIdCol = "__hier_row_id"
   val OrderTempPrefix = "__hier_order_"
   val SaltCol = "__hier_salt"
+  val AuditPrefix = "__hier_audit_"
 }

@@ -247,6 +247,23 @@ class PackerSpec extends SparkSpec {
     }
   }
 
+  test("validateOnPack on uniform data is invisible: equals the unvalidated " +
+    "pack, audit columns stripped, multi-level and salted") {
+    val df = apartmentDf(spark)
+      .withColumn("country.city.population",
+        when(ColName.topCol("country.city.id") === "NYC", 8L).otherwise(3L))
+    val strict = new Packer(apartmentSpec, validateOnPack = true)
+    // multi-level: audits run (and cache-chain) at every level with attrs
+    val validated = strict.pack(df, "street")
+    assertSameRows(validated, packer.pack(df, "street"))
+    assert(!validated.columns.exists(_.startsWith(Packer.AuditPrefix)))
+    val salted = strict.packSalted(df, "street", saltBuckets = 4)
+    assertSameRows(salted, packer.pack(df, "street"))
+    assert(!salted.columns.exists(_.startsWith(Packer.AuditPrefix)))
+    // packing to ROOT validates the root-attr level too
+    assertSameRows(strict.pack(df, "country"), packer.pack(df, "country"))
+  }
+
   test("empty DataFrame pack/unpack") {
     val df = apartmentDf(spark).filter(lit(false))
     val packed = packer.pack(df, "street")
