@@ -530,6 +530,40 @@ final class Packer(
     dropInternal(dropIfPresent(cur, added))
   }
 
+  /** Leaf-level grouping-key skew probe: max/MEDIAN children-per-parent on
+    * a `sampleFraction` sample (one small job — at scale the sample scan
+    * is noise next to the pack shuffle it informs). Median, not mean: with
+    * few parents a single hot key drags the mean up with it, capping
+    * max/mean at the parent count; max/median stays unbounded under skew.
+    * Returns the skew factor; 1.0 = perfectly uniform. AQE cannot help
+    * here — its skew handling covers joins, not the hash aggregation a
+    * pack is built from. */
+  def leafSkewFactor(df: DataFrame, sampleFraction: Double = 0.01): Double = {
+    val (prepared, _) = prepareFrame(df)
+    val keys = metas.last.ancestorKeys.filter(hasCol(prepared, _))
+    if (keys.isEmpty) return 1.0
+    val sampled =
+      if (sampleFraction >= 1.0) prepared else prepared.sample(sampleFraction)
+    val counts = sampled.groupBy(keys.map(topCol): _*).agg(count(lit(1)).alias("__n"))
+    val row = counts
+      .agg(max(col("__n")), percentile_approx(col("__n"), lit(0.5), lit(1000)))
+      .collect()(0)
+    if (row.isNullAt(0) || row.isNullAt(1) || row.getLong(1) == 0L) 1.0
+    else row.getLong(0).toDouble / row.getLong(1)
+  }
+
+  /** Auto skew dispatch: probe [[leafSkewFactor]] and run [[packSalted]]
+    * when one parent's child count exceeds `skewFactor`× the mean,
+    * [[pack]] otherwise. Contents are identical either way (the salted
+    * path is equality-tested); only the shuffle shape changes. */
+  def packAuto(df: DataFrame, toLevel: String,
+               extraColumns: ExtraColumns = ExtraColumns.Preserve,
+               saltBuckets: Int = 32, skewFactor: Double = 8.0,
+               sampleFraction: Double = 0.01): DataFrame =
+    if (leafSkewFactor(df, sampleFraction) >= skewFactor)
+      packSalted(df, toLevel, saltBuckets, extraColumns)
+    else pack(df, toLevel, extraColumns)
+
   private def packSingleLevelSalted(df0: DataFrame, levelIdx: Int,
                                     saltBuckets: Int): DataFrame = {
     var df = df0
@@ -620,7 +654,8 @@ final class Packer(
     * memory, so this is `repartition(partitions, rootKeys)` + pack. The
     * repartition pre-shards groups exactly like the reference's buckets. */
   def packStreaming(df: DataFrame, toLevel: String, partitions: Int = 64,
-                    extraColumns: ExtraColumns = ExtraColumns.Preserve): DataFrame = {
+                    extraColumns: ExtraColumns = ExtraColumns.Preserve,
+                    sinkPath: Option[String] = None): DataFrame = {
     if (partitions < 1) throw new HierarchyConfigError(
       s"partitions must be >= 1, got $partitions")
     val (prepared, added) = prepareFrame(df) // assign row ids BEFORE the shuffle
@@ -630,8 +665,23 @@ final class Packer(
       else prepared.repartition(partitions, rootKeys.map(topCol): _*)
     // the inner pack sees alias targets as pre-existing and won't drop
     // them itself — drop here so the output schema matches pack(df, ...)
-    dropIfPresent(pack(sharded, toLevel, extraColumns), added)
+    val out = dropIfPresent(pack(sharded, toLevel, extraColumns), added)
+    sinkPath match {
+      // reference `defer=False`: sink eagerly, hand back the re-scan
+      case Some(p) => out.write.mode("overwrite").parquet(p); out.sparkSession.read.parquet(p)
+      case None => out
+    }
   }
+
+  /** Parquet-path source overload (the reference accepts `str | Path`
+    * sources, hierarchical_packer.py:1105): scan-pack from disk without
+    * the caller materializing a frame first. */
+  def packStreaming(spark: org.apache.spark.sql.SparkSession, sourcePath: String,
+                    toLevel: String, partitions: Int,
+                    extraColumns: ExtraColumns,
+                    sinkPath: Option[String]): DataFrame =
+    packStreaming(spark.read.parquet(sourcePath), toLevel, partitions,
+      extraColumns, sinkPath)
 
   /** P6: parity API for `unpack_streaming` (hierarchical_packer.py:1213-1250):
     * optional disk-to-disk staging around unpack.

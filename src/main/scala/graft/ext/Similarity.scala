@@ -101,8 +101,27 @@ object Similarity {
     val sp = df.sparkSession
     val planesArr = planeLiterals(planes, dim)
     val bits = transform(planesArr, p => when(fastDot(sp, p, col(vecCol)) >= 0, 1L).otherwise(0L))
-    val keys = transform(sequence(lit(0), lit(bands - 1)), b =>
-      aggregate(slice(bits, b * perBand + 1, lit(perBand)), lit(0L), (acc, x) => acc * 2 + x))
+    // ONE pass over `bits`: referencing it inside a per-band lambda (the
+    // obvious transform(0..bands-1, b => fold(slice(bits, ...))) shape)
+    // re-evaluates every plane dot product once per band — the HOF
+    // free-variable hazard. Instead `bits` is the aggregate's CHILD and
+    // the accumulator (keys so far, current key, bit index) closes a key
+    // every perBand bits; trailing bits beyond bands*perBand are cut by
+    // the final slice, matching the per-band slice shape.
+    val emptyKeys = lit(Array.empty[Long])
+    val keys = aggregate(
+      bits,
+      struct(emptyKeys.alias("ks"), lit(0L).alias("cur"), lit(0).alias("i")),
+      (acc, x) => {
+        val cur2 = acc.getField("cur") * 2 + x
+        val closes = acc.getField("i") % perBand === perBand - 1
+        struct(
+          when(closes, concat(acc.getField("ks"), array(cur2)))
+            .otherwise(acc.getField("ks")).alias("ks"),
+          when(closes, lit(0L)).otherwise(cur2).alias("cur"),
+          (acc.getField("i") + 1).alias("i"))
+      },
+      acc => slice(acc.getField("ks"), 1, bands))
     df.select(col(idCol), posexplode(keys).as(Seq("__band", "__bucket")))
   }
 

@@ -286,6 +286,33 @@ class ComplexHierarchySpec extends SparkSpec {
       .collect()(0).getSeq[String](0).toSeq == Seq("vip", "repeat"))
   }
 
+  test("a LIST-OF-STRUCT attribute inside a level is data, not a packed child " +
+    "(reference test_nested_list_of_struct_within_hierarchy_level_preserved)") {
+    val spec = HierarchySpec(Seq(
+      LevelSpec("store", Seq(NamedField("id"))),
+      LevelSpec("product", Seq(NamedField("sku")))))
+    val p = new Packer(spec)
+    val contactType = ArrayType(StructType(Seq(
+      StructField("name", StringType), StructField("phone", StringType))))
+    val schema = StructType(Seq(
+      StructField("store.id", StringType),
+      StructField("store.name", StringType),
+      StructField("store.contacts", contactType),
+      StructField("store.product.sku", StringType),
+      StructField("store.product.price", DoubleType)))
+    val contacts = Seq(Row("John", "123"))
+    val df = spark.createDataFrame(Seq(
+      Row("s1", "Store 1", contacts, "SKU001", 10.0),
+      Row("s1", "Store 1", contacts, "SKU002", 20.0)).asJava, schema)
+    val packed = p.pack(df, "store")
+    assert(packed.count() == 1)
+    val unpacked = p.unpack(packed, "product")
+    assert(unpacked.columns.contains("store.contacts"))
+    val c = unpacked.select(ColName.topCol("store.contacts")).collect()(0).getSeq[Row](0)
+    assert(c.map(r => (r.getString(0), r.getString(1))) == Seq(("John", "123")))
+    assertSameRows(unpacked, df)
+  }
+
   test("NestedExprs transforms compose over a PACKED hierarchy " +
     "(reference test_apply_nested_operations_on_packed_hierarchy)") {
     val spec = HierarchySpec(Seq(

@@ -80,4 +80,70 @@ class IntegrationSpec extends AnyFunSuite with SparkSpec {
       .groupBy("band").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(dist == expect)
   }
+
+  test("geographic 3-level buildFromTables → unpack → continent rollup " +
+    "(reference test_geographic_data_analysis / test_three_level_build_from_tables)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val spec = HierarchySpec(Seq(
+      LevelSpec("continent", Seq(NamedField("code"))),
+      LevelSpec("country", Seq(NamedField("code")), parentKeys = Seq("continent_code")),
+      LevelSpec("city", Seq(NamedField("id")), parentKeys = Seq("country_code"))))
+    val p = new Packer(spec)
+    def mk(rows: Seq[Row], fields: (String, DataType)*) =
+      spark.createDataFrame(rows.asJava,
+        StructType(fields.map { case (n, t) => StructField(n, t) }))
+    val continents = mk(Seq(Row("NA", "North America"), Row("EU", "Europe")),
+      "code" -> StringType, "name" -> StringType)
+    val countries = mk(Seq(
+      Row("US", "United States", "NA"), Row("CA", "Canada", "NA"),
+      Row("UK", "United Kingdom", "EU"), Row("DE", "Germany", "EU")),
+      "code" -> StringType, "name" -> StringType, "continent_code" -> StringType)
+    val cities = mk(Seq(
+      Row("NYC", "New York", 8000000L, "US"), Row("LA", "Los Angeles", 4000000L, "US"),
+      Row("TOR", "Toronto", 3000000L, "CA"), Row("LON", "London", 9000000L, "UK"),
+      Row("BER", "Berlin", 3500000L, "DE")),
+      "id" -> StringType, "name" -> StringType, "population" -> LongType,
+      "country_code" -> StringType)
+    val geo = p.buildFromTables(Map(
+      "continent" -> continents, "country" -> countries, "city" -> cities))
+    assert(geo.count() == 2)
+    val flat = p.unpack(geo, "city")
+    assert(flat.count() == 5)
+    val pops = flat.groupBy(ColName.topCol("continent.code").alias("code"))
+      .agg(sum(ColName.topCol("continent.country.city.population")).alias("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pops == Map("EU" -> 12500000L, "NA" -> 15000000L))
+  }
+
+  test("chained with_fields transformations see earlier derived fields " +
+    "(reference test_multiple_transformations_same_data)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val mtype = StructType(Seq(StructField("views", LongType),
+      StructField("clicks", LongType), StructField("conversions", LongType)))
+    val df = spark.createDataFrame(Seq(
+      Row(Row(1000L, 50L, 10L)), Row(Row(2000L, 100L, 25L))).asJava,
+      StructType(Seq(StructField("metrics", mtype))))
+    val rates = NestedExprs(df, Seq(
+      "metrics" -> Nested(
+        "click_rate" -> Derive(m =>
+          m.getField("clicks").cast("double") / m.getField("views") * 100),
+        "conv_rate" -> Derive(m =>
+          m.getField("conversions").cast("double") / m.getField("clicks") * 100))),
+      WithFieldsMode)
+    val normalized = NestedExprs(rates, Seq(
+      "metrics" -> Nested(
+        "views_normalized" -> Derive(m => m.getField("views").cast("double") / 1000),
+        "performance_score" -> Derive(m =>
+          (m.getField("click_rate") + m.getField("conv_rate")) / 2))),
+      WithFieldsMode)
+    val r0 = normalized.select(col("metrics")).collect()(0).getStruct(0)
+    assert(r0.getAs[Double]("click_rate") == 5.0)
+    assert(r0.getAs[Double]("conv_rate") == 20.0)
+    assert(r0.getAs[Double]("views_normalized") == 1.0)
+    assert(r0.getAs[Double]("performance_score") == 12.5)
+  }
 }

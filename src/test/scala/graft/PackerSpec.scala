@@ -189,6 +189,24 @@ class PackerSpec extends SparkSpec {
     assertThrows[HierarchyConfigError](p.packStreaming(df, "city", -3))
   }
 
+  test("pack_streaming parquet source and eager sink both equal plain pack " +
+    "(reference test_pack_streaming_accepts_parquet_path / _eager_sink_returns_scan)") {
+    val p = new Packer(streamingSpec)
+    val df = streamingDf(spark)
+    val ref = p.pack(df, "country")
+    val tmp = java.nio.file.Files.createTempDirectory("pack_stream").toString
+    df.write.mode("overwrite").parquet(s"$tmp/src")
+    val fromPath = p.packStreaming(spark, s"$tmp/src", "country", 4,
+      ExtraColumns.Preserve, sinkPath = None)
+    // "input order" for a path source is the parquet SCAN order (file
+    // listing, not write order) — compare against a pack of the same scan
+    assertSameRows(fromPath, p.pack(spark.read.parquet(s"$tmp/src"), "country"))
+    val sunk = p.packStreaming(df, "country", 4, sinkPath = Some(s"$tmp/sink"))
+    assertSameRows(sunk, ref)
+    // the returned frame is the RE-SCAN of the sink
+    assert(spark.read.parquet(s"$tmp/sink").count() == ref.count())
+  }
+
   test("unpack_streaming with a parquet sink stages to disk and re-scans losslessly " +
     "(reference test_unpack_streaming_parquet_source_and_sink)") {
     val p = new Packer(streamingSpec)
@@ -291,6 +309,19 @@ class PackerSpec extends SparkSpec {
       .schema.fieldNames.sorted.toSeq
     assert(stream == plain, s"packStreaming schema diverged: $stream vs $plain")
     assert(split == plain, s"split_join schema diverged: $split vs $plain")
+  }
+
+  test("packAuto probes leaf skew and stays content-identical to pack") {
+    val p = new Packer(streamingSpec)
+    val base = streamingDf(spark)
+    // uniform-ish: max streets per city 4, median 2 → factor 2
+    assert(p.leafSkewFactor(base, sampleFraction = 1.0) < 8.0)
+    val hotRows = (0 until 500).map(i => Row("C0", "city0", "C0", s"hot_$i", "city0"))
+    val skewed = base.union(spark.createDataFrame(hotRows.asJava, base.schema))
+    // hot city owns 501 leaf rows, median city ~2 → factor ~200
+    assert(p.leafSkewFactor(skewed, sampleFraction = 1.0) > 8.0)
+    assertSameRows(p.packAuto(skewed, "city", sampleFraction = 1.0), p.pack(skewed, "city"))
+    assertSameRows(p.packAuto(base, "city", sampleFraction = 1.0), p.pack(base, "city"))
   }
 
   test("packSalted equals pack, including on a skewed hot key") {
