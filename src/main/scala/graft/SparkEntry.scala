@@ -97,6 +97,13 @@ object SparkEntry {
       val packed = p.packSalted(flatOrderLines(s, dir), "lineitem", saltBuckets = 8)
       stripPrefixes(p.unpack(packed, "lineitem"))
     }),
+    // packAuto: sampled skew probe dispatching pack vs packSalted — either
+    // branch roundtrips identically, so the plain roundtrip oracle gates it
+    "q_pack_auto" -> ((s, dir) => {
+      val p = orderPacker
+      val packed = p.packAuto(flatOrderLines(s, dir), "lineitem", sampleFraction = 0.5)
+      stripPrefixes(p.unpack(packed, "lineitem"))
+    }),
     // Q1/Q2/Q3: enrich with cross-level aggregation kernels
     "q_enrich_aggs" -> ((s, dir) => {
       val p = orderPacker
@@ -725,6 +732,7 @@ object SparkEntry {
       "q_pack_unpack_roundtrip" -> roundtripSql,
       "q_pack_split_join" -> roundtripSql,
       "q_pack_salted" -> roundtripSql,
+      "q_pack_auto" -> roundtripSql,
       "q_pack_streaming" -> roundtripSql,
       "q_pack_root_unnest" ->
         s"""SELECT ${orderCols.map(c => s"""$c AS "order.$c"""").mkString(", ")}
