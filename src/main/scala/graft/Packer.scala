@@ -13,6 +13,14 @@ object ExtraColumns {
   case object Error extends ExtraColumns
 }
 
+/** Physical pack strategy chosen by [[Packer.choosePackStrategy]]. */
+sealed trait PackStrategy
+object PackStrategy {
+  case object Plain extends PackStrategy
+  case object Salted extends PackStrategy
+  case object SplitJoin extends PackStrategy
+}
+
 /** Root-attribute strategy for pack (reference: ParentStrategy). */
 sealed trait ParentStrategy
 object ParentStrategy {
@@ -552,17 +560,61 @@ final class Packer(
     else row.getLong(0).toDouble / row.getLong(1)
   }
 
-  /** Auto skew dispatch: probe [[leafSkewFactor]] and run [[packSalted]]
-    * when one parent's child count exceeds `skewFactor`× the mean,
-    * [[pack]] otherwise. Contents are identical either way (the salted
-    * path is equality-tested); only the shuffle shape changes. */
+  /** Sampled physical-strategy probe for [[packAuto]] — the pack
+    * analogue of AQE's statistics-driven re-planning (which cannot help
+    * here: AQE re-plans joins, not hash aggregations):
+    *  1. [[leafSkewFactor]] ≥ `skewFactor` → [[PackStrategy.Salted]]
+    *     (spread the hot parent's children across a two-phase agg);
+    *  2. else, root-attribute payload ≥ `splitJoinWidthFactor`× the rest
+    *     of the row AND ≥ `minChildrenPerRoot` children per root →
+    *     [[PackStrategy.SplitJoin]] (don't drag the duplicated root
+    *     payload through the shuffle; re-attach it from a dim table);
+    *  3. else [[PackStrategy.Plain]].
+    * Widths are sampled mean `to_json` byte lengths — a serialization
+    * proxy; only the ratio is used. All three strategies produce
+    * identical contents (equality-tested); only the shuffle shape
+    * differs, so a misprediction costs time, never correctness. */
+  def choosePackStrategy(df: DataFrame, skewFactor: Double = 8.0,
+                         sampleFraction: Double = 0.01,
+                         splitJoinWidthFactor: Double = 1.0,
+                         minChildrenPerRoot: Double = 4.0): PackStrategy = {
+    if (leafSkewFactor(df, sampleFraction) >= skewFactor)
+      return PackStrategy.Salted
+    val (prepared, _) = prepareFrame(df)
+    val attrCols = rootAttributeColumns(prepared.schema)
+    val rootKeys = metas.head.idColumns.filter(hasCol(prepared, _))
+    if (attrCols.isEmpty || rootKeys.isEmpty) return PackStrategy.Plain
+    val s = if (sampleFraction >= 1.0) prepared else prepared.sample(sampleFraction)
+    def width(cols: Seq[String]): Column =
+      if (cols.isEmpty) lit(0.0)
+      else cols.map(c => coalesce(octet_length(to_json(struct(topCol(c)))), lit(0))
+        .cast(DoubleType)).reduce(_ + _)
+    val others = prepared.schema.fieldNames.toIndexedSeq
+      .filterNot(attrCols.contains).filterNot(_ == RowIdCol)
+    val row = s.agg(
+      count(lit(1)).cast(DoubleType),
+      approx_count_distinct(struct(rootKeys.map(topCol): _*)).cast(DoubleType),
+      avg(width(attrCols)), avg(width(others))).collect()(0)
+    if ((0 to 3).exists(row.isNullAt)) return PackStrategy.Plain
+    val (n, nRoots, wAttr, wOther) =
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    if (nRoots > 0 && n / nRoots >= minChildrenPerRoot &&
+        wAttr >= splitJoinWidthFactor * wOther) PackStrategy.SplitJoin
+    else PackStrategy.Plain
+  }
+
+  /** Auto strategy dispatch: run [[choosePackStrategy]]'s pick. Contents
+    * are identical under every strategy; only the shuffle shape changes. */
   def packAuto(df: DataFrame, toLevel: String,
                extraColumns: ExtraColumns = ExtraColumns.Preserve,
                saltBuckets: Int = 32, skewFactor: Double = 8.0,
                sampleFraction: Double = 0.01): DataFrame =
-    if (leafSkewFactor(df, sampleFraction) >= skewFactor)
-      packSalted(df, toLevel, saltBuckets, extraColumns)
-    else pack(df, toLevel, extraColumns)
+    choosePackStrategy(df, skewFactor, sampleFraction) match {
+      case PackStrategy.Salted => packSalted(df, toLevel, saltBuckets, extraColumns)
+      case PackStrategy.SplitJoin =>
+        pack(df, toLevel, extraColumns, ParentStrategy.SplitJoin)
+      case PackStrategy.Plain => pack(df, toLevel, extraColumns)
+    }
 
   private def packSingleLevelSalted(df0: DataFrame, levelIdx: Int,
                                     saltBuckets: Int): DataFrame = {

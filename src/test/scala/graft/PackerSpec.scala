@@ -320,8 +320,28 @@ class PackerSpec extends SparkSpec {
     val skewed = base.union(spark.createDataFrame(hotRows.asJava, base.schema))
     // hot city owns 501 leaf rows, median city ~2 → factor ~200
     assert(p.leafSkewFactor(skewed, sampleFraction = 1.0) > 8.0)
+    assert(p.choosePackStrategy(skewed, sampleFraction = 1.0) == PackStrategy.Salted)
+    // no root attributes at all → plain
+    assert(p.choosePackStrategy(base, sampleFraction = 1.0) == PackStrategy.Plain)
     assertSameRows(p.packAuto(skewed, "city", sampleFraction = 1.0), p.pack(skewed, "city"))
     assertSameRows(p.packAuto(base, "city", sampleFraction = 1.0), p.pack(base, "city"))
+  }
+
+  test("choosePackStrategy picks split_join on parent-dominant payloads only") {
+    val p = new Packer(streamingSpec)
+    // a fat root attribute (~1 KB per row) duplicated across ~2 children
+    // per country... first make children-per-root high enough: country C0
+    // already has multiple cities/streets in streamingDf (13 rows over 3
+    // countries ≈ 4.3 children per root)
+    val fat = streamingDf(spark).withColumn("country.blob",
+      concat_ws("", (0 until 256).map(_ => ColName.topCol("country.id")): _*))
+    assert(p.choosePackStrategy(fat, sampleFraction = 1.0) == PackStrategy.SplitJoin)
+    // same shape but a TINY root attribute → plain aggregate wins
+    val thin = streamingDf(spark).withColumn("country.tag",
+      ColName.topCol("country.id"))
+    assert(p.choosePackStrategy(thin, sampleFraction = 1.0) == PackStrategy.Plain)
+    // and the dispatched pack stays content-identical
+    assertSameRows(p.packAuto(fat, "city", sampleFraction = 1.0), p.pack(fat, "city"))
   }
 
   test("packSalted equals pack, including on a skewed hot key") {
