@@ -234,7 +234,35 @@ object Bench {
           spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
           threshold = 0.5, shingleN = 3, numHashes = 128, bands = 32)))
 
-    val all = queryTimes ++ parityResults ++ scaleDedup
+    // top-k query-count scaling: q_knn_bruteforce runs 10 queries; these
+    // run 10× and 100×. With the bounded-heap TopKByScore the cost model
+    // is one corpus scan + (k × queries) heap entries per partition, so
+    // time should grow far SLOWER than the query count — the single-task
+    // window ranking this replaced scaled linearly in queries × corpus.
+    val scaleKnn = {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      val out = Seq(100, 1000).map(nq => scenario(s"scale_knn_${nq}q")(
+        graft.ext.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < nq), 10, "vec_id", "embedding")))
+      emb.unpersist()
+      out
+    }
+
+    // auto strategy selection: the probe + the strategy it picks, on the
+    // two presets where the choice matters — evidence the sampled
+    // selector lands on the winning side (compare against the manual
+    // parity_pack_* entries for the same datasets)
+    val autoScenarios = Seq("parent_dom_2k", "skewed").map { dsKey =>
+      val ds = buildDataset(spark, dsKey).persist(StorageLevel.MEMORY_AND_DISK)
+      ds.count()
+      val r = scenario(s"auto_pack_$dsKey")(packer.packAuto(ds, "image"))
+      ds.unpersist()
+      r
+    }
+
+    val all = queryTimes ++ parityResults ++ scaleDedup ++ scaleKnn ++ autoScenarios
     val qs = all.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val rssJson = rss.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum

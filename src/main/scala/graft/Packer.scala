@@ -550,8 +550,11 @@ final class Packer(
     val (prepared, _) = prepareFrame(df)
     val keys = metas.last.ancestorKeys.filter(hasCol(prepared, _))
     if (keys.isEmpty) return 1.0
+    // project keys BEFORE sampling — syntactic column pruning, so the
+    // probe never deserializes payload columns even from a cache
+    val keysOnly = prepared.select(keys.map(topCol): _*)
     val sampled =
-      if (sampleFraction >= 1.0) prepared else prepared.sample(sampleFraction)
+      if (sampleFraction >= 1.0) keysOnly else keysOnly.sample(sampleFraction)
     val counts = sampled.groupBy(keys.map(topCol): _*).agg(count(lit(1)).alias("__n"))
     val row = counts
       .agg(max(col("__n")), percentile_approx(col("__n"), lit(0.5), lit(1000)))
@@ -584,22 +587,33 @@ final class Packer(
     val attrCols = rootAttributeColumns(prepared.schema)
     val rootKeys = metas.head.idColumns.filter(hasCol(prepared, _))
     if (attrCols.isEmpty || rootKeys.isEmpty) return PackStrategy.Plain
-    val s = if (sampleFraction >= 1.0) prepared else prepared.sample(sampleFraction)
+    // children-per-root must come from the FULL frame: a fraction-f sample
+    // of c-children roots sees ~max(1, c·f) children per sampled root, so
+    // the sampled ratio collapses toward 1 and under-detects exactly the
+    // parent-dominant shapes this probe exists for. Keys-only projection +
+    // partial-agg approx_count_distinct keep the full pass cheap.
+    val keyRow = prepared.select(rootKeys.map(topCol): _*)
+      .agg(count(lit(1)).cast(DoubleType),
+        approx_count_distinct(struct(rootKeys.map(topCol): _*)).cast(DoubleType))
+      .collect()(0)
+    if (keyRow.isNullAt(0) || keyRow.isNullAt(1) || keyRow.getDouble(1) == 0.0)
+      return PackStrategy.Plain
+    val childrenPerRoot = keyRow.getDouble(0) / keyRow.getDouble(1)
+    if (childrenPerRoot < minChildrenPerRoot) return PackStrategy.Plain
+    // width ratio is a per-row mean — a bounded sample is plenty, and it
+    // caps the to_json serialization cost on wide payloads
+    val s = (if (sampleFraction >= 1.0) prepared else prepared.sample(sampleFraction))
+      .limit(WidthProbeRows)
     def width(cols: Seq[String]): Column =
       if (cols.isEmpty) lit(0.0)
       else cols.map(c => coalesce(octet_length(to_json(struct(topCol(c)))), lit(0))
         .cast(DoubleType)).reduce(_ + _)
     val others = prepared.schema.fieldNames.toIndexedSeq
       .filterNot(attrCols.contains).filterNot(_ == RowIdCol)
-    val row = s.agg(
-      count(lit(1)).cast(DoubleType),
-      approx_count_distinct(struct(rootKeys.map(topCol): _*)).cast(DoubleType),
-      avg(width(attrCols)), avg(width(others))).collect()(0)
-    if ((0 to 3).exists(row.isNullAt)) return PackStrategy.Plain
-    val (n, nRoots, wAttr, wOther) =
-      (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
-    if (nRoots > 0 && n / nRoots >= minChildrenPerRoot &&
-        wAttr >= splitJoinWidthFactor * wOther) PackStrategy.SplitJoin
+    val row = s.agg(avg(width(attrCols)), avg(width(others))).collect()(0)
+    if (row.isNullAt(0) || row.isNullAt(1)) return PackStrategy.Plain
+    if (row.getDouble(0) >= splitJoinWidthFactor * row.getDouble(1))
+      PackStrategy.SplitJoin
     else PackStrategy.Plain
   }
 
@@ -819,4 +833,6 @@ object Packer {
   val OrderTempPrefix = "__hier_order_"
   val SaltCol = "__hier_salt"
   val AuditPrefix = "__hier_audit_"
+  /** Row cap for the choosePackStrategy width probe. */
+  val WidthProbeRows = 1000
 }

@@ -115,4 +115,39 @@ class NestedExprsEdgeSpec extends SparkSpec {
     assert(s.getLong(s.fieldIndex("b")) == 2L)
     assert(s.getLong(s.fieldIndex("c")) == 3L) // from ORIGINAL a=1, b=2
   }
+
+  test("real-world composite: keeps + list derives + struct Fn/Derive in one " +
+    "spec (reference test_complex_real_world_example)") {
+    val orderT = StructType(Seq(StructField("item", StringType),
+      StructField("price", DoubleType), StructField("quantity", LongType)))
+    val profileT = StructType(Seq(StructField("name", StringType),
+      StructField("age", LongType)))
+    val schema = StructType(Seq(
+      StructField("customer_id", LongType),
+      StructField("orders", ArrayType(orderT)),
+      StructField("profile", profileT)))
+    val df = spark.createDataFrame(Seq(
+      Row(1L, Seq(Row("apple", 1.0, 5L), Row("banana", 0.5, 10L)), Row("Alice", 30L)),
+      Row(2L, Seq(Row("orange", 1.5, 3L)), Row("Bob", 25L)),
+      Row(3L, Seq(Row("grape", 2.0, 2L), Row("apple", 1.0, 4L)), Row("Charlie", 35L))
+    ).asJava, schema)
+    val out = NestedExprs.apply(df, Seq(
+      "customer_id" -> Keep,
+      "orders" -> Nested(
+        "item" -> Keep, "price" -> Keep, "quantity" -> Keep,
+        "subtotal" -> Derive(e => e.getField("price") * e.getField("quantity")),
+        "discounted_price" -> Derive(e => e.getField("price") * 0.9)),
+      "profile" -> Nested(
+        "name" -> Keep,
+        "age" -> Fn(_ + 1),
+        "is_senior" -> Derive(s => s.getField("age") >= 30))),
+      mode = WithFieldsMode)
+    val r0 = out.filter(col("customer_id") === 1L).collect()(0)
+    val firstOrder = r0.getSeq[Row](r0.fieldIndex("orders"))(0)
+    assert(firstOrder.getAs[Double]("subtotal") == 5.0)
+    assert(math.abs(firstOrder.getAs[Double]("discounted_price") - 0.9) < 1e-9)
+    val prof = r0.getStruct(r0.fieldIndex("profile"))
+    assert(prof.getAs[Long]("age") == 31L)
+    assert(prof.getAs[Boolean]("is_senior")) // ORIGINAL age 30 >= 30
+  }
 }

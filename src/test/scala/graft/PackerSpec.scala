@@ -344,6 +344,21 @@ class PackerSpec extends SparkSpec {
     assertSameRows(p.packAuto(fat, "city", sampleFraction = 1.0), p.pack(fat, "city"))
   }
 
+  test("choosePackStrategy children-per-root survives a small sample " +
+    "(regression: sampled ratio collapses toward 1)") {
+    val spec = HierarchySpec(Seq(
+      LevelSpec("p", Seq(NamedField("id"))),
+      LevelSpec("c", Seq(NamedField("id")))))
+    val pk = new Packer(spec)
+    // 500 roots x 20 children; a 1% sample sees ~0.2 children per root —
+    // the full-frame count/distinct must still report 20
+    val df = spark.range(10000).select(
+      (col("id") / 20).cast("long").cast("string").alias("p.id"),
+      concat_ws("", (0 until 128).map(_ => lit("x")): _*).alias("p.payload"),
+      col("id").cast("string").alias("p.c.id"))
+    assert(pk.choosePackStrategy(df, sampleFraction = 0.01) == PackStrategy.SplitJoin)
+  }
+
   test("packSalted equals pack, including on a skewed hot key") {
     val spec = streamingSpec
     val p = new Packer(spec)
