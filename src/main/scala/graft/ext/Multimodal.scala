@@ -131,5 +131,9 @@ object Multimodal {
     * True byte-budget bin-packing needs a size-sorted striping pass and
     * belongs in offline layout, not per-query. */
   def repartitionBySize(assets: DataFrame, partitions: Int): DataFrame =
-    assets.repartition(partitions, pmod(xxhash64(col("asset_id")), lit(partitions.toLong)))
+    // repartition's own HashPartitioning over the full id space IS the
+    // hash-spread; pre-folding ids into `partitions` distinct salt values
+    // (pmod(xxhash64(id), n)) and re-hashing those would leave ~1/e of
+    // the partitions empty and stack heavies on the collisions
+    assets.repartition(partitions, col("asset_id"))
 }

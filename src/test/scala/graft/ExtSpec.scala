@@ -146,6 +146,30 @@ class ExtSpec extends SparkSpec {
     assert((m.getInt(0), m.getInt(1)) == (8, 4))
   }
 
+  test("repartitionBySize spreads a size-skewed asset corpus across tasks") {
+    // 64 heavy assets (~8 KB) + 1024 tiny ones; consecutive ids so a naive
+    // range/roundrobin split would clump the heavies together
+    val heavy = spark.range(64).select(col("id").alias("doc_id"),
+      concat_ws("", (0 until 512).map(_ => lit("HEAVYHEAVYHEAVY!")): _*).alias("text"))
+    val tiny = spark.range(64, 1088).select(col("id").alias("doc_id"),
+      lit("t").alias("text"))
+    val assets = Multimodal.assetsFromText(heavy.union(tiny), "doc_id", "text")
+    val parts = Multimodal.repartitionBySize(assets, 8)
+    val sizes = parts
+      .select(spark_partition_id().alias("pid"), col("meta.n_bytes").alias("b"))
+      .groupBy("pid").agg(sum("b").alias("bytes"), count(lit(1)).alias("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(sizes.length == 8, s"expected 8 partitions, got ${sizes.length}")
+    val bytes = sizes.map(_._1)
+    // hash-spread: every task gets a share of the heavy payloads —
+    // no empty partitions and max byte load within 3x of the mean
+    // (deterministic: xxhash64 of fixed ids)
+    assert(bytes.forall(_ > 0))
+    val mean = bytes.sum.toDouble / bytes.length
+    assert(bytes.max <= 3.0 * mean,
+      s"skewed spread: ${bytes.toSeq} (mean $mean)")
+  }
+
   test("DotProduct expression is bit-identical to the HOF dot kernel") {
     val sp = spark
     val both = vectors.crossJoin(
