@@ -172,12 +172,13 @@ object Dedup {
     * in its component after O(diameter) rounds. Each round is one
     * join + groupBy(min) — all map-side-combinable shuffles — with a
     * `localCheckpoint` lineage cut (without it round i re-executes rounds
-    * 1..i-1). Near-dup graphs have tiny diameters (dup clusters are
-    * near-cliques), so rounds stay single-digit at any corpus size; for
-    * adversarial long-chain graphs the published large-star/small-star
-    * halving (Kiveris et al., "Connected Components in MapReduce") is the
-    * drop-in upgrade. Throws if `maxIter` rounds don't converge — a
-    * silently partial clustering would under-merge and leak duplicates. */
+    * 1..i-1). Each round combines one hop of neighbor-min propagation
+    * with PATH HALVING (comp ← comp[comp], one self-join) so convergence
+    * is O(log diameter) rounds — the pointer-jumping idea behind
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce") — spec-tested on a 300-node chain under the default cap.
+    * Throws if `maxIter` rounds don't converge — a silently partial
+    * clustering would under-merge and leak duplicates. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val sym = pairs.select(col(aCol).alias("src"), col(bCol).alias("dst"))
@@ -191,10 +192,20 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").alias("id")).agg(min(col("comp")).alias("__nbr"))
-      val updated = labels.alias("l")
+      val propagated = labels.alias("l")
         .join(nbrMin.alias("n"), col("l.id") === col("n.id"), "left")
         .select(col("l.id").alias("id"),
           least(col("l.comp"), coalesce(col("__nbr"), col("l.comp"))).alias("comp"))
+      // path halving (pointer jumping): comp ← comp[comp]. Every comp
+      // value is itself a node id, so one self-join re-points each node
+      // at its parent's component, doubling the effective propagation
+      // distance per round — O(log diameter) rounds on chain graphs
+      // instead of O(diameter), same min-id fixed point.
+      val updated = propagated.alias("u")
+        .join(propagated.select(col("id").alias("cid"), col("comp").alias("ccomp")).alias("c"),
+          col("u.comp") === col("c.cid"), "left")
+        .select(col("u.id").alias("id"),
+          least(col("u.comp"), coalesce(col("ccomp"), col("u.comp"))).alias("comp"))
         .localCheckpoint()
       converged = updated.alias("u").join(labels.alias("o"), "id")
         .filter(col("u.comp") =!= col("o.comp")).isEmpty

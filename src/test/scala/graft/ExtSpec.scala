@@ -261,6 +261,16 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.connectedComponents(df.limit(0), "id_a", "id_b").count() == 0)
   }
 
+  test("connectedComponents converges on a 300-node chain within 25 rounds " +
+    "(path halving: O(log diameter), plain propagation would need 299)") {
+    val chain = spark.range(299).select(col("id").alias("id_a"),
+      (col("id") + 1).alias("id_b"))
+    val comp = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 300)
+    assert(comp.values.forall(_ == 0L))
+  }
+
   test("nearDupSurvivors keeps min id per dup cluster plus all singletons") {
     val out = Dedup.nearDupSurvivors(docs, "text", "doc_id", threshold = 0.5,
       shingleN = 2, numHashes = 32, bands = 32)
