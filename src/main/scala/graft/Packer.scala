@@ -175,8 +175,9 @@ final class Packer(
       val coarsest = metas(stages.last).ancestorKeys.filter(hasCol(cur, _))
       if (coarsest.nonEmpty) cur = cur.repartition(coarsest.map(topCol): _*)
     }
+    val audit = new AuditCtx
     (metas.size - 1 to targetIdx by -1).foreach { i =>
-      cur = packSingleLevel(cur, i, validate = validateOnPack)
+      cur = packSingleLevel(cur, i, validate = validateOnPack, auditCtx = audit)
     }
     dropInternal(dropIfPresent(cur, added))
   }
@@ -184,7 +185,8 @@ final class Packer(
   /** P2: pack exactly one level (reference: _pack_single_level,
     * hierarchical_packer.py:2614-2698). */
   private[graft] def packSingleLevel(df0: DataFrame, levelIdx: Int,
-                                     validate: Boolean = false): DataFrame = {
+                                     validate: Boolean = false,
+                                     auditCtx: AuditCtx = new AuditCtx): DataFrame = {
     var df = df0
     if (preserveChildOrder && !hasCol(df, RowIdCol))
       df = df.select((monotonically_increasing_id().alias(RowIdCol) +:
@@ -253,7 +255,7 @@ final class Packer(
     val aggs = firstAggs ++ Seq(childList) ++ rowIdAgg ++ auditAggs
     val packed = df.groupBy(groupKeys.map(topCol): _*).agg(aggs.head, aggs.tail: _*)
     if (auditAggs.isEmpty) packed
-    else runUniformityAudit(packed, remaining, meta.name)
+    else runUniformityAudit(packed, remaining, meta.name, auditCtx)
   }
 
   /** Root attribute columns: under the root prefix but not a root id, not
@@ -531,9 +533,10 @@ final class Packer(
     var cur = applyExtraColumnsPolicy(prepared, extraColumns)
     val targetIdx = spec.levelIndex(toLevel)
     val leafIdx = metas.size - 1
-    cur = packSingleLevelSalted(cur, leafIdx, saltBuckets)
+    val audit = new AuditCtx
+    cur = packSingleLevelSalted(cur, leafIdx, saltBuckets, audit)
     ((leafIdx - 1) to targetIdx by -1).foreach { i =>
-      cur = packSingleLevel(cur, i, validate = validateOnPack)
+      cur = packSingleLevel(cur, i, validate = validateOnPack, auditCtx = audit)
     }
     dropInternal(dropIfPresent(cur, added))
   }
@@ -622,8 +625,11 @@ final class Packer(
   def packAuto(df: DataFrame, toLevel: String,
                extraColumns: ExtraColumns = ExtraColumns.Preserve,
                saltBuckets: Int = 32, skewFactor: Double = 8.0,
-               sampleFraction: Double = 0.01): DataFrame =
-    choosePackStrategy(df, skewFactor, sampleFraction) match {
+               sampleFraction: Double = 0.01,
+               splitJoinWidthFactor: Double = 1.0,
+               minChildrenPerRoot: Double = 4.0): DataFrame =
+    choosePackStrategy(df, skewFactor, sampleFraction,
+      splitJoinWidthFactor, minChildrenPerRoot) match {
       case PackStrategy.Salted => packSalted(df, toLevel, saltBuckets, extraColumns)
       case PackStrategy.SplitJoin =>
         pack(df, toLevel, extraColumns, ParentStrategy.SplitJoin)
@@ -631,7 +637,8 @@ final class Packer(
     }
 
   private def packSingleLevelSalted(df0: DataFrame, levelIdx: Int,
-                                    saltBuckets: Int): DataFrame = {
+                                    saltBuckets: Int,
+                                    auditCtx: AuditCtx = new AuditCtx): DataFrame = {
     var df = df0
     if (preserveChildOrder && !hasCol(df, RowIdCol))
       df = df.select((monotonically_increasing_id().alias(RowIdCol) +:
@@ -708,7 +715,8 @@ final class Packer(
     val phase2Aggs = firstAggs ++ Seq(merged) ++ rowIdAgg ++ auditP2
     val packed = partial.groupBy(groupKeys.map(topCol): _*)
       .agg(phase2Aggs.head, phase2Aggs.tail: _*)
-    if (!doAudit) packed else runUniformityAudit(packed, remaining, meta.name)
+    if (!doAudit) packed
+    else runUniformityAudit(packed, remaining, meta.name, auditCtx)
   }
 
   // ------------------------------------------------------- streaming parity
@@ -766,26 +774,39 @@ final class Packer(
 
   // -------------------------------------------------------------- validation
 
+  /** Per-pack-invocation chain of M10 audit caches: each new cache
+    * supersedes (unpersists) the previous one from the SAME invocation;
+    * the final one is left alive to serve the returned frame. */
+  private[graft] final class AuditCtx {
+    private var prev: DataFrame = _
+    def supersede(next: DataFrame): Unit = synchronized {
+      if (prev != null) prev.unpersist(false)
+      prev = next
+    }
+  }
+
   /** M10: grouped values must be identical within each group before the
     * first-non-null dedup (reference: _validate_aggregation_uniformity,
     * hierarchical_packer.py:2700-2740). The per-group evidence
     * (`min`/`max` audit columns) rides the pack's OWN groupBy — no second
     * scan of the raw frame. The packed output is persisted
     * (MEMORY_AND_DISK) so the eager check and the caller's downstream
-    * action share one shuffle; the check job materializes the cache. Only
-    * the latest audit cache per Packer is retained — each new one
-    * unpersists its predecessor, and the last stays hot to serve the
-    * caller (ContextCleaner reclaims it once unreferenced). */
+    * action share one shuffle; the check job materializes the cache.
+    * Cache lifetime is scoped to ONE pack invocation via [[AuditCtx]]:
+    * within a call each level's cache supersedes (unpersists) the
+    * previous level's, and the final cache stays hot to serve the
+    * returned frame. Interleaved or concurrent packs on one Packer never
+    * evict each other's results; ContextCleaner reclaims the survivors
+    * once unreferenced. */
   private def runUniformityAudit(packedWithAudit: DataFrame, valueCols: Seq[String],
-                                 levelName: String): DataFrame = {
+                                 levelName: String, ctx: AuditCtx): DataFrame = {
     val persisted = packedWithAudit.persist(StorageLevel.MEMORY_AND_DISK)
     val checks = valueCols.indices.map(i =>
       max(when(!(col(s"${AuditPrefix}min_$i") <=> col(s"${AuditPrefix}max_$i")), 1L)
         .otherwise(0L)))
     // this collect scans every partition → fully populates the cache
     val row = persisted.agg(checks.head, checks.tail: _*).collect()(0)
-    val prev = lastAuditCache.getAndSet(persisted)
-    if (prev != null) prev.unpersist(false)
+    ctx.supersede(persisted)
     valueCols.zipWithIndex.foreach { case (c, i) =>
       // agg over zero rows yields null — an empty frame has no violations
       if (!row.isNullAt(i) && row.getLong(i) > 0) {
@@ -799,9 +820,6 @@ final class Packer(
       Seq(s"${AuditPrefix}min_$i", s"${AuditPrefix}max_$i"))
     persisted.drop(auditCols: _*)
   }
-
-  private val lastAuditCache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   /** M8: data validation — null counts in key columns, batched into ONE
     * aggregation pass (reference: validate, hierarchical_packer.py:1667-1717

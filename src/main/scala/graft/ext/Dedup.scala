@@ -196,6 +196,9 @@ object Dedup {
         .join(nbrMin.alias("n"), col("l.id") === col("n.id"), "left")
         .select(col("l.id").alias("id"),
           least(col("l.comp"), coalesce(col("__nbr"), col("l.comp"))).alias("comp"))
+        // materialize: the halving self-join below reads this subtree on
+        // BOTH sides — without the cut, the propagation join runs twice
+        .localCheckpoint()
       // path halving (pointer jumping): comp ← comp[comp]. Every comp
       // value is itself a node id, so one self-join re-points each node
       // at its parent's component, doubling the effective propagation

@@ -97,6 +97,10 @@ object Similarity {
     * Output: (idCol, __band, __bucket) — one row per band per vector. */
   def hyperplaneBuckets(df: DataFrame, vecCol: String, idCol: String,
                         planes: Int, bands: Int, dim: Int): DataFrame = {
+    require(bands >= 1 && planes >= bands,
+      s"need planes >= bands >= 1, got planes=$planes bands=$bands " +
+        "(perBand = planes/bands would be 0: every band key would vanish " +
+        "and the LSH would silently emit no candidates)")
     val perBand = planes / bands
     val sp = df.sparkSession
     val planesArr = planeLiterals(planes, dim)

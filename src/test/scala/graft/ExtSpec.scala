@@ -163,7 +163,7 @@ class ExtSpec extends SparkSpec {
     val bytes = sizes.map(_._1)
     // hash-spread: every task gets a share of the heavy payloads —
     // no empty partitions and max byte load within 3x of the mean
-    // (deterministic: xxhash64 of fixed ids)
+    // (deterministic: murmur3 HashPartitioning of fixed ids)
     assert(bytes.forall(_ > 0))
     val mean = bytes.sum.toDouble / bytes.length
     assert(bytes.max <= 3.0 * mean,
