@@ -4,6 +4,7 @@ import graft.streaming.{Event, EventStreams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** Structured Streaming coverage: the SAME operators SparkEntry oracle-checks
   * in batch (session_window agg, stateful sessionizer, dedup), driven through
@@ -77,6 +78,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .mapValues(g => g.maxBy(_._2)._1).toMap
     assert(last(1L) == ((1L, 2L, 4L))) // 2 sessions, 4 events total
     assert(last(2L) == ((2L, 1L, 1L)))
+  }
+
+  test("stateful sessionizer runs on the RocksDB state store (the 100 TB " +
+    "state backend: state spills off-heap instead of filling executor memory)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val mem = MemoryStream[Event]
+    // per-query provider override is not supported — set it on the session
+    // conf before the query starts; restore afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = sp.conf.getOption(key)
+    sp.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ck = java.nio.file.Files.createTempDirectory("rocksdb_ck").toString
+    val q = EventStreams.statefulSessionCounts(mem.toDS(), Gap).writeStream
+      .format("memory").queryName("rocksdb_out").outputMode("update")
+      .option("checkpointLocation", ck)
+      .start()
+    try {
+      mem.addData(ev(1, 0, 0), ev(1, 1, 1000000))
+      q.processAllAvailable()
+      mem.addData(ev(1, 2, 2000000 + Gap + 1), ev(2, 3, 0))
+      q.processAllAvailable()
+      val out = sp.table("rocksdb_out").as[(Long, Long, Long)].collect()
+      val last = out.zipWithIndex.groupBy(_._1._1).view
+        .mapValues(g => g.maxBy(_._2)._1).toMap
+      assert(last(1L) == ((1L, 2L, 3L))) // second event opened session 2
+      assert(last(2L) == ((2L, 1L, 1L)))
+      // prove the provider actually engaged: RocksDB checkpoints state as
+      // .zip snapshots/changelogs; the default HDFS provider writes .delta
+      val stateFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(ck, "state"))
+        .iterator().asScala.map(_.getFileName.toString).toSeq
+      assert(!stateFiles.exists(_.endsWith(".delta")),
+        s"HDFS-provider files present — RocksDB not engaged: $stateFiles")
+      assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+        s"no RocksDB state artifacts found: $stateFiles")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => sp.conf.set(key, v)
+        case None => sp.conf.unset(key)
+      }
+    }
   }
 
   test("stateful sessionizer batch mode equals window-function islands") {
