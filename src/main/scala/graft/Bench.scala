@@ -333,8 +333,13 @@ object BenchScenario {
     pb.redirectErrorStream(true)
     try {
       val proc = pb.start()
+      // drain the pipe to EOF — stopping at the result line would let a
+      // chatty Spark shutdown fill the pipe buffer and block the child's
+      // writes, deadlocking waitFor()
       val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
-        .find(_.startsWith("SCENARIO_RESULT"))
+        .foldLeft(Option.empty[String]) { (acc, line) =>
+          if (acc.isEmpty && line.startsWith("SCENARIO_RESULT")) Some(line) else acc
+        }
       val rc = proc.waitFor()
       out match {
         case Some(line) if rc == 0 =>

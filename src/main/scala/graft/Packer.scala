@@ -159,7 +159,8 @@ final class Packer(
     * [[pack]] and [[packSplitJoin]] so the split path runs frame prep and
     * extra-column classification exactly once. */
   private def packAggregate(prepared: DataFrame, toLevel: String,
-                            extraColumns: ExtraColumns, added: Seq[String]): DataFrame = {
+                            extraColumns: ExtraColumns, added: Seq[String],
+                            preSharded: Boolean = false): DataFrame = {
     var cur = applyExtraColumnsPolicy(prepared, extraColumns)
     val targetIdx = spec.levelIndex(toLevel)
     // Multi-level packs group by successively coarser keys. One explicit
@@ -171,7 +172,12 @@ final class Packer(
     // applied by default because it is strictly fewer shuffles.
     val stages = (metas.size - 1 to targetIdx by -1)
       .filter(i => metas(i).ancestorKeys.nonEmpty)
-    if (stages.size >= 2) {
+    // preSharded: the caller (packStreaming) already repartitioned on the
+    // ROOT keys — a subset of every stage's grouping keys — with an
+    // explicit partition count. Re-repartitioning here would collapse
+    // with (and override) that shuffle, silently discarding the caller's
+    // `partitions` contract.
+    if (!preSharded && stages.size >= 2) {
       val coarsest = metas(stages.last).ancestorKeys.filter(hasCol(cur, _))
       if (coarsest.nonEmpty) cur = cur.repartition(coarsest.map(topCol): _*)
     }
@@ -233,8 +239,9 @@ final class Packer(
         // lead; rowId is unique so payload never decides), strip to payload
         val keyed = struct((sortByCols.zipWithIndex.map { case (c, i) =>
           topCol(c).alias(s"__k$i") } :+ topCol(meta.path).alias("__payload")): _*)
-        transform(sort_array(collect_list(keyed)), x => x.getField("__payload"))
-          .alias(meta.path)
+        val sorted = sortKeyed(df.schema(meta.path).dataType, collect_list(keyed),
+          sortByCols.size)
+        transform(sorted, x => x.getField("__payload")).alias(meta.path)
       }
 
     val rowIdAgg =
@@ -256,6 +263,28 @@ final class Packer(
     val packed = df.groupBy(groupKeys.map(topCol): _*).agg(aggs.head, aggs.tail: _*)
     if (auditAggs.isEmpty) packed
     else runUniformityAudit(packed, remaining, meta.name, auditCtx)
+  }
+
+  /** Sort an array of (__k0.., __payload) structs. Natural struct
+    * ordering (`sort_array`) when the payload type is orderable; a
+    * comparator over ONLY the sort-key fields otherwise (a map-typed
+    * attribute would fail sort_array's orderability check even though
+    * the payload never participates in the comparison — rowId in the
+    * keys is unique). The comparator emulates struct ordering's
+    * nulls-first ascending per key. */
+  private def sortKeyed(payloadType: DataType, collected: Column,
+                        nKeys: Int): Column = {
+    val payloadOrderable =
+      org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(payloadType)
+    if (payloadOrderable) sort_array(collected)
+    else array_sort(collected, (l, r) =>
+      (0 until nKeys).foldRight(lit(0): Column) { (i, acc) =>
+        val lf = l.getField(s"__k$i"); val rf = r.getField(s"__k$i")
+        when(lf.isNull && rf.isNull, acc)
+          .when(lf.isNull, -1).when(rf.isNull, 1)
+          .when(lf < rf, -1).when(lf > rf, 1)
+          .otherwise(acc)
+      })
   }
 
   /** Root attribute columns: under the root prefix but not a root id, not
@@ -283,7 +312,10 @@ final class Packer(
     val rootKeys = root.idColumns
     val attrCols = rootAttributeColumns(prepared.schema)
     if (rootKeys.isEmpty || attrCols.isEmpty)
-      return pack(df, toLevel, extraColumns)
+      // fall back on the ALREADY-prepared frame — calling pack(df, ...)
+      // here would run prepareFrame (row ids, aliases, computed fields)
+      // a second time over the full input
+      return dropIfPresent(packAggregate(prepared, toLevel, extraColumns, Nil), added)
 
     val dim = prepared.select((rootKeys ++ attrCols).map(topCol): _*)
       .dropDuplicates(rootKeys)
@@ -293,7 +325,20 @@ final class Packer(
     val packed = packAggregate(structural, toLevel, extraColumns, Nil)
 
     val out = if (toLevel != root.name) {
-      packed.join(dim, rootKeys, "left")
+      // re-attach at top level, then restore the Aggregate strategy's
+      // column ORDER (attrs interleaved at their prepared positions, not
+      // appended) — the two strategies must be interchangeable for
+      // positional consumers (union, as[caseClass]), not just name-equal
+      val joined = packed.join(dim, rootKeys, "left")
+      val keyCols = metas(spec.levelIndex(toLevel)).ancestorKeys
+        .filter(joined.columns.contains)
+      val inPrepared = prepared.schema.fieldNames.toSet
+      val tailCols = packed.columns.toIndexedSeq
+        .filterNot(inPrepared.contains).filterNot(keyCols.contains)
+      val midSet = (packed.columns.toSet -- keyCols -- tailCols) ++ attrCols
+      val ordered = keyCols ++
+        prepared.schema.fieldNames.toIndexedSeq.filter(midSet.contains) ++ tailCols
+      joined.select(ordered.map(topCol): _*)
     } else {
       // packing to root collapses each entity into a single struct column;
       // re-inject the attributes as struct fields. withField parses dots as
@@ -305,7 +350,19 @@ final class Packer(
       val joined = withKeys.join(dim, rootKeys, "left")
       val withFieldsCol = attrCols.foldLeft(topCol(structCol))((acc, c) =>
         acc.withField(ColName.quote(c.substring(prefix.length)), topCol(c)))
-      joined.withColumn(structCol, withFieldsCol).drop((rootKeys ++ attrCols): _*)
+      // restore the Aggregate strategy's FIELD order inside the root
+      // struct: ids+attrs at their prepared flat positions, then the
+      // (already-packed) non-flat fields in their existing order
+      val flatOrdered = prepared.schema.fieldNames.toIndexedSeq
+        .filter(c => rootKeys.contains(c) || attrCols.contains(c))
+        .map(_.substring(prefix.length))
+      val packedFields = packed.schema(structCol).dataType
+        .asInstanceOf[StructType].fieldNames.toIndexedSeq
+      val restFields = packedFields.filterNot(flatOrdered.contains)
+      // getField takes the name literally (unlike withField) — no quoting
+      val orderedStruct = struct((flatOrdered ++ restFields).map(f =>
+        withFieldsCol.getField(f).alias(f)): _*)
+      joined.withColumn(structCol, orderedStruct).drop((rootKeys ++ attrCols): _*)
     }
     dropIfPresent(out, added)
   }
@@ -557,7 +614,7 @@ final class Packer(
     // probe never deserializes payload columns even from a cache
     val keysOnly = prepared.select(keys.map(topCol): _*)
     val sampled =
-      if (sampleFraction >= 1.0) keysOnly else keysOnly.sample(sampleFraction)
+      if (sampleFraction >= 1.0) keysOnly else keysOnly.sample(sampleFraction, seed = 42)
     val counts = sampled.groupBy(keys.map(topCol): _*).agg(count(lit(1)).alias("__n"))
     val row = counts
       .agg(max(col("__n")), percentile_approx(col("__n"), lit(0.5), lit(1000)))
@@ -605,7 +662,7 @@ final class Packer(
     if (childrenPerRoot < minChildrenPerRoot) return PackStrategy.Plain
     // width ratio is a per-row mean — a bounded sample is plenty, and it
     // caps the to_json serialization cost on wide payloads
-    val s = (if (sampleFraction >= 1.0) prepared else prepared.sample(sampleFraction))
+    val s = (if (sampleFraction >= 1.0) prepared else prepared.sample(sampleFraction, seed = 42))
       .limit(WidthProbeRows)
     def width(cols: Seq[String]): Column =
       if (cols.isEmpty) lit(0.0)
@@ -708,10 +765,14 @@ final class Packer(
       .agg(phase1Aggs.head, phase1Aggs.tail: _*)
 
     // phase 2: merge chunks per keys — flatten, sort once, strip sort keys
-    val merged: Column =
+    val merged: Column = {
       if (sortByCols.isEmpty) flatten(collect_list(topCol(meta.path))).alias(meta.path)
-      else transform(array_sort(flatten(collect_list(topCol(meta.path)))),
-        x => x.getField("__payload")).alias(meta.path)
+      else {
+        val sorted = sortKeyed(df.schema(meta.path).dataType,
+          flatten(collect_list(topCol(meta.path))), sortByCols.size)
+        transform(sorted, x => x.getField("__payload")).alias(meta.path)
+      }
+    }
     val phase2Aggs = firstAggs ++ Seq(merged) ++ rowIdAgg ++ auditP2
     val packed = partial.groupBy(groupKeys.map(topCol): _*)
       .agg(phase2Aggs.head, phase2Aggs.tail: _*)
@@ -737,9 +798,11 @@ final class Packer(
     val sharded =
       if (rootKeys.isEmpty) prepared.repartition(partitions)
       else prepared.repartition(partitions, rootKeys.map(topCol): _*)
-    // the inner pack sees alias targets as pre-existing and won't drop
-    // them itself — drop here so the output schema matches pack(df, ...)
-    val out = dropIfPresent(pack(sharded, toLevel, extraColumns), added)
+    // go straight to the aggregate path over the already-prepared shards:
+    // preSharded stops packAggregate's own coarsest-key repartition from
+    // collapsing with (and overriding) the explicit `partitions` shuffle
+    val out = dropIfPresent(
+      packAggregate(sharded, toLevel, extraColumns, Nil, preSharded = true), added)
     sinkPath match {
       // reference `defer=False`: sink eagerly, hand back the re-scan
       case Some(p) => out.write.mode("overwrite").parquet(p); out.sparkSession.read.parquet(p)

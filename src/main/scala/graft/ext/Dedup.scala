@@ -120,6 +120,11 @@ object Dedup {
   private[ext] def candidatesFromShingles(sh: DataFrame, idCol: String,
                                           numHashes: Int, bands: Int,
                                           maxBucketSize: Int): DataFrame = {
+    require(bands >= 1 && numHashes >= bands,
+      s"need numHashes >= bands >= 1, got numHashes=$numHashes bands=$bands " +
+        "(rowsPerBand = numHashes/bands would be 0: every band key would " +
+        "collapse to the hash of an empty slice, all docs would share one " +
+        "bucket, and the maxBucketSize prune would then emit NO candidates)")
     val rowsPerBand = numHashes / bands
     // Second small fence on (id, signature): without it the optimizer
     // collapses the signature projection into the band lambda,
@@ -227,9 +232,10 @@ object Dedup {
     * corpus id set. */
   def nearDupSurvivors(df: DataFrame, textCol: String, idCol: String,
                        threshold: Double, shingleN: Int = 3,
-                       numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                       numHashes: Int = 32, bands: Int = 8,
+                       maxBucketSize: Int = 1000): DataFrame = {
     val pairs = minhashNearDuplicates(df, textCol, idCol, threshold, shingleN,
-      numHashes, bands)
+      numHashes, bands, maxBucketSize)
     val comps = connectedComponents(pairs, "id_a", "id_b")
     // on convergence comp == min id of the component, so survivors within
     // dup clusters are exactly the fixed points

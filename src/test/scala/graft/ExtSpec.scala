@@ -261,6 +261,15 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.connectedComponents(df.limit(0), "id_a", "id_b").count() == 0)
   }
 
+  test("minhash LSH rejects bands > numHashes instead of silently emitting " +
+    "zero candidates") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(docs, "text", "doc_id", numHashes = 32, bands = 64)
+        .count()
+    }
+    assert(e.getMessage.contains("numHashes >= bands"))
+  }
+
   test("connectedComponents converges on a 300-node chain within 25 rounds " +
     "(path halving: O(log diameter), plain propagation would need 299)") {
     val chain = spark.range(299).select(col("id").alias("id_a"),

@@ -105,6 +105,57 @@ class PackerSpec extends SparkSpec {
     assertSameRows(aggRoot, sjRoot)
   }
 
+  test("split_join output order equals aggregate: top-level columns AND root " +
+    "struct fields (positional consumers must be able to union the two)") {
+    val isUs = ColName.topCol("country.code") === "US"
+    val df = apartmentDf(spark)
+      .withColumn("country.name", when(isUs, "United States").otherwise("Canada"))
+      .withColumn("country.population", when(isUs, 331L).otherwise(38L))
+    val agg = packer.pack(df, "street")
+    val sj = packer.pack(df, "street", parentStrategy = ParentStrategy.SplitJoin)
+    assert(sj.columns.toSeq == agg.columns.toSeq,
+      s"column order diverged:\n  sj=${sj.columns.toSeq}\n  agg=${agg.columns.toSeq}")
+    val aggRoot = packer.pack(df, "country")
+    val sjRoot = packer.pack(df, "country", parentStrategy = ParentStrategy.SplitJoin)
+    assert(sjRoot.schema("country").dataType == aggRoot.schema("country").dataType,
+      "root struct field order diverged")
+    // positional interchangeability is the point
+    assert(aggRoot.union(sjRoot).count() == 4)
+  }
+
+  test("map-typed level attribute packs and unpacks (non-orderable payload " +
+    "sorts by keys only)") {
+    val spec = HierarchySpec(Seq(
+      LevelSpec("p", Seq(NamedField("id"))),
+      LevelSpec("c", Seq(NamedField("id")))))
+    val pk = new Packer(spec)
+    val df = spark.range(6).select(
+      (col("id") / 3).cast("long").cast("string").alias("p.id"),
+      col("id").cast("string").alias("p.c.id"),
+      map(lit("k"), col("id").cast("string")).alias("p.c.tags"))
+    val packed = pk.pack(df, "p")
+    assert(packed.count() == 2)
+    val back = pk.unpack(packed, "c")
+    assert(back.count() == 6)
+    // child order preserved despite the comparator path (packed to root:
+    // the child list is a field of the root struct)
+    val kids = packed.filter(ColName.topCol("p.id") === "0")
+      .select(col("p").getField("c")).collect()(0).getSeq[Row](0)
+      .map(_.getAs[String]("id"))
+    assert(kids == Seq("0", "1", "2"))
+    // salted path handles the same payload
+    assertSameRows(pk.packSalted(df, "p", saltBuckets = 4), packed)
+  }
+
+  test("packStreaming honors the partitions knob on a 3-level hierarchy " +
+    "(regression: inner coarsest-key repartition overrode it)") {
+    val p = new Packer(streamingSpec)
+    val out = p.packStreaming(streamingDf(spark), "country", partitions = 7)
+    assert(out.rdd.getNumPartitions == 7,
+      s"expected 7 partitions, got ${out.rdd.getNumPartitions}")
+    assertSameRows(out, p.pack(streamingDf(spark), "country"))
+  }
+
   test("split_join without root attributes falls back to the aggregate path " +
     "(reference test_pack_split_join_without_root_attrs_falls_back)") {
     // apartmentDf has NO non-key root attributes → nothing to split off;
