@@ -122,8 +122,12 @@ object Curation {
       .join(broadcast(benchGrams), Seq("gram"), "left")
       .groupBy(col(idCol), col("total_ngrams"))
       .agg(count(col("__hit")).alias("matched_ngrams"))
+      // null text -> null grams -> null total: coalesce to 0 so the doc is
+      // reported NOT-contaminated (false) rather than null, which boolean
+      // filters downstream would silently drop either way
       .withColumn("overlap_frac",
-        trunc6(col("matched_ngrams").cast("double") / col("total_ngrams")))
+        coalesce(trunc6(try_divide(col("matched_ngrams").cast("double"),
+          col("total_ngrams"))), lit(0.0)))
       .withColumn("contaminated", col("overlap_frac") > maxOverlapFrac)
   }
 
@@ -178,13 +182,35 @@ object Curation {
    * order.
    */
   def quotaSample(df: DataFrame, strataCol: String, idCol: String, k: Int): DataFrame = {
-    val picked = df
-      .groupBy(col(strataCol))
-      .agg(graft.functions.TopKByScore.topK(df.sparkSession,
-        -hashUnit(col(idCol)), col(idCol).cast("long"), k).alias("__top"))
-    picked.select(col(strataCol), posexplode(col("__top")))
-      .select(col(strataCol), (col("pos") + 1).cast("long").alias("rank"),
-        col("col.id").alias(idCol))
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.schema(idCol).dataType
+    val integralId = Seq(ByteType, ShortType, IntegerType, LongType).contains(idType)
+    if (integralId) {
+      val picked = df
+        .groupBy(col(strataCol))
+        .agg(graft.functions.TopKByScore.topK(df.sparkSession,
+          -hashUnit(col(idCol)), col(idCol).cast("long"), k).alias("__top"))
+      picked.select(col(strataCol), posexplode(col("__top")))
+        .select(col(strataCol), (col("pos") + 1).cast("long").alias("rank"),
+          // cast back: the heap stores longs; the caller gets the input type
+          col("col.id").cast(idType).alias(idCol))
+    } else {
+      // non-numeric ids (ANSI would crash on cast): rank a 64-bit surrogate
+      // through the bounded heap, then join back to recover the real id.
+      // xxhash64 collisions within a stratum are ~2^-64 per pair and would
+      // only duplicate a winner, never crash.
+      val keyed = df.select(col(strataCol), col(idCol),
+        xxhash64(col(idCol).cast("string")).alias("__sid"))
+      val picked = keyed
+        .groupBy(col(strataCol))
+        .agg(graft.functions.TopKByScore.topK(df.sparkSession,
+          -hashUnit(col(idCol)), col("__sid"), k).alias("__top"))
+        .select(col(strataCol), posexplode(col("__top")))
+        .select(col(strataCol), (col("pos") + 1).cast("long").alias("rank"),
+          col("col.id").alias("__sid"))
+      picked.join(keyed, Seq(strataCol, "__sid")).drop("__sid")
+        .select(col(strataCol), col("rank"), col(idCol))
+    }
   }
 
   // ------------------------------------------------- sequence packing

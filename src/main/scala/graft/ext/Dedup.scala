@@ -328,8 +328,10 @@ object Dedup {
     val r = withN.select(col(idCol).alias("id_b"), col(vecCol).alias("v_b"), col("__n").alias("n_b"))
     l.join(r, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.fastDot(sp, col("v_a"), col("v_b")) /
-          (col("n_a") * col("n_b")), 6).alias("cosine"))
+        // try_divide, not `/`: a zero-norm vector must yield null cosine
+        // (dropped by the filter), not an ANSI DIVIDE_BY_ZERO crash
+        round(try_divide(Similarity.fastDot(sp, col("v_a"), col("v_b")),
+          col("n_a") * col("n_b")), 6).alias("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -353,8 +355,10 @@ object Dedup {
       .join(withN.select(col(idCol).alias("id_a"), col(vecCol).alias("v_a"), col("__n").alias("n_a")), Seq("id_a"))
       .join(withN.select(col(idCol).alias("id_b"), col(vecCol).alias("v_b"), col("__n").alias("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.fastDot(sp, col("v_a"), col("v_b")) /
-          (col("n_a") * col("n_b")), 6).alias("cosine"))
+        // try_divide, not `/`: a zero-norm vector must yield null cosine
+        // (dropped by the filter), not an ANSI DIVIDE_BY_ZERO crash
+        round(try_divide(Similarity.fastDot(sp, col("v_a"), col("v_b")),
+          col("n_a") * col("n_b")), 6).alias("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -86,10 +86,13 @@ object Multimodal {
 
   /** STUB frame sampling for video-like payloads: every `step`-th frame
     * index with a per-frame content hash. */
-  def fakeFrameSample(payload: Column, nFrames: Column, step: Int): Column =
+  def fakeFrameSample(payload: Column, nFrames: Column, step: Int): Column = {
+    require(step >= 1, s"step must be >= 1, got $step " +
+      "(sequence() would reject a zero step per-row at execution time)")
     when(nFrames <= 0, array().cast("array<struct<frame_idx:long,frame_hash:long>>"))
       .otherwise(transform(sequence(lit(0L), (nFrames - 1).cast("long"), lit(step.toLong)),
         i => struct(i.alias("frame_idx"), xxhash64(payload, i).alias("frame_hash"))))
+  }
 
   /** Feature extraction as a single narrow projection. */
   def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame =

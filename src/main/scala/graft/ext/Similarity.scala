@@ -104,7 +104,14 @@ object Similarity {
     val perBand = planes / bands
     val sp = df.sparkSession
     val planesArr = planeLiterals(planes, dim)
-    val bits = transform(planesArr, p => when(fastDot(sp, p, col(vecCol)) >= 0, 1L).otherwise(0L))
+    // a vector whose length != dim makes every plane dot null, which would
+    // silently sign to all-zero bits and collapse the corpus into ONE
+    // bucket (O(n^2) candidates in one task) — fail loudly instead
+    val checkedVec = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"hyperplaneBuckets: embedding size != dim=$dim for id "),
+        col(idCol).cast("string"))))
+    val bits = transform(planesArr, p => when(fastDot(sp, p, checkedVec) >= 0, 1L).otherwise(0L))
     // ONE pass over `bits`: referencing it inside a per-band lambda (the
     // obvious transform(0..bands-1, b => fold(slice(bits, ...))) shape)
     // re-evaluates every plane dot product once per band — the HOF
@@ -117,7 +124,10 @@ object Similarity {
       bits,
       struct(emptyKeys.alias("ks"), lit(0L).alias("cur"), lit(0).alias("i")),
       (acc, x) => {
-        val cur2 = acc.getField("cur") * 2 + x
+        // shiftleft|or, not *2+x: bitwise ops wrap instead of raising
+        // ANSI ARITHMETIC_OVERFLOW at perBand >= 63 (a wrapped value is
+        // still a valid bucket key)
+        val cur2 = shiftleft(acc.getField("cur"), 1).bitwiseOR(x)
         val closes = acc.getField("i") % perBand === perBand - 1
         struct(
           when(closes, concat(acc.getField("ks"), array(cur2)))

@@ -20,17 +20,21 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
-  /** Whitespace token count. */
-  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+  /** Whitespace token count (0 for null text — a missing doc has no
+    * tokens, and under ANSI `size(null)` is null, which would otherwise
+    * leak through every ratio built on top of this). */
+  def tokenCount(text: Column): Column =
+    when(text.isNull, 0L).otherwise(size(tokens(text)).cast("long"))
 
   /** BPE-ish subword count approximation: runs of letters, digits, or
     * single non-alphanumeric marks — the usual pre-tokenizer split. */
   def bpeTokenCountApprox(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
 
-  /** Ratio of punctuation/symbol chars to total chars (0 for empty). */
+  /** Ratio of punctuation/symbol chars to total chars (0 for empty or
+    * null text). */
   def punctRatio(text: Column): Column =
-    when(length(text) === 0, 0.0).otherwise(
+    when(text.isNull || length(text) === 0, 0.0).otherwise(
       regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / length(text))
 
   /** Default English stopword sample used by the heuristics. */
@@ -42,13 +46,14 @@ object TextAnalysis {
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val toks = tokens(lower(text))
     val hits = size(filter(toks, t => t.isInCollection(stopwords)))
-    when(size(toks) === 0, 0.0).otherwise(hits.cast("double") / size(toks))
+    when(text.isNull || size(toks) === 0, 0.0)
+      .otherwise(hits.cast("double") / size(toks))
   }
 
-  /** Mean token length (0 for empty docs). */
+  /** Mean token length (0 for empty or null docs). */
   def meanTokenLength(text: Column): Column = {
     val toks = tokens(text)
-    when(size(toks) === 0, 0.0).otherwise(
+    when(text.isNull || size(toks) === 0, 0.0).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
   }
 
@@ -69,8 +74,11 @@ object TextAnalysis {
     val stopS = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
     val vocabS = greatest(least((meanTokenLength(text) - 2.0) / 8.0, lit(1.0)), lit(0.0))
     // truncate, don't round: the *0.25 makes exact binary .5 boundaries
-    // common, where round-half-up (Spark) and half-even (DuckDB) disagree
-    floor((lengthS + punctS + stopS + vocabS) * 0.25 * 1e6) / 1e6
+    // common, where round-half-up (Spark) and half-even (DuckDB) disagree.
+    // Null text scores 0 (fails any quality gate) — least/greatest SKIP
+    // null arguments, so without the guard a missing doc would score 0.75
+    when(text.isNull, 0.0).otherwise(
+      floor((lengthS + punctS + stopS + vocabS) * 0.25 * 1e6) / 1e6)
   }
 
   /** Language marker words for the n-gram/stopword language-ID heuristic. */

@@ -261,6 +261,60 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.connectedComponents(df.limit(0), "id_a", "id_b").count() == 0)
   }
 
+  test("ANSI edge cases: null text, zero-norm vectors, dim mismatch, bad step") {
+    import graft.ext.TextAnalysis._
+    // null text scores 0 everywhere (least/greatest skip nulls and would
+    // otherwise hand a missing doc a 0.75 quality score)
+    val nul = spark.sql("SELECT CAST(NULL AS STRING) AS text")
+    val r = nul.select(qualityScore(col("text")).alias("q"),
+      tokenCount(col("text")).alias("n"), stopwordRatio(col("text")).alias("s"),
+      punctRatio(col("text")).alias("p"), meanTokenLength(col("text")).alias("m"))
+      .collect()(0)
+    assert((r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+      r.getDouble(4)) == ((0.0, 0L, 0.0, 0.0, 0.0)))
+    // contamination: null-text doc reports contaminated = false, not null
+    val corpus = spark.sql(
+      "SELECT * FROM VALUES (1, 'alpha beta gamma'), (2, CAST(NULL AS STRING)) t(doc_id, text)")
+    val bench = spark.sql("SELECT 'alpha beta gamma delta' AS text")
+    val cont = graft.ext.Curation.contamination(corpus, bench, "doc_id", "text", 2, 0.1)
+      .collect().map(x => x.getAs[Int]("doc_id") -> x.getAs[Boolean]("contaminated")).toMap
+    assert(cont(2) == false && cont(1) == true)
+    // zero-norm embedding: null cosine is dropped, no DIVIDE_BY_ZERO crash
+    val vecs = spark.sql(
+      """SELECT * FROM VALUES (1, array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+        |(2, array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))),
+        |(3, array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) t(vec_id, embedding)""".stripMargin)
+    val pairs = Dedup.embeddingNearDupExact(vecs, "embedding", "vec_id", 0.9)
+      .collect().map(x => (x.getAs[Int]("id_a"), x.getAs[Int]("id_b")))
+    assert(pairs.toSeq == Seq((2, 3))) // the zero vector pairs with nothing
+    // dim mismatch fails loudly instead of collapsing into one bucket
+    val e = intercept[Exception] {
+      Similarity.hyperplaneBuckets(vecs, "embedding", "vec_id",
+        planes = 8, bands = 2, dim = 64).count()
+    }
+    assert(e.getMessage.contains("size != dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("size != dim")))
+    // step < 1 is an argument error, not a per-row execution error
+    assertThrows[IllegalArgumentException] {
+      Multimodal.fakeFrameSample(lit(Array[Byte](1)), lit(3L), 0)
+    }
+  }
+
+  test("quotaSample works with string ids (no ANSI cast crash)") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES ('en', 'doc_a'), ('en', 'doc_b'), ('en', 'doc_c'),
+        |('de', 'doc_x'), ('de', 'doc_y') t(lang, doc_id)""".stripMargin)
+    val out = graft.ext.Curation.quotaSample(df, "lang", "doc_id", 2)
+    val rows = out.collect().map(x =>
+      (x.getAs[String]("lang"), x.getAs[Long]("rank"), x.getAs[String]("doc_id")))
+    assert(rows.count(_._1 == "en") == 2 && rows.count(_._1 == "de") == 2)
+    assert(rows.forall(_._3.startsWith("doc_")))
+    // deterministic: same hash ranking on rerun
+    assert(out.collect().sortBy(_.toString).toSeq ==
+      graft.ext.Curation.quotaSample(df, "lang", "doc_id", 2)
+        .collect().sortBy(_.toString).toSeq)
+  }
+
   test("minhash LSH rejects bands > numHashes instead of silently emitting " +
     "zero candidates") {
     val e = intercept[IllegalArgumentException] {
