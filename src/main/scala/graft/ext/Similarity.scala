@@ -87,7 +87,7 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes: planes × dim doubles seeded
     * from (plane, dim) — reproducible across sessions with no RNG state. */
-  private[ext] def planeLiterals(planes: Int, dim: Int): Column = {
+  private[graft] def planeLiterals(planes: Int, dim: Int): Column = {
     val rnd = new scala.util.Random(42)
     val m = Array.fill(planes, dim)(rnd.nextGaussian())
     array(m.toIndexedSeq.map(row => array(row.toIndexedSeq.map(lit(_)): _*)): _*)

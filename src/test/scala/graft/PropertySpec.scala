@@ -90,6 +90,40 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: one-pass hyperplane banding equals the per-band slice form") {
+    // the production one-pass aggregate (bits as HOF child) must be
+    // bucket-identical to the naive per-band slice+fold for random vectors
+    // across band geometries, including planes not divisible by bands
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    (0 until 2).foreach { seed =>
+      val rnd = new Random(500 + seed)
+      val dim = 8
+      val rows = (0 until 30).map { i =>
+        Row(i.toLong, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+      }
+      val df = spark.createDataFrame(new java.util.ArrayList(rows.asJava),
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+      for ((planes, bands) <- Seq((16, 4), (10, 3), (8, 8), (12, 1))) {
+        val fast = graft.ext.Similarity
+          .hyperplaneBuckets(df, "embedding", "vec_id", planes, bands, dim)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        // reference shape: per-band slice of the sign bits, folded to a key
+        val perBand = planes / bands
+        val planesArr = graft.ext.Similarity.planeLiterals(planes, dim)
+        val bits = transform(planesArr,
+          p => when(graft.ext.Similarity.dot(p, col("embedding")) >= 0, 1L).otherwise(0L))
+        val keys = transform(sequence(lit(0), lit(bands - 1)), b =>
+          aggregate(slice(bits, b * perBand + 1, lit(perBand)), lit(0L),
+            (acc, x) => acc * 2 + x))
+        val ref = df.select(col("vec_id"), posexplode(keys).as(Seq("__band", "__bucket")))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        assert(fast == ref, s"seed=$seed planes=$planes bands=$bands")
+      }
+    }
+  }
+
   test("property: pigeonhole-blocked simhash pairs equal the exhaustive pairs") {
     // random near-dup-ish corpora: word sequences drawn from a tiny
     // vocabulary so some pairs land within small hamming distances
