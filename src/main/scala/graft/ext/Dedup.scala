@@ -192,6 +192,13 @@ object Dedup {
     var labels = sym.select(col("src").alias("id")).distinct()
       .select(col("id"), col("id").alias("comp"))
       .localCheckpoint()
+    // convergence via exact label-sum: comp values only ever DECREASE, so
+    // any change strictly decreases sum(comp) — an equality of decimal
+    // sums replaces a per-round join+filter change detector with one tiny
+    // aggregate over the cached labels
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -215,8 +222,10 @@ object Dedup {
         .select(col("u.id").alias("id"),
           least(col("u.comp"), coalesce(col("ccomp"), col("u.comp"))).alias("comp"))
         .localCheckpoint()
-      converged = updated.alias("u").join(labels.alias("o"), "id")
-        .filter(col("u.comp") =!= col("o.comp")).isEmpty
+      val curSum = labelSum(updated)
+      converged = (prevSum == null && curSum == null) ||
+        (prevSum != null && prevSum.compareTo(curSum) == 0)
+      prevSum = curSum
       labels = updated
       i += 1
     }
