@@ -108,6 +108,21 @@ class StructuringSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("unnestAll preserves row order within a partition " +
+    "(reference test_unnest_all_preserves_row_order): it is a pure select") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("person", StructType(Seq(
+        StructField("name", StringType), StructField("age", LongType))))))
+    val df = spark.createDataFrame(Seq(
+      Row(3L, Row("Charlie", 35L)), Row(1L, Row("Alice", 30L)),
+      Row(2L, Row("Bob", 25L))).asJava, schema).coalesce(1)
+    val out = Structuring.unnestAll(df).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L, 1L, 2L))
+    assert(out.map(_.getString(1)).toSeq == Seq("Charlie", "Alice", "Bob"))
+    assert(out.map(_.getLong(2)).toSeq == Seq(35L, 30L, 25L))
+  }
+
   test("schemaToMap mirrors the dtype tree") {
     val schema = StructType(Seq(
       StructField("n", LongType),
