@@ -234,6 +234,19 @@ object Bench {
           spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
           threshold = 0.5, shingleN = 3, numHashes = 128, bands = 32)))
 
+    // packSequences shard-knob scaling: parallelism = numShards (each
+    // shard's prefix-sum window runs in one task over metadata-only rows),
+    // so wall time should improve 8 → 64 shards once per-shard row counts
+    // dominate the scheduling floor. Chunk contents at a GIVEN shard count
+    // are invariant to physical partitioning (CurationSpec asserts it);
+    // different shard counts legitimately produce different chunkings.
+    val scaleSeqPacking = Seq(8, 64).map { shards =>
+      scenario(s"scale_seq_packing_${shards}")(
+        graft.ext.Curation.packSequences(
+          spark.read.parquet(s"$sfDir/documents.parquet"),
+          "doc_id", "text", maxTokens = 2048, numShards = shards))
+    }
+
     // top-k query-count scaling: q_knn_bruteforce runs 10 queries; these
     // run 10× and 100×. With the bounded-heap TopKByScore the cost model
     // is one corpus scan + (k × queries) heap entries per partition, so
@@ -262,7 +275,8 @@ object Bench {
       r
     }
 
-    val all = queryTimes ++ parityResults ++ scaleDedup ++ scaleKnn ++ autoScenarios
+    val all = queryTimes ++ parityResults ++ scaleDedup ++ scaleSeqPacking ++
+      scaleKnn ++ autoScenarios
     val qs = all.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val rssJson = rss.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
@@ -272,9 +286,25 @@ object Bench {
         .find(_.startsWith("VmHWM")).map(_.replaceAll("[^0-9]", "").toLong)
       hwm.map(_ / 1024).getOrElse(-1L)
     } catch { case _: Throwable => -1L }
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
-      s""""scenario_rss_mb":$rssJson,"queries":$qs,"sf":"$sfDir"}""")
+      s""""n_queries":${all.size},"scenario_rss_mb":$rssJson,""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
+    // Full metrics go to a FILE (lossless — round-2's stdout capture
+    // truncated the tail, losing the total and ~15 timings); stdout gets
+    // one SHORT line with the total and a pointer, total-first so even a
+    // truncated capture keeps the headline number.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
+      try w.println(fullJson) finally w.close()
+      println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
+        s""""n_queries":${all.size},"full":"$outPath","sf":"$sfDir"}""")
+    } catch { case _: Throwable =>
+      // file write failed (read-only cwd?) — fall back to the full line
+      println(fullJson)
+    }
     spark.stop()
   }
 }

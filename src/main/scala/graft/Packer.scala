@@ -57,6 +57,12 @@ object ParentStrategy {
  *        The audit evidence (min/max per group) rides the pack's own
  *        aggregation — no second scan; cost is one narrow check job over
  *        the persisted packed output, which then serves downstream levels.
+ *        CACHE LIFETIME: each validating pack leaves its final level's
+ *        MEMORY_AND_DISK cache alive so the returned frame serves from it;
+ *        on long-lived sessions running many packs, call
+ *        [[Packer.releaseAuditCaches]] once the results are consumed —
+ *        otherwise the caches persist until ContextCleaner reclaims the
+ *        garbage-collected frames.
  */
 final class Packer(
     val spec: HierarchySpec,
@@ -839,12 +845,35 @@ final class Packer(
 
   /** Per-pack-invocation chain of M10 audit caches: each new cache
     * supersedes (unpersists) the previous one from the SAME invocation;
-    * the final one is left alive to serve the returned frame. */
+    * the final one is left alive to serve the returned frame, and is
+    * registered in [[liveAuditCaches]] so [[releaseAuditCaches]] can
+    * reclaim it once the caller has consumed the result. */
   private[graft] final class AuditCtx {
     private var prev: DataFrame = _
     def supersede(next: DataFrame): Unit = synchronized {
-      if (prev != null) prev.unpersist(false)
+      if (prev != null) { prev.unpersist(false); liveAuditCaches.remove(prev) }
       prev = next
+      liveAuditCaches.add(next)
+    }
+  }
+
+  /** Final audit caches still alive from completed validating packs. */
+  private val liveAuditCaches =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[DataFrame, java.lang.Boolean]()))
+
+  /** Unpersist every audit cache left alive by prior `validateOnPack`
+    * packs on THIS Packer. Call after the packed results have been
+    * consumed (written/collected): frames returned earlier stay correct —
+    * they just recompute on next use. Safe to call repeatedly; packs in
+    * flight on other threads re-register their caches as they finish. */
+  def releaseAuditCaches(): Unit = {
+    val snapshot = liveAuditCaches.toArray(Array.empty[AnyRef])
+    snapshot.foreach { df =>
+      try df.asInstanceOf[DataFrame].unpersist(false)
+      catch { case _: Throwable => () }
+      liveAuditCaches.remove(df)
     }
   }
 
@@ -876,7 +905,8 @@ final class Packer(
         persisted.unpersist(false)
         throw new HierarchyValidationError(
           s"Column '$c' has non-uniform values within groups at level '$levelName'. " +
-            "Values at coarser granularity should be identical within each group.")
+            "Values at coarser granularity should be identical within each group.",
+          level = Some(levelName), details = Map("column" -> c))
       }
     }
     val auditCols = valueCols.indices.flatMap(i =>
@@ -899,7 +929,9 @@ final class Packer(
     val bad = counts.filter(_._2 > 0)
     if (bad.nonEmpty && raiseOnError) throw new HierarchyValidationError(
       s"Null values in key columns at level '$level': " +
-        bad.map { case (k, n) => s"$k=$n" }.mkString(", "))
+        bad.map { case (k, n) => s"$k=$n" }.mkString(", "),
+      level = Some(level),
+      details = bad.map { case (k, n) => k -> n.toString })
     counts
   }
 

@@ -249,12 +249,16 @@ object SparkEntry {
         size(ColName.topCol("order.lineitem")).cast("long").alias("n_items"))
     }),
     // P6: unpack_streaming — disk-to-disk staging around unpack. The
-    // staging sink is parameterized off java.io.tmpdir (NOT the repo);
+    // staging sink is parameterized off java.io.tmpdir (NOT the repo) and
+    // suffixed with the Spark applicationId so two concurrent driver runs
+    // on one machine stage to DISJOINT directories (an unsuffixed
+    // overwrite path could clobber a concurrent run's staging parquet);
     // the write is eager at query-construction time by design
     "q_unpack_streaming" -> ((s, dir) => {
       val p = orderPacker
       val packed = p.pack(flatOrderLines(s, dir), "lineitem")
-      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_q_unpack_streaming"
+      val sink = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_q_unpack_streaming_${s.sparkContext.applicationId}"
       stripPrefixes(p.unpackStreaming(packed, "lineitem", Some(sink)))
     }),
     // P11: prepare_level_table — rename via column mapping + level prefixing

@@ -6,7 +6,16 @@ import org.apache.spark.sql.Column
   * (nexpresso/hierarchical_packer.py:84-119). */
 class HierarchyError(msg: String) extends RuntimeException(msg)
 class HierarchyConfigError(msg: String) extends HierarchyError(msg)
-class HierarchyValidationError(msg: String) extends HierarchyError(msg)
+
+/** Validation failure with optional level context and structured details —
+  * the reference renders the level as a `[Level: x]` suffix
+  * (hierarchical_packer.py:93-109; tests/test_hierarchical_packer.py:662-672). */
+class HierarchyValidationError(
+    msg: String,
+    val level: Option[String] = None,
+    val details: Map[String, String] = Map.empty)
+  extends HierarchyError(level.fold(msg)(l => s"$msg [Level: $l]"))
+
 class SchemaValidationError(msg: String) extends HierarchyError(msg)
 
 /** A field used as (part of) a level id: either a plain column name or a

@@ -133,24 +133,27 @@ object Curation {
 
   // ---------------------------------------------- deterministic sampling
 
-  /** Deterministic uniform draw in [0, 1): the first 6 hex digits of
-    * `md5(id)` as a 24-bit integer, scaled. md5 is the only hash both
+  /** Deterministic uniform draw in [0, 1): the first 12 hex digits of
+    * `md5(id)` as a 48-bit integer, scaled (48 bits is the widest prefix
+    * still EXACT in a double — 2^48 < 2^53). md5 is the only hash both
     * Spark and DuckDB compute identically, which makes every sample below
     * oracle-checkable — and, unlike `rand()`, stable under retries,
     * re-partitioning, and speculative execution (a correctness property
-    * at 1000-executor scale, not just a testing convenience). */
+    * at 1000-executor scale, not just a testing convenience). 48 bits
+    * pushes the intra-stratum birthday bound to ~2^24 (~16M) rows per
+    * stratum; the earlier 24-bit draw saw likely ties at mere thousands. */
   def hashUnit(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("double") / (1 << 24)
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("double") / (1L << 48)
 
   /** The DuckDB spelling of [[hashUnit]] (DuckDB has no base-16 `conv`;
     * fold hex digits via strpos). Exposed for oracle SQL construction. */
   def hashUnitSql(idExpr: String): String = {
     val h = s"md5(CAST($idExpr AS VARCHAR))"
-    val terms = (1 to 6).map { i =>
-      val w = math.pow(16, 6 - i).toLong
+    val terms = (1 to 12).map { i =>
+      val w = math.pow(16, 12 - i).toLong
       s"(strpos('0123456789abcdef', substring($h, $i, 1)) - 1) * $w"
     }
-    s"((${terms.mkString(" + ")}) / 16777216.0)"
+    s"((${terms.mkString(" + ")}) / ${(1L << 48).toDouble})"
   }
 
   /**
@@ -180,6 +183,11 @@ object Curation {
    * row of a stratum into ONE task (the exact hazard VERDICT r1 flagged
    * in the ANN path). Output: (stratum, id, rank) with rank 1..k by hash
    * order.
+   *
+   * Tie handling: integral ids tie-break on the id itself inside the heap.
+   * String ids tie-break on the xxhash64 surrogate — deterministic but not
+   * id-lexicographic; with the 48-bit [[hashUnit]] an intra-stratum hash
+   * tie needs ~2^24 rows in one stratum before it becomes likely.
    */
   def quotaSample(df: DataFrame, strataCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}

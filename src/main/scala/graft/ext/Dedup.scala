@@ -186,12 +186,30 @@ object Dedup {
     * clustering would under-merge and leak duplicates. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
-    val sym = pairs.select(col(aCol).alias("src"), col(bCol).alias("dst"))
-      .union(pairs.select(col(bCol).alias("src"), col(aCol).alias("dst")))
-      .localCheckpoint() // reused every round — cut off the pair pipeline
-    var labels = sym.select(col("src").alias("id")).distinct()
-      .select(col("id"), col("id").alias("comp"))
-      .localCheckpoint()
+    val sc = pairs.sparkSession.sparkContext
+    // Each localCheckpoint registers block-manager storage; without eager
+    // release, superseded label frames pile up until driver GC /
+    // ContextCleaner runs — real pressure on large pair graphs near the
+    // round cap. Track the fresh RDDs each checkpoint persists (registry
+    // diff) and unpersist the superseded ones INSIDE the loop, keeping
+    // only sym + the latest labels alive.
+    def cpTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint() // eager — its blocks exist on return
+      val fresh = sc.getPersistentRDDs
+        .collect { case (k, r) if !before.contains(k) => r }.toSeq
+      (out, fresh)
+    }
+    def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+      rdds.foreach(r => try r.unpersist(blocking = false)
+      catch { case _: Throwable => () })
+    val (sym, symBlocks) = cpTracked(
+      pairs.select(col(aCol).alias("src"), col(bCol).alias("dst"))
+        .union(pairs.select(col(bCol).alias("src"), col(aCol).alias("dst"))))
+      // reused every round — cut off the pair pipeline
+    var (labels, labelBlocks) = cpTracked(
+      sym.select(col("src").alias("id")).distinct()
+        .select(col("id"), col("id").alias("comp")))
     // convergence via exact label-sum: comp values only ever DECREASE, so
     // any change strictly decreases sum(comp) — an equality of decimal
     // sums replaces a per-round join+filter change detector with one tiny
@@ -204,31 +222,33 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").alias("id")).agg(min(col("comp")).alias("__nbr"))
-      val propagated = labels.alias("l")
+      // materialize: the halving self-join below reads this subtree on
+      // BOTH sides — without the cut, the propagation join runs twice
+      val (propagated, propBlocks) = cpTracked(labels.alias("l")
         .join(nbrMin.alias("n"), col("l.id") === col("n.id"), "left")
         .select(col("l.id").alias("id"),
-          least(col("l.comp"), coalesce(col("__nbr"), col("l.comp"))).alias("comp"))
-        // materialize: the halving self-join below reads this subtree on
-        // BOTH sides — without the cut, the propagation join runs twice
-        .localCheckpoint()
+          least(col("l.comp"), coalesce(col("__nbr"), col("l.comp"))).alias("comp")))
       // path halving (pointer jumping): comp ← comp[comp]. Every comp
       // value is itself a node id, so one self-join re-points each node
       // at its parent's component, doubling the effective propagation
       // distance per round — O(log diameter) rounds on chain graphs
       // instead of O(diameter), same min-id fixed point.
-      val updated = propagated.alias("u")
+      val (updated, updBlocks) = cpTracked(propagated.alias("u")
         .join(propagated.select(col("id").alias("cid"), col("comp").alias("ccomp")).alias("c"),
           col("u.comp") === col("c.cid"), "left")
         .select(col("u.id").alias("id"),
-          least(col("u.comp"), coalesce(col("ccomp"), col("u.comp"))).alias("comp"))
-        .localCheckpoint()
+          least(col("u.comp"), coalesce(col("ccomp"), col("u.comp"))).alias("comp")))
       val curSum = labelSum(updated)
       converged = (prevSum == null && curSum == null) ||
         (prevSum != null && prevSum.compareTo(curSum) == 0)
       prevSum = curSum
+      release(propBlocks)  // superseded by `updated` (checkpointed — no lineage on these blocks)
+      release(labelBlocks) // previous round's labels
       labels = updated
+      labelBlocks = updBlocks
       i += 1
     }
+    release(symBlocks) // edges are not needed past the loop
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge after $maxIter rounds")
     labels

@@ -70,6 +70,13 @@ object Similarity {
    * Exact cosine top-k: for each query vector, the k nearest corpus
    * vectors. Scores rounded to 6 dp with id tiebreak so ranking is
    * engine-independent. Excludes self-matches when ids collide.
+   *
+   * Null-cosine candidates (zero-norm vectors) rank LAST and are dropped;
+   * a query whose candidates are ALL null-cosine returns no rows (the
+   * bounded heap holds nothing, so the group vanishes — same rows as the
+   * row_number window form whenever each query has >= k non-null
+   * candidates, the expected regime; on a degenerate corpus with fewer,
+   * the query emits fewer than k rows, never null-score rows).
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String, vecCol: String): DataFrame = {
@@ -190,6 +197,10 @@ object Similarity {
    * ([[trainCentroids]]). Each corpus vector is assigned to its nearest
    * centroid; each query probes the nprobe nearest centroid lists and
    * ranks exactly within.
+   *
+   * Same null-candidate contract as [[bruteForceTopK]]: null-cosine
+   * (zero-norm) candidates are dropped, and a query with fewer than k
+   * non-null candidates in its probed lists emits fewer than k rows.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String, vecCol: String,

@@ -37,6 +37,49 @@ class IntegrationSpec extends AnyFunSuite with SparkSpec {
     assertSameRows(report, expect)
   }
 
+  test("pack → enrich → unpack plan construction triggers no Spark jobs " +
+    "(laziness parity; reference test_lazyframe_throughout_workflow, " +
+    "test_integration.py:258-302)") {
+    // The reference asserts the whole workflow stays a LazyFrame; the Spark
+    // equivalent is that building the plan schedules NO jobs — everything
+    // runs on the single terminal action. Jobs are counted via listener;
+    // a marker job flushes the async listener bus (events are ordered, so
+    // once the marker is observed every earlier job start was delivered).
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var sawMarker = false
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (Option(js.properties)
+          .exists(_.getProperty("spark.job.description", "") == "graft-lazy-marker"))
+          sawMarker = true
+        else jobCount.incrementAndGet()
+      }
+    }
+    // source construction first: spark.read.parquet schema inference runs
+    // its own small job, which is not what this test is about
+    val p = new Packer(Tpch.orderSpec)
+    val flat = Tpch.flatOrderLines(spark, dir)
+    flat.schema // force footer-read/inference jobs BEFORE counting
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val packed = p.pack(flat, "lineitem")
+      val enriched = p.enrich(packed, "order",
+        LevelAttribute("l_quantity", "lineitem", Agg.Sum, Some("total_qty")))
+      val back = p.unpack(enriched, "lineitem")
+      assert(back.columns.nonEmpty) // schema-only access — still no job
+      spark.sparkContext.setJobDescription("graft-lazy-marker")
+      try spark.range(1).count()
+      finally spark.sparkContext.setJobDescription(null)
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!sawMarker && System.nanoTime() < deadline) Thread.sleep(20)
+      assert(sawMarker, "listener bus did not deliver the marker job in 10s")
+      assert(jobCount.get() == 0,
+        s"plan construction ran ${jobCount.get()} Spark job(s); expected none")
+      // and the deferred plan is correct when finally executed
+      assert(back.count() == flat.count())
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("normalize → per-level transform → denormalize roundtrip") {
     val p = new Packer(Tpch.orderSpec)
     val flat = Tpch.flatOrderLines(spark, dir)

@@ -343,6 +343,27 @@ class PackerSpec extends SparkSpec {
       apartmentDf(spark).schema.fieldNames.sorted.toSeq)
   }
 
+  test("empty frames across EVERY pack strategy: plain/salted/streaming/" +
+    "split_join/auto all yield 0 rows with the packed schema " +
+    "(reference TestEmptyDataFrames, test_hierarchical_packer.py:472-524)") {
+    val df = apartmentDf(spark).filter(lit(false))
+    val expected = packer.pack(apartmentDf(spark), "country").schema
+    val variants: Seq[(String, DataFrame)] = Seq(
+      "plain" -> packer.pack(df, "country"),
+      "salted" -> packer.packSalted(df, "country", saltBuckets = 4),
+      "streaming" -> packer.packStreaming(df, "country", partitions = 4),
+      "split_join" -> packer.pack(df, "country", parentStrategy = ParentStrategy.SplitJoin),
+      "auto" -> packer.packAuto(df, "country"))
+    variants.foreach { case (name, packed) =>
+      assert(packed.count() == 0, s"$name: expected 0 rows")
+      assert(packed.schema == expected, s"$name: schema diverged on empty input")
+    }
+    // validateOnPack on an empty frame is a no-op, not a failure (agg over
+    // zero rows yields null audit evidence = no violations)
+    val strict = new Packer(apartmentSpec, validateOnPack = true)
+    assert(strict.pack(df, "street").count() == 0)
+  }
+
   test("validate on an empty frame reports zero null counts, not an error") {
     val empty = streamingDf(spark).filter(lit(false))
     val p = new Packer(streamingSpec)

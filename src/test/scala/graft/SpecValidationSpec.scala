@@ -91,6 +91,33 @@ class SpecValidationSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("at least one table"))
   }
 
+  test("HierarchyValidationError carries level context and details " +
+    "(reference test_validation_error_includes_level, " +
+    "test_hierarchical_packer.py:662-672)") {
+    val e = new HierarchyValidationError("Test error message",
+      level = Some("test_level"), details = Map("key" -> "value"))
+    assert(e.getMessage.contains("[Level: test_level]"))
+    assert(e.level.contains("test_level"))
+    assert(e.details == Map("key" -> "value"))
+    // and the level-less form renders the bare message
+    assert(new HierarchyValidationError("bare").getMessage == "bare")
+  }
+
+  test("validate's raised error carries the level and per-key null counts " +
+    "as structured details (reference error-context idiom)") {
+    val p = new Packer(Fixtures.streamingSpec)
+    val flat = Fixtures.streamingDf(spark)
+      .withColumn("country.city.street.id",
+        org.apache.spark.sql.functions.when(
+          ColName.topCol("country.city.street.id") === "s0_0",
+          org.apache.spark.sql.functions.lit(null))
+          .otherwise(ColName.topCol("country.city.street.id")))
+    val e = intercept[HierarchyValidationError](p.validate(flat, "street"))
+    assert(e.level.contains("street"))
+    assert(e.details.get("country.city.street.id").contains("1"))
+    assert(e.getMessage.contains("[Level: street]"))
+  }
+
   test("unknown-level errors name the level and list the known ones " +
     "(reference test_missing_level_error_is_descriptive)") {
     val spec = HierarchySpec(Seq(LevelSpec("known", Seq(NamedField("id")))))

@@ -226,6 +226,67 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(r1.getInt(0) == 2 && r1.getInt(1) == 3) // 2 b-children, 3 c-leaves
   }
 
+  test("packEachBatch cross-batch merge: a keyed merge over the per-batch sink " +
+    "reaches batch-pack parity for an entity split across micro-batches (VERDICT r2 #8)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val spec = HierarchySpec(Seq(
+      LevelSpec("a", Seq(NamedField("id"))),
+      LevelSpec("b", Seq(NamedField("id")), parentKeys = Seq("aid")),
+      LevelSpec("c", Seq(NamedField("id")), parentKeys = Seq("bid"))))
+    val p = new Packer(spec, preserveChildOrder = false)
+    val sink = "target/tmp/stream_pack_merge"
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(sink))
+    // root a=1 spans BOTH batches, and so does its child b=1 (leaf c=1 in
+    // batch 1, leaf c=2 in batch 2) — the exact case EventStreams.scala:87
+    // documents as needing a keyed merge sink
+    val batch1 = Seq((1L, 1L, 1L), (1L, 2L, 3L))
+    val batch2 = Seq((1L, 1L, 2L), (1L, 2L, 4L), (2L, 1L, 1L))
+    val mem = MemoryStream[(Long, Long, Long)]
+    def toFlat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").alias("a.id"),
+        col("_2").alias("a.b.id"), col("_1").alias("a.b.aid"),
+        col("_3").alias("a.b.c.id"), col("_2").alias("a.b.c.bid"))
+    val q = EventStreams.packEachBatch(toFlat(mem.toDF()), p, "a", sink)
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // per-batch rows: root 1 packed TWICE (once per batch) — the raw sink
+    // is NOT yet entity-unique
+    val perBatch = sp.read.parquet(sink)
+    assert(perBatch.filter(col("a.id") === 1L).count() == 2)
+    // the keyed merge, reduced to its semantics: gather every packed row
+    // of a root, unpack to leaves, repack — one row per root with ALL its
+    // descendants (a Delta/Iceberg MERGE sink would do this incrementally
+    // keyed on a.id; parquet has no upsert, so the test merges explicitly)
+    val merged = p.pack(p.unpack(perBatch.drop("batch_id"), "c"), "a")
+    val direct = p.pack(toFlat((batch1 ++ batch2).toDF()), "a")
+    // names/types only via catalogString (nullability-free) — a parquet
+    // roundtrip legitimately loosens nested-field nullability
+    assert(merged.schema.map(f => f.name -> f.dataType.catalogString) ==
+      direct.schema.map(f => f.name -> f.dataType.catalogString))
+    assert(merged.count() == 2)
+    // root 1 now has BOTH leaves of b=1 in one list (the split child healed)
+    val nc = merged.filter(col("a.id") === 1L)
+      .select(explode(col("a.b")).alias("b")).select(size(col("b.c")))
+      .collect().map(_.getInt(0)).sorted
+    assert(nc.toSeq == Seq(2, 2))
+    // full-contents parity with the batch pack, compared at the leaf level
+    // (preserveChildOrder=false leaves list order up to collect_list, so
+    // packed rows are set-compared after unpacking, not array-compared)
+    def leaves(df: org.apache.spark.sql.DataFrame) =
+      p.unpack(df, "c").collect().map(_.toSeq).toSet
+    assert(leaves(merged) == leaves(direct))
+  }
+
   test("streaming dedup drops duplicate event ids within the watermark") {
     val sp = spark
     import sp.implicits._
