@@ -158,6 +158,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    // Optional comma-separated substring filter over entry names
+    // (SPARK_GRAFT_ONLY="q_pack,scale_"): focused reruns for regression
+    // attribution, and sf1.0 runs that skip the sf-independent synthetic
+    // parity scenarios. Default (unset) runs everything.
+    val onlyFilters = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def selected(name: String): Boolean =
+      onlyFilters.isEmpty || onlyFilters.exists(name.contains)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -171,8 +179,8 @@ object Bench {
     try materialize(SparkEntry.queries("q_enrich_aggs")(spark, "/root/testdata/sf0.001"))
     catch { case _: Throwable => }
 
-    val queryTimes = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      name -> bestOf(fn(spark, sfDir))
+    val queryTimes = SparkEntry.queries.toSeq.collect {
+      case (name, fn) if selected(name) => name -> bestOf(fn(spark, sfDir))
     }
 
     val rss = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -199,19 +207,20 @@ object Bench {
     // per-process VmHWM and the partitions-sweep memory story (BASELINE.md
     // :32) is directly comparable.
     val forkMode = sys.env.get("SPARK_GRAFT_FORK").contains("1")
+    val activeParity = parityScenarios.filter(s => selected(s._1))
     val parityResults: Seq[(String, Double)] =
-      if (forkMode) parityScenarios.map { case (name, _, _) =>
+      if (forkMode) activeParity.map { case (name, _, _) =>
         val (sec, rssMb) = BenchScenario.runForked(name, cpus, repeat)
         rss(name) = rssMb
         name -> sec
       }
       else {
         // iterate datasets in first-appearance order, persist each once
-        val dsOrder = parityScenarios.map(_._2).distinct
+        val dsOrder = activeParity.map(_._2).distinct
         dsOrder.flatMap { dsKey =>
           val ds = buildDataset(spark, dsKey).persist(StorageLevel.MEMORY_AND_DISK)
           ds.count()
-          val defs = parityScenarios.filter(_._2 == dsKey)
+          val defs = activeParity.filter(_._2 == dsKey)
           // one untimed warmup pass on the first dataset: the first heavy
           // job after a cache build otherwise absorbs all JIT/GC warmup
           // (measured 5-13s vs 0.7s steady)
@@ -228,8 +237,9 @@ object Bench {
     // document at this sf, at production-ish LSH settings (the oracle-gated
     // q_dedup_survivors covers 100 docs; this times the banded path at
     // corpus scale)
-    val scaleDedup = Seq(
-      scenario("scale_neardup_survivors")(
+    val scaleDedup =
+      if (!selected("scale_neardup_survivors")) Nil
+      else Seq(scenario("scale_neardup_survivors")(
         graft.ext.Dedup.nearDupSurvivors(
           spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
           threshold = 0.5, shingleN = 3, numHashes = 128, bands = 32)))
@@ -240,7 +250,8 @@ object Bench {
     // dominate the scheduling floor. Chunk contents at a GIVEN shard count
     // are invariant to physical partitioning (CurationSpec asserts it);
     // different shard counts legitimately produce different chunkings.
-    val scaleSeqPacking = Seq(8, 64).map { shards =>
+    val scaleSeqPacking = Seq(8, 64)
+      .filter(s => selected(s"scale_seq_packing_$s")).map { shards =>
       scenario(s"scale_seq_packing_${shards}")(
         graft.ext.Curation.packSequences(
           spark.read.parquet(s"$sfDir/documents.parquet"),
@@ -252,11 +263,12 @@ object Bench {
     // is one corpus scan + (k × queries) heap entries per partition, so
     // time should grow far SLOWER than the query count — the single-task
     // window ranking this replaced scaled linearly in queries × corpus.
-    val scaleKnn = {
+    val knnCounts = Seq(100, 1000).filter(nq => selected(s"scale_knn_${nq}q"))
+    val scaleKnn = if (knnCounts.isEmpty) Nil else {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .persist(StorageLevel.MEMORY_AND_DISK)
       emb.count()
-      val out = Seq(100, 1000).map(nq => scenario(s"scale_knn_${nq}q")(
+      val out = knnCounts.map(nq => scenario(s"scale_knn_${nq}q")(
         graft.ext.Similarity.bruteForceTopK(
           emb, emb.filter(col("vec_id") < nq), 10, "vec_id", "embedding")))
       emb.unpersist()
@@ -267,7 +279,8 @@ object Bench {
     // two presets where the choice matters — evidence the sampled
     // selector lands on the winning side (compare against the manual
     // parity_pack_* entries for the same datasets)
-    val autoScenarios = Seq("parent_dom_2k", "skewed").map { dsKey =>
+    val autoScenarios = Seq("parent_dom_2k", "skewed")
+      .filter(k => selected(s"auto_pack_$k")).map { dsKey =>
       val ds = buildDataset(spark, dsKey).persist(StorageLevel.MEMORY_AND_DISK)
       ds.count()
       val r = scenario(s"auto_pack_$dsKey")(packer.packAuto(ds, "image"))

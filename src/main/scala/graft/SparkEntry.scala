@@ -625,6 +625,28 @@ object SparkEntry {
           (aggregate(col("features"), lit(0.0), (a, x) => a + x) * 256.0)
             .cast("long").alias("feat_sum_x256"))
     }),
+    // sources/sinks beyond parquet (free via DataFrameReader/Writer,
+    // SURVEY §2.6): stage a table to CSV / JSON-lines and read it back —
+    // the oracle reads the ORIGINAL parquet, so the hash compare checks
+    // writer+reader fidelity end-to-end. CSV is untyped on disk: the
+    // re-read supplies an explicit schema (the 100 TB posture — schema
+    // inference is a full extra pass over the data; never rely on it).
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_csv_nation_${s.sparkContext.applicationId}"
+      table(s, dir, "nation").write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true").csv(out)
+    }),
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/" +
+        s"graft_jsonl_supplier_${s.sparkContext.applicationId}"
+      table(s, dir, "supplier").write.mode("overwrite").json(out)
+      // explicit schema: JSON-lines omits null fields and carries no types
+      s.read.schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .json(out)
+    }),
     // scalar-function passthrough: JSON extraction + grouped agg over events
     "q_json_props" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1089,6 +1111,12 @@ object SparkEntry {
           |  CAST(sum(ncnt) AS BIGINT) AS n_cust,
           |  round(avg(navg), 4) AS mean_of_means
           |FROM nc GROUP BY r_regionkey""".stripMargin,
+      // roundtrip oracles read the ORIGINAL table — the Spark side staged
+      // through CSV / JSON-lines, so equality proves writer+reader fidelity
+      "q_csv_roundtrip" ->
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+      "q_jsonl_roundtrip" ->
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
       "q_json_props" ->
         """SELECT event_type, count(*) AS n,
           | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
