@@ -366,8 +366,11 @@ object BenchScenario {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    // Child heap honors SPARK_DRIVER_MEM (like build.sbt's javaOptions) so
+    // fork mode can measure memory-parity envelopes at reference-like heaps
+    val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
     val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx16g", "-Dspark.ui.enabled=false",
+      s"-Xmx$heap", s"-Xms$heap", "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchScenario", name)).toArray
     val pb = new ProcessBuilder(cmd: _*)
