@@ -368,11 +368,17 @@ object SparkEntry {
     }),
     // text analysis: stopword ratio, quality score, language-ID heuristic
     "q_text_quality" -> ((s, dir) => {
+      // stage the token arrays ONCE (HOFs are interpreted — no codegen CSE;
+      // the inline form tokenized 8x per row: stopword 2x, count, lengths,
+      // 4 langScores). CollapseProject keeps the staging projection because
+      // the aliases are multi-referenced and non-cheap.
       val d = table(s, dir, "documents")
+        .withColumn("__tl", TextAnalysis.tokens(lower(col("text"))))
+        .withColumn("__to", TextAnalysis.tokens(col("text")))
       d.select(col("doc_id"),
-        round(TextAnalysis.stopwordRatio(col("text")), 6).alias("stopword_ratio"),
-        TextAnalysis.qualityScore(col("text")).alias("quality"),
-        TextAnalysis.langId(col("text")).alias("lang_pred"))
+        round(TextAnalysis.stopwordRatioOf(col("__tl")), 6).alias("stopword_ratio"),
+        TextAnalysis.qualityScoreOf(col("text"), col("__tl"), col("__to")).alias("quality"),
+        TextAnalysis.langIdOf(col("__tl")).alias("lang_pred"))
     }),
     // vocabulary building: corpus-wide top-k token frequencies. explode →
     // groupBy(count) has map-side partial aggregation; the global top-k is
@@ -414,14 +420,36 @@ object SparkEntry {
     // min/max (order-independent) rather than float sums keep the
     // aggregate engine-comparable
     "q_corpus_curation" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
-      val q = d.filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
-      val surv = Dedup.exact(q, "text", "doc_id")
-      surv.agg(
-        count(lit(1)).alias("n_docs"),
-        sum(TextAnalysis.tokenCount(col("text"))).alias("total_tokens"),
-        round(min(TextAnalysis.qualityScore(col("text"))), 6).alias("min_quality"),
-        round(max(TextAnalysis.qualityScore(col("text"))), 6).alias("max_quality"))
+      // Filter → exact-dedup → aggregate, fused into ONE scan + ONE
+      // shuffle. The naive composition (filter(qualityScore >= 0.5) then
+      // Dedup.exact then agg over recomputed scores) evaluates the
+      // tokenize-heavy score ~4x per doc: the semi-join scans the corpus
+      // twice, and predicate pushdown inlines the score into each scan's
+      // Filter (HOFs are interpreted — no codegen CSE; staged-alias
+      // projections don't survive because pushdown substitutes them).
+      // Instead: stage the token arrays + score once per row (no Filter
+      // node exists, so nothing is pushed/inlined), then per fingerprint
+      // keep min(struct(doc_id, ...)) over quality rows only — struct min
+      // orders by doc_id first (= the reference winner rule) and `min`
+      // skips the nulls produced by the quality condition, so groups with
+      // no quality row vanish at the final agg (count/sum/min/max all
+      // skip nulls).
+      val staged = table(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).alias("__fp"),
+        col("text"),
+        TextAnalysis.tokens(lower(col("text"))).alias("__tl"),
+        TextAnalysis.tokens(col("text")).alias("__to"))
+      val scored = staged.select(col("doc_id"), col("__fp"),
+        TextAnalysis.qualityScoreOf(col("text"), col("__tl"), col("__to")).alias("__q"),
+        coalesce(size(col("__to")), lit(0)).cast("long").alias("__ntok"))
+      scored.groupBy(col("__fp"))
+        .agg(min(when(col("__q") >= 0.5,
+          struct(col("doc_id"), col("__q"), col("__ntok")))).alias("w"))
+        .agg(
+          count(col("w")).alias("n_docs"),
+          sum(col("w").getField("__ntok")).alias("total_tokens"),
+          round(min(col("w").getField("__q")), 6).alias("min_quality"),
+          round(max(col("w").getField("__q")), 6).alias("max_quality"))
     }),
     // Gopher-style repetition filters: duplicate token / 2-gram / 3-gram
     // fractions + keep flag. Pure per-row codegen — one corpus scan.

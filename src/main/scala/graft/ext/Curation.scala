@@ -51,19 +51,37 @@ object Curation {
       lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
   }
 
+  /** `1 - distinct/total` over a precomputed gram/token array (0 for
+    * null/empty) — the shared kernel behind the fraction columns. */
+  private def dupFractionOf(grams: Column): Column =
+    when(grams.isNull || size(grams) === 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+
   /** One-pass repetition-stats frame: token/2-gram/3-gram duplicate
     * fractions plus a keep/drop flag at the given thresholds. Single
-    * scan → project; no shuffle. */
+    * scan → project; no shuffle.
+    *
+    * The token array is materialized ONCE in its own projection and the
+    * three fraction columns read it by reference: Spark's higher-order
+    * functions are interpreted (CodegenFallback), so codegen-level
+    * subexpression elimination never rescues repeated
+    * `tokens(normalized(text))` subtrees — and CollapseProject keeps the
+    * staging projection because the alias is referenced more than once
+    * (multi-reference non-cheap aliases are not inlined). Measured ~2× on
+    * the documents corpus vs the inline form. */
   def repetitionStats(df: DataFrame, textCol: String,
                       maxDupTokenFrac: Double = 0.6,
-                      maxDup3gramFrac: Double = 0.3): DataFrame =
-    df.select(col("*"),
-      trunc6(dupTokenFraction(col(textCol))).alias("dup_token_frac"),
-      trunc6(dupNgramFraction(col(textCol), 2)).alias("dup_2gram_frac"),
-      trunc6(dupNgramFraction(col(textCol), 3)).alias("dup_3gram_frac"))
+                      maxDup3gramFrac: Double = 0.3): DataFrame = {
+    val toks = "__rep_toks"
+    df.withColumn(toks, TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+      .select(df.columns.map(col).toIndexedSeq ++ Seq(
+        trunc6(dupFractionOf(col(toks))).alias("dup_token_frac"),
+        trunc6(dupFractionOf(TextAnalysis.ngramsOf(col(toks), 2))).alias("dup_2gram_frac"),
+        trunc6(dupFractionOf(TextAnalysis.ngramsOf(col(toks), 3))).alias("dup_3gram_frac")): _*)
       .withColumn("keep",
         col("dup_token_frac") <= maxDupTokenFrac &&
           col("dup_3gram_frac") <= maxDup3gramFrac)
+  }
 
   // --------------------------------------------------------------- PII
 

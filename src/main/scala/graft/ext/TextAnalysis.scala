@@ -42,20 +42,29 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
     "for", "on", "with", "as", "at", "by", "it", "this", "that")
 
-  /** Fraction of tokens that are stopwords (null-safe, 0 for empty docs). */
-  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
-    val toks = tokens(lower(text))
+  /** [[stopwordRatio]] over a precomputed LOWERCASED token array. The
+    * `...Of` kernels exist because Spark's higher-order functions are
+    * interpreted (CodegenFallback) — codegen subexpression elimination
+    * never deduplicates repeated `tokens(...)` subtrees, so multi-metric
+    * queries should stage the token array in its own projection once and
+    * pass it here by reference (see q_text_quality / repetitionStats). */
+  def stopwordRatioOf(toks: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
     val hits = size(filter(toks, t => t.isInCollection(stopwords)))
-    when(text.isNull || size(toks) === 0, 0.0)
+    when(toks.isNull || size(toks) === 0, 0.0)
       .otherwise(hits.cast("double") / size(toks))
   }
 
-  /** Mean token length (0 for empty or null docs). */
-  def meanTokenLength(text: Column): Column = {
-    val toks = tokens(text)
-    when(text.isNull || size(toks) === 0, 0.0).otherwise(
+  /** Fraction of tokens that are stopwords (null-safe, 0 for empty docs). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    stopwordRatioOf(tokens(lower(text)), stopwords)
+
+  /** [[meanTokenLength]] over a precomputed token array. */
+  def meanTokenLengthOf(toks: Column): Column =
+    when(toks.isNull || size(toks) === 0, 0.0).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
+
+  /** Mean token length (0 for empty or null docs). */
+  def meanTokenLength(text: Column): Column = meanTokenLengthOf(tokens(text))
 
   /**
    * Composite quality score in [0,1]: rewards documents that are long
@@ -68,11 +77,16 @@ object TextAnalysis {
    * + 0.25 * min(stopword_ratio*4, 1) — naturalness signal
    * + 0.25 * clamp((mean_tok_len-2)/8) — vocabulary signal
    */
-  def qualityScore(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
-    val lengthS = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+  /** [[qualityScore]] over precomputed lowercased + original-case token
+    * arrays (`toksLower` feeds the stopword signal, `toksOrig` the length
+    * signals — lengths are computed on the ORIGINAL text so exotic
+    * case-mapping expansions cannot shift them). */
+  def qualityScoreOf(text: Column, toksLower: Column, toksOrig: Column,
+                     stopwords: Seq[String] = EnglishStopwords): Column = {
+    val lengthS = least(coalesce(size(toksOrig).cast("double"), lit(0.0)) / 100.0, lit(1.0))
     val punctS = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
-    val stopS = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
-    val vocabS = greatest(least((meanTokenLength(text) - 2.0) / 8.0, lit(1.0)), lit(0.0))
+    val stopS = least(stopwordRatioOf(toksLower, stopwords) * 4.0, lit(1.0))
+    val vocabS = greatest(least((meanTokenLengthOf(toksOrig) - 2.0) / 8.0, lit(1.0)), lit(0.0))
     // truncate, don't round: the *0.25 makes exact binary .5 boundaries
     // common, where round-half-up (Spark) and half-even (DuckDB) disagree.
     // Null text scores 0 (fails any quality gate) — least/greatest SKIP
@@ -81,6 +95,9 @@ object TextAnalysis {
       floor((lengthS + punctS + stopS + vocabS) * 0.25 * 1e6) / 1e6)
   }
 
+  def qualityScore(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    qualityScoreOf(text, tokens(lower(text)), tokens(text), stopwords)
+
   /** Language marker words for the n-gram/stopword language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "with"),
@@ -88,11 +105,14 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "avec"),
     "es" -> Seq("el", "la", "los", "y", "es", "con"))
 
-  /** Per-language marker-hit count. */
-  def langScore(text: Column, markers: Seq[String]): Column = {
-    val toks = tokens(lower(text))
+  /** Per-language marker-hit count over a precomputed lowercased token
+    * array. */
+  def langScoreOf(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers))).cast("long")
-  }
+
+  /** Per-language marker-hit count. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    langScoreOf(tokens(lower(text)), markers)
 
   /** Heuristic language ID: argmax of marker-hit counts; "und" when no
     * marker hits at all. Ties break in LangMarkers order (en first) —
@@ -102,17 +122,21 @@ object TextAnalysis {
     * structs: each langScore appears exactly once in the expression tree.
     * A when/otherwise max-fold would embed earlier scores twice per step —
     * 2^langs copies of the tokenization pipeline. */
-  def langId(text: Column, markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
+  /** [[langId]] over a precomputed lowercased token array. */
+  def langIdOf(toks: Column, markers: Seq[(String, Seq[String])] = LangMarkers): Column = {
     val entries = markers.zipWithIndex.map { case ((lang, ms), i) =>
-      struct((-langScore(text, ms)).alias("neg"), lit(i).alias("rank"),
+      struct((-langScoreOf(toks, ms)).alias("neg"), lit(i).alias("rank"),
         lit(lang).alias("lang"))
     }
     val best = get(array_sort(array(entries: _*)), lit(0))
     // null text propagates null scores; null >= 0 is null (falsy) and would
     // fall through to "en" — classify null/absent text as "und" explicitly
-    when(text.isNull || best.getField("neg") >= 0, "und")
+    when(toks.isNull || best.getField("neg") >= 0, "und")
       .otherwise(best.getField("lang"))
   }
+
+  def langId(text: Column, markers: Seq[(String, Seq[String])] = LangMarkers): Column =
+    langIdOf(tokens(lower(text)), markers)
 
   /** All word n-grams of `toks` IN ORDER, duplicates preserved (a doc with
     * fewer than n tokens yields its single joined gram). Built by n-1
