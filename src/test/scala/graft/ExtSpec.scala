@@ -415,4 +415,30 @@ class ExtSpec extends SparkSpec {
     assert(plan.contains("partial_top_k_by_score"), plan.take(2000))
     assert(!plan.contains("Window"), plan.take(2000))
   }
+
+  test("multi-metric text plans tokenize each token array exactly once " +
+    "(staged-projection regression: HOFs are interpreted, no codegen CSE)") {
+    def splits(df: DataFrame): Int =
+      "split\\(".r.findAllIn(df.queryExecution.optimizedPlan.toString).length
+    // a local fixture folds into a LocalRelation at optimize time (which
+    // would hide the expressions); the repartition keeps the plan symbolic
+    val src = docs.repartition(2)
+    // repetitionStats: ONE tokenization feeds token/2-gram/3-gram fractions
+    assert(splits(graft.ext.Curation.repetitionStats(src, "text")) == 1)
+    // q_text_quality-shaped query: one lowered + one original-case array
+    val staged = src
+      .withColumn("__tl", TextAnalysis.tokens(lower(col("text"))))
+      .withColumn("__to", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        round(TextAnalysis.stopwordRatioOf(col("__tl")), 6).alias("stopword_ratio"),
+        TextAnalysis.qualityScoreOf(col("text"), col("__tl"), col("__to")).alias("quality"),
+        TextAnalysis.langIdOf(col("__tl")).alias("lang_pred"))
+    assert(splits(staged) == 2)
+    // and the staged forms equal the naive per-metric forms value-for-value
+    val naive = docs.select(col("doc_id"),
+      round(TextAnalysis.stopwordRatio(col("text")), 6).alias("stopword_ratio"),
+      TextAnalysis.qualityScore(col("text")).alias("quality"),
+      TextAnalysis.langId(col("text")).alias("lang_pred"))
+    assertSameRows(staged, naive)
+  }
 }
