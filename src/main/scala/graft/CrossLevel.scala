@@ -38,11 +38,20 @@ trait CrossLevelOps { self: Packer =>
     case Agg.List  => identity
     case Agg.Set    => e => array_distinct(filter(e, x => x.isNotNull))
     case Agg.Sum    => sumKernel
-    case Agg.Mean   => e => try_divide(sumKernel(e), size(filter(e, x => x.isNotNull)))
+    // `let`-bound via [[once]] — NOT try_divide(sum(e), count(e)) on the
+    // raw argument: kernels must reference `e` exactly ONCE. HOFs are
+    // interpreted (no codegen CSE) and in attributeExpr `e` is the whole
+    // nested transform chain, so a kernel referencing it k times costs
+    // k^hops evaluations in multi-hop cascades. Lambda-variable references
+    // are reads of the already-evaluated value, so inside `once` the
+    // two-pass sum/count form is fine (and beats a per-element struct
+    // accumulator, which allocates per element).
+    case Agg.Mean   => e => once(e)(a =>
+      try_divide(sumKernel(a), size(filter(a, x => x.isNotNull))))
     case Agg.Min    => e => array_min(e)
     case Agg.Max    => e => array_max(e)
     case Agg.First  => e => get(e, lit(0))
-    case Agg.Last   => e => get(e, size(e) - lit(1))
+    case Agg.Last   => e => once(e)(a => get(a, size(a) - lit(1)))
     case Agg.Count  => e => size(e).cast(LongType)
     case Agg.Single => e => get(array_distinct(filter(e, x => x.isNotNull)), lit(0))
     case other => throw new HierarchyConfigError(
@@ -65,6 +74,15 @@ trait CrossLevelOps { self: Packer =>
     * (Polars list.sum ignores nulls; empty list sums to 0). */
   private def sumKernel: Column => Column = e =>
     aggregate(e, lit(0.0), (acc, x) => acc + coalesce(x.cast(DoubleType), lit(0.0)))
+
+  /** Let-binding for Column expressions: evaluate `e` once, make it
+    * available to `body` as a lambda variable (multiple reads of a lambda
+    * variable do NOT re-evaluate the bound expression). Implemented as
+    * `get(transform(array(e), a => body(a)), 0)` — the single-element
+    * array wrapper is O(1). Null/empty semantics: e == null binds a as
+    * null (array(null) is a one-element array). */
+  private def once(e: Column)(body: Column => Column): Column =
+    get(transform(array(e), a => body(a)), lit(0))
 
   /** Q1: ONE composable expression aggregating a descendant-level field up
     * to the packed level (reference: attribute_expr,

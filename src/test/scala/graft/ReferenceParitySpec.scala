@@ -172,6 +172,24 @@ class ReferenceParitySpec extends SparkSpec {
     assert(vals("US") == 3L && vals("CA") == 2L)
   }
 
+  test("multi-hop mean/last kernels reference the nested chain exactly once " +
+    "(let-binding regression — a kernel referencing its argument k times " +
+    "costs k^hops evaluations of the interpreted HOF cascade)") {
+    for (agg <- Seq(Agg.Mean, Agg.Last)) {
+      val expr = clPacker.attributeExpr("length_km", "street", "country", agg)
+      val occurrences = "length_km".r.findAllIn(expr.toString).length
+      assert(occurrences == 1,
+        s"$agg: inner chain appears $occurrences times in\n${expr.toString.take(800)}")
+    }
+    // and the let-bound mean still produces the reference's mean-of-means
+    // (BY DESIGN at >1 hop): US = mean(NYC (21+10)/2, LA 35) = 25.25,
+    // CA = mean(TOR (5+3)/2) = 4.0
+    val vals = byCountry(clPacker.pack(clDf, "city"),
+      clPacker.attributeExpr("length_km", "street", "country", Agg.Mean))
+    assert(math.abs(vals("US").asInstanceOf[Double] - ((21.0 + 10.0) / 2 + 35.0) / 2) < 1e-9)
+    assert(math.abs(vals("CA").asInstanceOf[Double] - 4.0) < 1e-9)
+  }
+
   test("two attribute_exprs compose with plain Column arithmetic " +
     "(reference test_expression_arithmetic)") {
     val packed = clPacker.pack(clDf, "city")
