@@ -75,14 +75,10 @@ trait CrossLevelOps { self: Packer =>
   private def sumKernel: Column => Column = e =>
     aggregate(e, lit(0.0), (acc, x) => acc + coalesce(x.cast(DoubleType), lit(0.0)))
 
-  /** Let-binding for Column expressions: evaluate `e` once, make it
-    * available to `body` as a lambda variable (multiple reads of a lambda
-    * variable do NOT re-evaluate the bound expression). Implemented as
-    * `get(transform(array(e), a => body(a)), 0)` — the single-element
-    * array wrapper is O(1). Null/empty semantics: e == null binds a as
-    * null (array(null) is a one-element array). */
+  /** See [[ColExprs.once]] — let-binding so kernels reference their
+    * (possibly deeply nested) argument exactly once. */
   private def once(e: Column)(body: Column => Column): Column =
-    get(transform(array(e), a => body(a)), lit(0))
+    ColExprs.once(e)(body)
 
   /** Q1: ONE composable expression aggregating a descendant-level field up
     * to the packed level (reference: attribute_expr,

@@ -52,10 +52,14 @@ object Curation {
   }
 
   /** `1 - distinct/total` over a precomputed gram/token array (0 for
-    * null/empty) — the shared kernel behind the fraction columns. */
+    * null/empty) — the shared kernel behind the fraction columns.
+    * Let-bound ([[graft.ColExprs.once]]): the n-gram build passed in is a
+    * computed zip_with chain, and the naive form would re-evaluate it up
+    * to 4 times per row (null guard, empty guard, distinct, divisor). */
   private def dupFractionOf(grams: Column): Column =
-    when(grams.isNull || size(grams) === 0, 0.0).otherwise(
-      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+    graft.ColExprs.once(grams)(g =>
+      when(g.isNull || size(g) === 0, 0.0).otherwise(
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g)))
 
   /** One-pass repetition-stats frame: token/2-gram/3-gram duplicate
     * fractions plus a keep/drop flag at the given thresholds. Single
