@@ -144,13 +144,17 @@ object TextAnalysis {
     * the folds the first `len-n+1` entries are complete n-grams and the
     * tail is null; the slice drops the tail. Per-row, codegen-friendly,
     * no shuffle. */
-  def ngramsOf(toks: Column, n: Int): Column = {
-    val count = size(toks) - (n - 1)
-    val grams = (1 until n).foldLeft(toks) { (acc, k) =>
-      zip_with(acc, slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))),
+  def ngramsOf(toks: Column, n: Int): Column = graft.ColExprs.once(toks) { t =>
+    // let-bound: the fold below references the token array ~2n+2 times
+    // (sizes, slices, the when-branch), and when the caller passes a
+    // COMPUTED tokenization — ngramsAll does — each reference would
+    // re-evaluate the regex pipeline (HOFs are interpreted, no codegen CSE)
+    val count = size(t) - (n - 1)
+    val grams = (1 until n).foldLeft(t) { (acc, k) =>
+      zip_with(acc, slice(t, lit(k + 1), greatest(size(t) - k, lit(0))),
         (a, b) => concat(a, lit(" "), b))
     }
-    when(count <= 0, array(concat_ws(" ", toks))).otherwise(slice(grams, lit(1), count))
+    when(count <= 0, array(concat_ws(" ", t))).otherwise(slice(grams, lit(1), count))
   }
 
   /** All word n-grams of the normalized text, duplicates preserved. */
