@@ -186,4 +186,17 @@ class CurationSpec extends SparkSpec {
       assert(re == got.toSet)
     }
   }
+
+  test("shingle-path plans tokenize once per corpus side " +
+    "(ngramsOf let-binding regression)") {
+    // contamination: one tokenize per side (corpus + bench) — before the
+    // ngramsOf let-binding the zip_with fold re-derived the regex split
+    // ~2n+2 times per row (sizes, slices, short-doc branch)
+    val corpus = docsOf(1L -> "a b c d", 2L -> "c d e f").repartition(2)
+    val bench = docsOf(10L -> "c d e").repartition(2)
+    val plan = Curation.contamination(corpus, bench, "doc_id", "text", n = 2)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(plan).length
+    assert(splits == 2, s"expected 2 tokenizations (one per side), got $splits")
+  }
 }
