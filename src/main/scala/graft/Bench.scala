@@ -26,7 +26,20 @@ import org.apache.spark.storage.StorageLevel
   *    fork-per-scenario isolation;
   *  - `floor_sec` measures Spark's minimum job latency (trivial two-stage
   *    aggregate over 6,400 rows) — the scheduling floor any sub-0.1 s
-  *    Polars number has to be read against (BASELINE.md).
+  *    Polars number has to be read against (BASELINE.md);
+  *  - NOISE ROBUSTNESS (round 4): the artifact is self-describing about
+  *    ambient load. Every entry records its full run vector (`runs`) and
+  *    a floor sample measured immediately after it (`floors`) — a 3x
+  *    floor adjacent to a slow entry says "ambient", a clean floor says
+  *    "regression". On top of that, entries slower than
+  *    SPARK_GRAFT_FLAG_FACTOR (default 2x) times their committed
+  *    reference number (BENCH_REFERENCE.json, the last known-good
+  *    committed artifact) are automatically RE-RUN in a fresh isolated
+  *    child JVM at the end of the run; the artifact reports the isolated
+  *    number as the entry's value (best-of-all-observations, consistent
+  *    with the best-of-N protocol) plus the raw in-process value and the
+  *    flagged list, so a hot driver box can never masquerade as a code
+  *    regression. Disable with SPARK_GRAFT_RERUN=0.
   */
 object Bench {
 
@@ -37,11 +50,16 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  private[graft] def bestOfN(repeat: Int)(f: => DataFrame): Double = {
+  /** All N timings (not just the best) — negative entries mark failures. */
+  private[graft] def runsOfN(repeat: Int)(f: => DataFrame): Seq[Double] = {
     System.gc() // level the GC field between queries; variance otherwise 5-10x
-    val runs = (1 to repeat).map { _ =>
+    (1 to repeat).map { _ =>
       try time(materialize(f)) catch { case _: Throwable => -1.0 }
     }
+  }
+
+  private[graft] def bestOfN(repeat: Int)(f: => DataFrame): Double = {
+    val runs = runsOfN(repeat)(f)
     if (runs.exists(_ < 0)) -1.0 else runs.min
   }
 
@@ -128,6 +146,54 @@ object Bench {
     case other => throw new IllegalArgumentException(s"unknown dataset '$other'")
   }
 
+  /** Parse the "queries" map out of a bench artifact (the committed
+    * reference or a child re-run's output); empty map on any failure. */
+  private[graft] def readQueryTimes(f: java.io.File): Map[String, Double] = try {
+    if (!f.isFile) Map.empty
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val q = node.get("queries")
+      if (q == null) Map.empty
+      else {
+        val it = q.properties().iterator()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+    }
+  } catch { case _: Throwable => Map.empty }
+
+  /** Re-run `names` in a fresh child JVM (graft.Bench filtered via
+    * SPARK_GRAFT_ONLY) and return its per-entry timings — clean-room
+    * measurements free of the main pass's GC residue and whatever ambient
+    * load polluted it. SPARK_GRAFT_RERUN=0 in the child stops recursion. */
+  private[graft] def runIsolated(names: Seq[String], cpus: String,
+                                 repeat: Int): Map[String, Double] = {
+    val out = java.io.File.createTempFile("graft_bench_rerun", ".json")
+    try {
+      val javaBin = s"${System.getProperty("java.home")}/bin/java"
+      val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
+      val cmd = (Seq(javaBin) ++ BenchScenario.addOpensArgs ++ Seq(
+        s"-Xmx$heap", s"-Xms$heap", "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.Bench")).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.getAbsolutePath)
+      pb.environment().put("SPARK_GRAFT_RERUN", "0")
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.environment().put("SPARK_GRAFT_REPEAT", repeat.toString)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      // drain to EOF — a full pipe buffer would block the child's writes
+      val src = scala.io.Source.fromInputStream(proc.getInputStream)
+      try src.getLines().foreach(_ => ()) finally src.close()
+      proc.waitFor()
+      readQueryTimes(out)
+    } catch { case _: Throwable => Map.empty }
+    finally { out.delete(); () }
+  }
+
   /** (name, dataset key, query builder) for every reference-parity
     * scenario — see BASELINE.md for the targets each one answers to. */
   private[graft] val parityScenarios: Seq[(String, String, DataFrame => DataFrame)] = Seq(
@@ -166,6 +232,19 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     def selected(name: String): Boolean =
       onlyFilters.isEmpty || onlyFilters.exists(name.contains)
+    // a typo'd filter must fail loudly, not produce an empty-but-valid
+    // artifact: warn per zero-match token and log the selected count
+    val knownNames: Seq[String] = SparkEntry.queries.keys.toSeq ++
+      parityScenarios.map(_._1) ++
+      Seq("scale_neardup_survivors", "scale_neardup_hotbucket",
+        "scale_seq_packing_8", "scale_seq_packing_64",
+        "scale_knn_100q", "scale_knn_1000q",
+        "auto_pack_parent_dom_2k", "auto_pack_skewed")
+    onlyFilters.filterNot(tok => knownNames.exists(_.contains(tok))).foreach(tok =>
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY token '$tok' matches NO bench entry"))
+    if (onlyFilters.nonEmpty)
+      System.err.println(s"[bench] SPARK_GRAFT_ONLY selected " +
+        s"${knownNames.count(selected)} of ${knownNames.size} entries")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -179,23 +258,42 @@ object Bench {
     try materialize(SparkEntry.queries("q_enrich_aggs")(spark, "/root/testdata/sf0.001"))
     catch { case _: Throwable => }
 
+    // Spark's minimum job latency: a trivial two-stage aggregate at the
+    // parent-dominant preset's row count. Any parity target below this is
+    // a scheduling-floor artifact, not an operator gap.
+    def floorJob(): DataFrame = spark.range(6400)
+      .select((col("id") % 64).alias("k"), col("id").alias("v"))
+      .groupBy("k").agg(count(lit(1)).alias("n"), sum(col("v")).alias("s"))
+
+    val runsLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val floorsLog = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // every entry records its full run vector AND one floor sample taken
+    // immediately after it — the per-entry ambient-load canary (a slow
+    // entry beside a slow adjacent floor is load; beside a clean floor
+    // it's a regression)
+    def measured(name: String)(f: => DataFrame): (String, Double) = {
+      val runs = runsOfN(repeat)(f)
+      runsLog(name) = runs
+      floorsLog(name) = time(materialize(floorJob()))
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+    }
+
+    // floor-plan warmup: the first adjacent floor sample must measure
+    // ambient load, not the floor job's own codegen
+    try materialize(floorJob()) catch { case _: Throwable => }
+
     val queryTimes = SparkEntry.queries.toSeq.collect {
-      case (name, fn) if selected(name) => name -> bestOf(fn(spark, sfDir))
+      case (name, fn) if selected(name) => measured(name)(fn(spark, sfDir))
     }
 
     val rss = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def scenario(name: String)(f: => DataFrame): (String, Double) = {
-      val (t, peak) = sampleRss(bestOf(f))
+      val (res, peak) = sampleRss(measured(name)(f))
       rss(name) = peak
-      name -> t
+      res
     }
 
-    // Spark's minimum job latency: a trivial two-stage aggregate at the
-    // parent-dominant preset's row count. Any parity target below this is
-    // a scheduling-floor artifact, not an operator gap.
-    val floorSec = bestOf(spark.range(6400)
-      .select((col("id") % 64).alias("k"), col("id").alias("v"))
-      .groupBy("k").agg(count(lit(1)).alias("n"), sum(col("v")).alias("s")))
+    val floorSec = bestOf(floorJob())
 
     // ---- parity workloads vs BASELINE.md (same shapes as the reference) ----
     // Datasets and scenario definitions live in [[parityScenarios]] /
@@ -244,6 +342,27 @@ object Bench {
           spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
           threshold = 0.5, shingleN = 3, numHashes = 128, bands = 32)))
 
+    // hot-bucket skew-guard stress: the sf corpus PLUS a degenerate
+    // near-clique — 20k copies of one boilerplate doc, so every one of
+    // its 32 band buckets holds 20k rows >> maxBucketSize=1000 (exactly
+    // the input class the cap exists for). The two-pass groupBy+anti-join
+    // guard drops the clique from partial counts without ever
+    // materializing a hot bucket in one task; the old window guard made
+    // this a single-task straggler before dropping the rows.
+    val scaleHotBucket =
+      if (!selected("scale_neardup_hotbucket")) Nil
+      else Seq(scenario("scale_neardup_hotbucket") {
+        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val boiler = spark.range(20000).select(
+          (col("id") + 10000000L).alias("doc_id"),
+          lit("lorem ipsum boilerplate footer text repeated on every " +
+            "page of the crawl corpus").alias("text"))
+        graft.ext.Dedup.minhashCandidates(corpus.unionByName(boiler),
+          "text", "doc_id", shingleN = 3, numHashes = 128, bands = 32,
+          maxBucketSize = 1000)
+      })
+
     // packSequences shard-knob scaling: parallelism = numShards (each
     // shard's prefix-sum window runs in one task over metadata-only rows),
     // so wall time should improve 8 → 64 shards once per-shard row counts
@@ -288,10 +407,49 @@ object Bench {
       r
     }
 
-    val all = queryTimes ++ parityResults ++ scaleDedup ++ scaleSeqPacking ++
-      scaleKnn ++ autoScenarios
+    val all0 = queryTimes ++ parityResults ++ scaleDedup ++ scaleHotBucket ++
+      scaleSeqPacking ++ scaleKnn ++ autoScenarios
+
+    // ---- noise-robust finalization (see scaladoc: NOISE ROBUSTNESS) ----
+    // BENCH_REFERENCE.json is the committed known-good artifact; entries
+    // slower than flagFactor x their reference (with 0.4 s absolute slack
+    // so scheduling-floor entries never flag) re-run in a clean child JVM.
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_REF", "BENCH_REFERENCE.json")
+    val refTimes = readQueryTimes(new java.io.File(refPath))
+    val flagFactor = sys.env.getOrElse("SPARK_GRAFT_FLAG_FACTOR", "2.0").toDouble
+    val rerunEnabled = !sys.env.get("SPARK_GRAFT_RERUN").contains("0")
+    val flagged = all0.collect {
+      case (name, t) if t > 0 && refTimes.get(name).exists(r =>
+        t > r * flagFactor && t - r > 0.4) => name
+    }
+    val isolated: Map[String, Double] =
+      if (flagged.isEmpty || !rerunEnabled) Map.empty
+      else {
+        System.err.println(s"[bench] ${flagged.size} entries exceed " +
+          s"${flagFactor}x their committed reference — isolated re-run: " +
+          flagged.mkString(", "))
+        runIsolated(flagged, cpus, repeat)
+      }
+    // an entry's final value is its best observation across the in-process
+    // runs and the isolated re-run — consistent with the best-of-N
+    // protocol; the raw in-process value for every flagged entry stays in
+    // the artifact under "inprocess"
+    val all = all0.map { case (name, t) =>
+      isolated.get(name).filter(_ > 0) match {
+        case Some(iso) if t <= 0 || iso < t => name -> iso
+        case _ => name -> t
+      }
+    }
     val qs = all.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val rssJson = rss.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val runsJson = runsLog.map { case (k, v) =>
+      s""""$k":[${v.mkString(",")}]""" }.mkString("{", ",", "}")
+    val floorsJson = floorsLog.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
+    val isoJson = isolated.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val flaggedJson = flagged.map(n => s""""$n"""").mkString("[", ",", "]")
+    val inprocJson = all0.filter(p => flagged.contains(p._1))
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
     // peak RSS of this JVM (Linux VmHWM) — whole-run high-water mark
     val peakRssMb: Long = try {
@@ -299,9 +457,13 @@ object Bench {
         .find(_.startsWith("VmHWM")).map(_.replaceAll("[^0-9]", "").toLong)
       hwm.map(_ / 1024).getOrElse(-1L)
     } catch { case _: Throwable => -1L }
+    val refJson = if (refTimes.isEmpty) "null" else s""""$refPath""""
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
       s""""n_queries":${all.size},"scenario_rss_mb":$rssJson,""" +
+      s""""flag_factor":$flagFactor,"reference":$refJson,""" +
+      s""""flagged":$flaggedJson,"inprocess":$inprocJson,""" +
+      s""""isolated_rerun":$isoJson,"floors":$floorsJson,"runs":$runsJson,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     // Full metrics go to a FILE (lossless — round-2's stdout capture
     // truncated the tail, losing the total and ~15 timings); stdout gets
@@ -355,17 +517,21 @@ object BenchScenario {
     * Classpath is inherited (sbt forks `run`, so java.class.path is the
     * real application classpath) and the JDK-17 add-opens list matches
     * build.sbt. */
+  /** JDK-17 --add-opens list matching build.sbt, shared by every forked
+    * child JVM (per-scenario forks and the isolated bench re-run). */
+  private[graft] val addOpensArgs: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
   private[graft] def runForked(name: String, cpus: String, repeat: Int): (Double, Long) = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar"
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val addOpens = addOpensArgs
     // Child heap honors SPARK_DRIVER_MEM (like build.sbt's javaOptions) so
     // fork mode can measure memory-parity envelopes at reference-like heaps
     val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")

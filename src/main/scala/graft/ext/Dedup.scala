@@ -107,6 +107,32 @@ object Dedup {
     df.select(col(idCol), wordShingles(col(textCol), shingleN).alias("__sh"))
       .repartition(col(idCol))
 
+  /** Drop rows of over-cap (band, bucket) groups WITHOUT a window
+    * function. A `count(*) over Window.partitionBy(bucket)` guard pays
+    * the very skew it guards against: a window without a frame needs
+    * every row of a partition key in ONE task, so at 100 TB the
+    * pathological bucket (billions of boilerplate docs sharing a band
+    * hash) materializes in a single task *before* being dropped —
+    * straggler/spill risk exactly on the input the cap exists for.
+    * Two-pass instead: (1) `groupBy(keys).count` — map-side combinable,
+    * a hot bucket contributes one partial count per input partition,
+    * never its rows; (2) filter to the over-cap bucket list — tiny by
+    * construction (≤ rows/cap groups, and degenerate buckets are rare
+    * in real corpora); (3) broadcast LEFT ANTI join back onto the
+    * banded rows — no shuffle of the banded side, so hot-bucket rows
+    * are filtered wherever they already sit. Same semantics as the
+    * window guard, no single-task materialization. */
+  private[ext] def dropHotBuckets(rows: DataFrame, keys: Seq[String],
+                                  cap: Int): DataFrame =
+    if (cap == Int.MaxValue) rows
+    else {
+      val hot = rows.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).alias("__bsize"))
+        .filter(col("__bsize") > cap)
+        .select(keys.map(col): _*)
+      rows.join(broadcast(hot), keys, "left_anti")
+    }
+
   /** Candidate pairs from MinHash LSH: docs sharing ≥1 band bucket.
     * `maxBucketSize` drops degenerate buckets (boilerplate/empty docs) —
     * the standard skew guard; at 100 TB a single hot bucket would
@@ -139,11 +165,7 @@ object Dedup {
       .repartition(col(idCol))
     val banded = sig.select(col(idCol),
         posexplode(bandKeys(col("__sig"), bands, rowsPerBand)).as(Seq("__band", "__bucket")))
-    val pruned = banded
-      .withColumn("__bsize", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__band"), col("__bucket"))))
-      .filter(col("__bsize") <= maxBucketSize)
-      .drop("__bsize")
+    val pruned = dropHotBuckets(banded, Seq("__band", "__bucket"), maxBucketSize)
     val l = pruned.select(col("__band"), col("__bucket"), col(idCol).alias("id_a"))
     val r = pruned.select(col("__band"), col("__bucket"), col(idCol).alias("id_b"))
     l.join(r, Seq("__band", "__bucket")).filter(col("id_a") < col("id_b"))
@@ -311,11 +333,7 @@ object Dedup {
     val sh = simhash(df, textCol, idCol).repartition(col(idCol))
     val blocked = sh.select(col(idCol), col("simhash"),
       posexplode(array(blockVals: _*)).as(Seq("__blk", "__bval")))
-    val pruned =
-      if (maxBucketSize == Int.MaxValue) blocked
-      else blocked.withColumn("__bsize", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("__blk"), col("__bval"))))
-        .filter(col("__bsize") <= maxBucketSize).drop("__bsize")
+    val pruned = dropHotBuckets(blocked, Seq("__blk", "__bval"), maxBucketSize)
     val l = pruned.select(col("__blk"), col("__bval"),
       col(idCol).alias("id_a"), col("simhash").alias("sh_a"))
     val r = pruned.select(col("__blk"), col("__bval"),

@@ -324,6 +324,43 @@ class ExtSpec extends SparkSpec {
     assert(e.getMessage.contains("numHashes >= bands"))
   }
 
+  test("bucket-size guard: hot buckets dropped by two-pass anti-join, " +
+    "no Window node anywhere in the candidate pipeline") {
+    // 30 identical boilerplate docs: every band bucket they share has 30
+    // rows > cap 10, so the guard must drop them ALL — while the genuine
+    // near-dup pair (1, 2) in its own size-2 buckets must survive
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val rows = Seq(
+      Row(1L, "the quick brown fox jumps over the lazy dog"),
+      Row(2L, "the quick  brown fox jumps over the lazy dog")) ++
+      (100L until 130L).map(i =>
+        Row(i, "lorem ipsum boilerplate footer text repeated on every page"))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val cands = Dedup.minhashCandidates(df, "text", "doc_id",
+      shingleN = 2, numHashes = 32, bands = 16, maxBucketSize = 10)
+    val pairs = cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.forall { case (a, b) => a < 100L && b < 100L },
+      s"hot-bucket ids leaked into candidates: $pairs")
+    // the guard must not be a window: a count-over-partition materializes
+    // every row of the hot bucket in one task before dropping it
+    val plan = cands.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    // simhash pigeonhole path uses the same guard
+    val sp = Dedup.simhashPairs(df, "text", "doc_id", maxDist = 3, maxBucketSize = 10)
+    val spPlan = sp.queryExecution.sparkPlan.toString
+    assert(!spPlan.contains("Window"), spPlan.take(3000))
+    val spPairs = sp.collect()
+      .map(r => (r.getLong(r.fieldIndex("id_a")), r.getLong(r.fieldIndex("id_b")))).toSet
+    assert(spPairs.contains((1L, 2L)))
+    assert(spPairs.forall { case (a, b) => a < 100L && b < 100L })
+    // cap disabled → guard is the identity (no anti-join in the plan)
+    val noCap = Dedup.simhashPairs(df, "text", "doc_id", maxDist = 3)
+    assert(!noCap.queryExecution.sparkPlan.toString.contains("LeftAnti"))
+  }
+
   test("connectedComponents converges on a 300-node chain within 25 rounds " +
     "(path halving: O(log diameter), plain propagation would need 299)") {
     val chain = spark.range(299).select(col("id").alias("id_a"),
