@@ -605,7 +605,8 @@ final class Packer(
   }
 
   /** Leaf-level grouping-key skew probe: max/MEDIAN children-per-parent on
-    * a `sampleFraction` sample (one small job — at scale the sample scan
+    * a `sampleFraction` sample. EAGER — runs one small Spark job at call
+    * time (at scale the sample scan
     * is noise next to the pack shuffle it informs). Median, not mean: with
     * few parents a single hot key drags the mean up with it, capping
     * max/mean at the parent count; max/median stays unbounded under skew.
@@ -642,7 +643,10 @@ final class Packer(
     * Widths are sampled mean `to_json` byte lengths — a serialization
     * proxy; only the ratio is used. All three strategies produce
     * identical contents (equality-tested); only the shuffle shape
-    * differs, so a misprediction costs time, never correctness. */
+    * differs, so a misprediction costs time, never correctness.
+    *
+    * EAGER: runs the probe's Spark jobs (sampled skew scan, keys-only
+    * count, width sample) at CALL time, not at action time. */
   def choosePackStrategy(df: DataFrame, skewFactor: Double = 8.0,
                          sampleFraction: Double = 0.01,
                          splitJoinWidthFactor: Double = 1.0,
@@ -684,7 +688,9 @@ final class Packer(
   }
 
   /** Auto strategy dispatch: run [[choosePackStrategy]]'s pick. Contents
-    * are identical under every strategy; only the shuffle shape changes. */
+    * are identical under every strategy; only the shuffle shape changes.
+    * EAGER: the probe runs Spark jobs at call time (see
+    * [[choosePackStrategy]]); the returned pack itself stays lazy. */
   def packAuto(df: DataFrame, toLevel: String,
                extraColumns: ExtraColumns = ExtraColumns.Preserve,
                saltBuckets: Int = 32, skewFactor: Double = 8.0,
@@ -916,7 +922,8 @@ final class Packer(
 
   /** M8: data validation — null counts in key columns, batched into ONE
     * aggregation pass (reference: validate, hierarchical_packer.py:1667-1717
-    * runs one eager collect per key). */
+    * runs one eager collect per key). EAGER: the aggregation job runs at
+    * CALL time and the result is returned as a driver-side map. */
   def validate(df: DataFrame, level: String, raiseOnError: Boolean = true): Map[String, Long] = {
     val keys = spec.levelKeys(level, includeAncestors = true).filter(hasCol(df, _))
     if (keys.isEmpty) return Map.empty

@@ -659,17 +659,20 @@ object SparkEntry {
     // writer+reader fidelity end-to-end. CSV is untyped on disk: the
     // re-read supplies an explicit schema (the 100 TB posture — schema
     // inference is a full extra pass over the data; never rely on it).
+    // FIXED staging path per table (not appId-suffixed): mode(overwrite)
+    // handles reruns, and per-application directories were accumulating
+    // across bench/correctness runs with nothing to clean them up. The
+    // write happens at query-CONSTRUCTION time (eager) — a harness-only
+    // pattern; library code stages through Packer's managed tmpdirs.
     "q_csv_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_csv_nation_${s.sparkContext.applicationId}"
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
       table(s, dir, "nation").write.mode("overwrite")
         .option("header", "true").csv(out)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("header", "true").csv(out)
     }),
     "q_jsonl_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_jsonl_supplier_${s.sparkContext.applicationId}"
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_supplier"
       table(s, dir, "supplier").write.mode("overwrite").json(out)
       // explicit schema: JSON-lines omits null fields and carries no types
       s.read.schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")

@@ -76,7 +76,12 @@ object Curation {
   def repetitionStats(df: DataFrame, textCol: String,
                       maxDupTokenFrac: Double = 0.6,
                       maxDup3gramFrac: Double = 0.3): DataFrame = {
-    val toks = "__rep_toks"
+    // staging name must not collide with a user column: withColumn would
+    // silently REPLACE it and the df.columns select below would then
+    // return the token array in place of the user's original data
+    val toks = Iterator.from(0)
+      .map(i => if (i == 0) "__rep_toks" else s"__rep_toks_$i")
+      .find(n => !df.columns.contains(n)).get
     df.withColumn(toks, TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
       .select(df.columns.map(col).toIndexedSeq ++ Seq(
         trunc6(dupFractionOf(col(toks))).alias("dup_token_frac"),

@@ -99,28 +99,48 @@ object Multimodal {
     assets.select(col("asset_id"), col("meta.n_bytes").alias("n_bytes"),
       fakeDecodeFeatures(col("payload"), dim).alias("features"))
 
+  /** Codec seam for [[decodeBatches]]: ONE instance per partition — the
+    * shape per-executor state (JNI decoder handles, GPU contexts)
+    * requires. The codec itself is constructed ON the executor by the
+    * factory closure; only the factory crosses the wire, so codec state
+    * (native handles) never needs to be serializable. */
+  trait AssetCodec {
+    def decode(payload: Array[Byte]): Array[Double]
+  }
+
+  /** The deterministic fake codec (no image/audio libs in this
+    * container): features from the payload's JVM array hash. A real
+    * pipeline swaps this factory for one that opens a native decoder. */
+  private[ext] def fakeCodec(dim: Int): AssetCodec = new AssetCodec {
+    def decode(payload: Array[Byte]): Array[Double] = {
+      val h = java.util.Arrays.hashCode(payload).toLong
+      Array.tabulate(dim)(i => math.abs((h * 31 + i) % 1000000L).toDouble / 1000000.0)
+    }
+  }
+
   /**
    * Batch decode via mapPartitions — the pattern for codecs that need
-   * per-executor state (decoder handles, GPU contexts). The decoder here
-   * is the same deterministic fake; a real implementation replaces
-   * `decodeOne` only.
+   * per-executor state (decoder handles, GPU contexts). The decoder is
+   * the deterministic fake; a real implementation swaps the factory only.
    */
-  def decodeBatches(assets: DataFrame, dim: Int = 16): DataFrame = {
+  def decodeBatches(assets: DataFrame, dim: Int = 16): DataFrame =
+    decodeBatches(assets, dim, () => fakeCodec(dim))
+
+  /** [[decodeBatches]] with an explicit codec factory. The factory runs
+    * exactly once per partition (property-tested), each row streams
+    * through that one instance — never an init per row. */
+  def decodeBatches(assets: DataFrame, dim: Int,
+                    codecFactory: () => AssetCodec): DataFrame = {
     val spark = assets.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("features", ArrayType(DoubleType))))
-    def decodeOne(payload: Array[Byte]): Array[Double] = {
-      // STUB: stands in for codec output; matches fakeDecodeFeatures' shape
-      val h = java.util.Arrays.hashCode(payload).toLong
-      Array.tabulate(dim)(i => math.abs((h * 31 + i) % 1000000L).toDouble / 1000000.0)
-    }
     val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
-      // one decoder instance per partition would be initialized here;
+      val codec = codecFactory() // init-once per partition
       // null ids/payloads pass through as nulls (schema declares nullable)
       it.map { r =>
         val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
-        val payload = if (r.isNullAt(1)) null else decodeOne(r.getAs[Array[Byte]](1))
+        val payload = if (r.isNullAt(1)) null else codec.decode(r.getAs[Array[Byte]](1))
         Row(id, payload)
       }
     }

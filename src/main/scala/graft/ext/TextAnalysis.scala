@@ -80,7 +80,14 @@ object TextAnalysis {
   /** [[qualityScore]] over precomputed lowercased + original-case token
     * arrays (`toksLower` feeds the stopword signal, `toksOrig` the length
     * signals — lengths are computed on the ORIGINAL text so exotic
-    * case-mapping expansions cannot shift them). */
+    * case-mapping expansions cannot shift them).
+    *
+    * INVARIANT (caller-checked): `toksLower` and `toksOrig` must both be
+    * tokenizations of this same `text` — `tokens(lower(text))` and
+    * `tokens(text)` respectively. The null guard keys off `text` while
+    * the signals key off the arrays, so a mismatched caller gets silently
+    * skewed scores, not an error. Callers that don't already hold staged
+    * token arrays should use [[qualityScore]], which derives both. */
   def qualityScoreOf(text: Column, toksLower: Column, toksOrig: Column,
                      stopwords: Seq[String] = EnglishStopwords): Column = {
     val lengthS = least(coalesce(size(toksOrig).cast("double"), lit(0.0)) / 100.0, lit(1.0))

@@ -187,6 +187,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("packSequences carries only metadata into the prefix-sum window " +
+    "(no text past the tokenCount projection); 64 shards spread rows flat") {
+    val df = spark.range(20000).select(col("id").alias("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), (col("id") % 9) + 1),
+        i => concat(lit("w"), i.cast("string")))).alias("text"))
+    val out = Curation.packSequences(df, "doc_id", "text",
+      maxTokens = 256, numShards = 64)
+    // metadata-only window: the per-shard prefix-sum sort must never carry
+    // document payloads — only (id, shard, n_tokens) may cross its shuffle
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected a Window node in packSequences")
+    windows.foreach { w =>
+      val carried = w.child.output.map(_.name)
+      assert(!carried.contains("text"),
+        s"text payload crossed into the window input: $carried")
+    }
+    // 64 shards hash across the 32 shuffle partitions — every task holds
+    // ~2 shards' metadata rows, no straggler task. AQE legitimately
+    // coalesces this KB-sized test shuffle to a few tasks; disable
+    // coalescing here to observe the at-scale task layout.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(coalesceKey)
+    val prevShuffle = spark.conf.get(shuffleKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      spark.conf.set(shuffleKey, "32") // the test session runs 4 — too few to see the spread
+      // count partition occupancy from COLLECTED rows: a
+      // groupBy(spark_partition_id).count probe lets column pruning
+      // delete the window+exchange entirely (p would be evaluated over
+      // the raw 4-split range — measured), hollowing out the assertion
+      val counts = Curation.packSequences(df, "doc_id", "text",
+          maxTokens = 256, numShards = 64)
+        .withColumn("p", spark_partition_id())
+        .collect().groupBy(_.getInt(4)).values.map(_.size.toLong).toArray
+      assert(counts.length >= 16, s"only ${counts.length} tasks held rows")
+      val mean = counts.sum.toDouble / counts.length
+      assert(counts.max <= 3.0 * mean,
+        s"straggler task: max=${counts.max} rows vs mean=$mean")
+    } finally {
+      spark.conf.set(coalesceKey, prev)
+      spark.conf.set(shuffleKey, prevShuffle)
+    }
+  }
+
   test("shingle-path plans tokenize once per corpus side " +
     "(ngramsOf let-binding regression)") {
     // contamination: one tokenize per side (corpus + bench) — before the

@@ -170,6 +170,53 @@ class ExtSpec extends SparkSpec {
       s"skewed spread: ${bytes.toSeq} (mean $mean)")
   }
 
+  test("repartitionBySize: ONE giant asset among KB assets keeps row spread " +
+    "balanced (the giant gets no gravity)") {
+    // one ~32 MB payload among 512 one-KB payloads — the pathological
+    // distribution a range-partition-on-size would concentrate; the
+    // hash-spread must keep per-task ROW counts flat (the giant's bytes
+    // dominate its task unavoidably, but it must not drag other rows in)
+    val giant = spark.range(1).select(col("id").alias("doc_id"),
+      repeat(lit("x"), 32 * 1024 * 1024).alias("text"))
+    val small = spark.range(1, 513).select(col("id").alias("doc_id"),
+      repeat(lit("y"), 1024).alias("text"))
+    val assets = Multimodal.assetsFromText(giant.union(small), "doc_id", "text")
+    val parts = Multimodal.repartitionBySize(assets, 8)
+    val counts = parts.select(spark_partition_id().alias("pid"), col("asset_id"))
+      .groupBy("pid").agg(count(lit(1)).alias("n"),
+        max(when(col("asset_id") === 0L, 1L).otherwise(0L)).alias("has_giant"))
+      .collect().map(r => (r.getLong(1), r.getLong(2) == 1L))
+    assert(counts.length == 8, s"expected 8 partitions, got ${counts.length}")
+    val mean = counts.map(_._1).sum.toDouble / counts.length
+    assert(counts.map(_._1).max <= 2.0 * mean,
+      s"row clump: ${counts.map(_._1).toSeq} (mean $mean)")
+    // the giant's own partition is ALSO within the flat row bound
+    val giantPart = counts.find(_._2).get
+    assert(giantPart._1 <= 2.0 * mean)
+  }
+
+  test("decodeBatches runs the codec factory ONCE per partition and the " +
+    "decode once per row (per-executor state seam)") {
+    ExtSpec.codecInits.set(0)
+    ExtSpec.codecDecodes.set(0)
+    val assets = Multimodal.assetsFromText(docs, "doc_id", "text").repartition(4)
+    val out = Multimodal.decodeBatches(assets, 4, () => {
+      ExtSpec.codecInits.incrementAndGet()
+      new Multimodal.AssetCodec {
+        def decode(p: Array[Byte]): Array[Double] = {
+          ExtSpec.codecDecodes.incrementAndGet()
+          Array.fill(4)(0.5)
+        }
+      }
+    })
+    val n = out.count()
+    assert(n == docs.count())
+    assert(ExtSpec.codecDecodes.get() == n,
+      s"decode must run once per row, ran ${ExtSpec.codecDecodes.get()} for $n rows")
+    assert(ExtSpec.codecInits.get() == 4,
+      s"codec must initialize once per partition (4), ran ${ExtSpec.codecInits.get()}")
+  }
+
   test("DotProduct expression is bit-identical to the HOF dot kernel") {
     val sp = spark
     val both = vectors.crossJoin(
@@ -478,4 +525,11 @@ class ExtSpec extends SparkSpec {
       TextAnalysis.langId(col("text")).alias("lang_pred"))
     assertSameRows(staged, naive)
   }
+}
+
+/** Shared-JVM counters for the codec init-once property test (local mode:
+  * executor tasks run in this JVM, so statics observe them). */
+object ExtSpec {
+  val codecInits = new java.util.concurrent.atomic.AtomicInteger(0)
+  val codecDecodes = new java.util.concurrent.atomic.AtomicInteger(0)
 }
