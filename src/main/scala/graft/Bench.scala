@@ -237,7 +237,7 @@ object Bench {
     val knownNames: Seq[String] = SparkEntry.queries.keys.toSeq ++
       parityScenarios.map(_._1) ++
       Seq("scale_neardup_survivors", "scale_neardup_hotbucket",
-        "scale_seq_packing_8", "scale_seq_packing_64",
+        "scale_semdedup", "scale_seq_packing_8", "scale_seq_packing_64",
         "scale_knn_100q", "scale_knn_1000q",
         "auto_pack_parent_dom_2k", "auto_pack_skewed")
     onlyFilters.filterNot(tok => knownNames.exists(_.contains(tok))).foreach(tok =>
@@ -363,6 +363,16 @@ object Bench {
           maxBucketSize = 1000)
       })
 
+    // SemDeDup at corpus scale: Lloyd-trained clusters + within-cluster
+    // cosine pruning + components — times the full semantic-dedup
+    // pipeline (the nlist=1 equivalence gate lives in q_semdedup)
+    val scaleSemDedup =
+      if (!selected("scale_semdedup")) Nil
+      else Seq(scenario("scale_semdedup")(
+        graft.ext.Dedup.semDedupSurvivors(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), "embedding",
+          "vec_id", threshold = 0.5, nlist = 16, trainIters = 2)))
+
     // packSequences shard-knob scaling: parallelism = numShards (each
     // shard's prefix-sum window runs in one task over metadata-only rows),
     // so wall time should improve 8 → 64 shards once per-shard row counts
@@ -408,7 +418,7 @@ object Bench {
     }
 
     val all0 = queryTimes ++ parityResults ++ scaleDedup ++ scaleHotBucket ++
-      scaleSeqPacking ++ scaleKnn ++ autoScenarios
+      scaleSemDedup ++ scaleSeqPacking ++ scaleKnn ++ autoScenarios
 
     // ---- noise-robust finalization (see scaladoc: NOISE ROBUSTNESS) ----
     // BENCH_REFERENCE.json is the committed known-good artifact; entries

@@ -635,6 +635,16 @@ object SparkEntry {
       Dedup.embeddingNearDupLsh(e, "embedding", "vec_id", threshold = 0.9,
         planes = 32, bands = 8, dim = 64)
     }),
+    // SemDeDup at nlist=1: the within-cluster pair set IS the exact
+    // all-pairs set, so the survivor set provably equals exact pairs →
+    // connected components → min-id-per-component + singletons (the
+    // recursive-CTE oracle). The nlist>1 cluster-local trade is
+    // spec-tested (ExtSpec) where set-relation gates fit better than SQL.
+    "q_semdedup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").filter(col("vec_id") < 500)
+      Dedup.semDedupSurvivors(e, "embedding", "vec_id", threshold = 0.35,
+        nlist = 1, trainIters = 0).select("vec_id")
+    }),
     // multimodal: binary payload + typed metadata extraction
     "q_multimodal_meta" -> ((s, dir) => {
       val assets = Multimodal.assetsFromText(table(s, dir, "documents"), "doc_id", "text")
@@ -1113,6 +1123,27 @@ object SparkEntry {
         """SELECT count(*) AS n_recalled, count(*) AS n_queries
           |FROM embeddings WHERE vec_id < 10""".stripMargin,
       "q_embedding_lsh" -> embPairsSql("0.9"),
+      // SemDeDup nlist=1 ≡ exact pairs → recursive-CTE components →
+      // survivors (min id per component + singletons) — the same
+      // clustering oracle shape as q_dedup_survivors
+      "q_semdedup" ->
+        s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
+           |pairs AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM e a, e b WHERE a.vec_id < b.vec_id
+           |    AND round(
+           |      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           |      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+           |      6) >= 0.35),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+           |cc(node, comp) AS (
+           |  SELECT a, a FROM sym
+           |  UNION
+           |  SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.node),
+           |lab AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node)
+           |SELECT vec_id FROM e
+           |WHERE vec_id NOT IN (SELECT node FROM lab WHERE node != comp)""".stripMargin,
       "q_multimodal_features" ->
         """SELECT doc_id AS asset_id,
           | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -382,6 +382,59 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means-cluster the embedding
+    * space, near-dup prune WITHIN each cluster only, keep the minimum id
+    * per duplicate group plus every unmatched document. The cross-cluster
+    * pair space — the quadratic bulk — is never generated.
+    *
+    * Pipeline: [[Similarity.trainCentroids]] (broadcast Lloyd, two small
+    * shuffles per iteration) → max_by nearest-centroid assignment
+    * (map-side combinable) → within-cluster pair join on the centroid id
+    * (id_a < id_b, cosine ≥ threshold) → min-label connected components →
+    * survivor set.
+    *
+    * Equivalence gate: with `nlist = 1` the within-cluster pair set IS
+    * the exact all-pairs set, so the output provably equals
+    * [[embeddingNearDupExact]] → components → survivors (the oracle
+    * checks this). With nlist > 1, pairs straddling a centroid boundary
+    * are sacrificed for the ~nlist× candidate reduction — the paper's
+    * trade; survivors is then a superset of the exact-survivor set.
+    *
+    * 100 TB: size `nlist` so clusters hold ~1k-10k docs (the paper runs
+    * 50k clusters on web scale) — each cluster's all-pairs join lands in
+    * the tasks holding its cent_id partition, so per-task work is
+    * (corpus/nlist)² not corpus². */
+  def semDedupSurvivors(df: DataFrame, vecCol: String, idCol: String,
+                        threshold: Double, nlist: Int = 16,
+                        trainIters: Int = 2): DataFrame = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    val sp = df.sparkSession
+    val cents = Similarity.trainCentroids(df, idCol, vecCol, nlist, trainIters)
+    // fence (the shingleFrame idiom): assignment + norms compute once
+    // pre-shuffle and the exchange serves both self-join sides
+    val withN = Similarity.nearestCentroid(sp, df, idCol, vecCol, cents)
+      .select(col(idCol), col("cent_id"), col(vecCol),
+        Similarity.fastL2(sp, col(vecCol)).alias("__n"))
+      .repartition(col(idCol))
+    val l = withN.select(col("cent_id"), col(idCol).alias("id_a"),
+      col(vecCol).alias("v_a"), col("__n").alias("n_a"))
+    val r = withN.select(col("cent_id"), col(idCol).alias("id_b"),
+      col(vecCol).alias("v_b"), col("__n").alias("n_b"))
+    val pairs = l.join(r, Seq("cent_id")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(try_divide(Similarity.fastDot(sp, col("v_a"), col("v_b")),
+          col("n_a") * col("n_b")), 6).alias("cosine"))
+      .filter(col("cosine") >= threshold)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+    val keep = comps.filter(col("id") === col("comp"))
+      .select(col("id").alias(idCol))
+    val singles = df.select(col(idCol))
+      .join(comps.select(col("id").alias(idCol)), Seq(idCol), "left_anti")
+    singles.union(keep)
+  }
+
   /** LSH-bucketed embedding near-dup: random-hyperplane signature blocks,
     * cosine verified within blocks. Linear in corpus size per band. */
   def embeddingNearDupLsh(df: DataFrame, vecCol: String, idCol: String,

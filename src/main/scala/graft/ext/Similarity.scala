@@ -180,8 +180,8 @@ object Similarity {
     * -2.0, below any real cosine — but partial aggregation collapses each
     * partition's nlist candidate rows per vector BEFORE the shuffle, so
     * the exchange carries |corpus| rows instead of |corpus| x nlist. */
-  private def nearestCentroid(sp: org.apache.spark.sql.SparkSession, vectors: DataFrame,
-                              idCol: String, vecCol: String, cents: DataFrame): DataFrame =
+  private[ext] def nearestCentroid(sp: org.apache.spark.sql.SparkSession, vectors: DataFrame,
+                                   idCol: String, vecCol: String, cents: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(cents))
       .select(col(idCol), col(vecCol), col("cent_id"),
         coalesce(fastCosine(sp, col(vecCol), col("cent_vec")), lit(-2.0)).alias("__sim"))

@@ -170,6 +170,30 @@ class ExtSpec extends SparkSpec {
       s"skewed spread: ${bytes.toSeq} (mean $mean)")
   }
 
+  test("semDedupSurvivors: nlist=1 equals exact-pair clustering, and " +
+    "planted near-dups still collapse under multi-cluster pruning") {
+    // ground truth: exact all-pairs → connected components → survivors
+    val pairs = Dedup.embeddingNearDupExact(vectors, "embedding", "vec_id", 0.999)
+    val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val keep = comps.filter(col("id") === col("comp")).select(col("id").alias("vec_id"))
+    val singles = vectors.select(col("vec_id"))
+      .join(comps.select(col("id").alias("vec_id")), Seq("vec_id"), "left_anti")
+    val want = singles.union(keep).collect().map(_.getLong(0)).toSet
+    // nlist=1: within-cluster pairs ARE the exact pairs — outputs equal
+    val got1 = Dedup.semDedupSurvivors(vectors, "embedding", "vec_id", 0.999,
+      nlist = 1, trainIters = 0).collect().map(_.getLong(0)).toSet
+    assert(got1 == want)
+    // nlist>1: cluster-local pruning can only MISS pairs, so survivors is
+    // a superset of the exact set; the planted near-identical pairs
+    // co-cluster (their centroid cosines are ~equal), so each planted dup
+    // i+1000 must still collapse into its original i
+    val got4 = Dedup.semDedupSurvivors(vectors, "embedding", "vec_id", 0.999,
+      nlist = 4, trainIters = 2).collect().map(_.getLong(0)).toSet
+    assert(want.subsetOf(got4))
+    (0L until 5L).foreach(i =>
+      assert(!got4.contains(i + 1000), s"planted dup ${i + 1000} survived"))
+  }
+
   test("repartitionBySize: ONE giant asset among KB assets keeps row spread " +
     "balanced (the giant gets no gravity)") {
     // one ~32 MB payload among 512 one-KB payloads — the pathological
