@@ -121,7 +121,15 @@ object Dedup {
     * in real corpora); (3) broadcast LEFT ANTI join back onto the
     * banded rows — no shuffle of the banded side, so hot-bucket rows
     * are filtered wherever they already sit. Same semantics as the
-    * window guard, no single-task materialization. */
+    * window guard, no single-task materialization.
+    *
+    * Measured local trade (sf0.1 + 20k-doc clique, local[32]): the
+    * two-pass guard costs ~1.6× the window form on the candidate stage
+    * (3.0 s vs 1.9 s) because the banded frame is evaluated one extra
+    * time for the count pass — a 640k-row hot bucket is cheap for one
+    * local task. The trade is deliberate: the window's cost grows with
+    * the hot bucket (billions of boilerplate rows through ONE task at
+    * 100 TB — straggler + spill), the two-pass guard's does not. */
   private[ext] def dropHotBuckets(rows: DataFrame, keys: Seq[String],
                                   cap: Int): DataFrame =
     if (cap == Int.MaxValue) rows

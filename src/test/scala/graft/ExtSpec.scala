@@ -306,6 +306,8 @@ class ExtSpec extends SparkSpec {
     assert(Similarity.bruteForceTopK(vectors, noVecs, 5, "vec_id", "embedding").count() == 0)
     assert(Similarity.bruteForceTopK(noVecs, vectors, 5, "vec_id", "embedding").count() == 0)
     assert(Dedup.embeddingNearDupExact(noVecs, "embedding", "vec_id", 0.5).count() == 0)
+    assert(Dedup.semDedupSurvivors(noVecs, "embedding", "vec_id", 0.9,
+      nlist = 2, trainIters = 1).count() == 0)
     assert(TextAnalysis.docStats(noDocs, "text").count() == 0)
   }
 
