@@ -681,6 +681,16 @@ object SparkEntry {
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
         .option("header", "true").csv(out)
     }),
+    // ORC is self-describing (typed on disk, unlike CSV/JSON), so the
+    // re-read needs no schema — the roundtrip checks the ORC
+    // writer+reader preserve types bit-exactly vs the parquet original
+    "q_orc_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_customer"
+      table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+    }),
     "q_jsonl_roundtrip" -> ((s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_supplier"
       table(s, dir, "supplier").write.mode("overwrite").json(out)
@@ -1179,6 +1189,8 @@ object SparkEntry {
         "SELECT n_nationkey, n_name, n_regionkey FROM nation",
       "q_jsonl_roundtrip" ->
         "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+      "q_orc_roundtrip" ->
+        "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer",
       "q_json_props" ->
         """SELECT event_type, count(*) AS n,
           | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
