@@ -438,10 +438,28 @@ class ExtSpec extends SparkSpec {
     "(path halving: O(log diameter), plain propagation would need 299)") {
     val chain = spark.range(299).select(col("id").alias("id_a"),
       (col("id") + 1).alias("id_b"))
-    val comp = Dedup.connectedComponents(chain, "id_a", "id_b")
+    // smallGraphEdges = 0 forces the DISTRIBUTED loop — this test gates
+    // the path-halving round bound, which the driver fast path would skip
+    val comp = Dedup.connectedComponents(chain, "id_a", "id_b", smallGraphEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size == 300)
     assert(comp.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents small-graph fast path equals the distributed " +
+    "loop on random graphs") {
+    val rnd = new scala.util.Random(13)
+    (0 until 3).foreach { trial =>
+      val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val df = spark.createDataFrame(edges.map(e => Row(e._1, e._2)).asJava,
+        StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+      val fast = Dedup.connectedComponents(df, "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dist = Dedup.connectedComponents(df, "id_a", "id_b", smallGraphEdges = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == dist, s"trial $trial: fast ${fast.size} vs dist ${dist.size}")
+    }
   }
 
   test("nearDupSurvivors keeps min id per dup cluster plus all singletons") {
