@@ -670,14 +670,21 @@ final class Packer(
       return PackStrategy.Plain
     val childrenPerRoot = keyRow.getDouble(0) / keyRow.getDouble(1)
     if (childrenPerRoot < minChildrenPerRoot) return PackStrategy.Plain
-    // width ratio is a per-row mean — a bounded sample is plenty, and it
-    // caps the to_json serialization cost on wide payloads
+    // width ratio is a per-row mean — a bounded sample is plenty. Widths
+    // come from a schema-aware estimator ([[Packer.widthOf]]): serialized
+    // bytes for fixed-width shapes are size() x element-width (codegen'd,
+    // no serialization), strings/binary read octet_length directly, and
+    // only irregular shapes (arrays of strings/structs, maps) fall back
+    // to octet_length(to_json(...)) — the previous all-to_json probe
+    // serialized ~150 KB of JSON per sampled row on thumbnail-heavy
+    // presets (~1 s of the probe's 1.6 s). Only the attr/other RATIO is
+    // consumed, and both sides use the same estimator.
     val s = (if (sampleFraction >= 1.0) prepared else prepared.sample(sampleFraction, seed = 42))
       .limit(WidthProbeRows)
     def width(cols: Seq[String]): Column =
       if (cols.isEmpty) lit(0.0)
-      else cols.map(c => coalesce(octet_length(to_json(struct(topCol(c)))), lit(0))
-        .cast(DoubleType)).reduce(_ + _)
+      else cols.map(c => Packer.widthOf(prepared.schema(c).dataType, topCol(c)))
+        .reduce(_ + _)
     val others = prepared.schema.fieldNames.toIndexedSeq
       .filterNot(attrCols.contains).filterNot(_ == RowIdCol)
     val row = s.agg(avg(width(attrCols)), avg(width(others))).collect()(0)
@@ -955,4 +962,38 @@ object Packer {
   val AuditPrefix = "__hier_audit_"
   /** Row cap for the choosePackStrategy width probe. */
   val WidthProbeRows = 1000
+
+  /** Schema-aware per-row serialized-width estimate (bytes, Double) for
+    * the [[Packer.choosePackStrategy]] probe. Fixed-width scalars are
+    * plan-time constants, strings/binary read `octet_length` directly,
+    * arrays of fixed-width elements cost `size(c) * elemWidth` — all
+    * codegen'd, zero serialization — and only irregular shapes (arrays
+    * of strings/structs, maps) fall back to `octet_length(to_json(...))`.
+    * Only the RATIO between column groups is consumed and both groups
+    * use the same estimator, so the unit (in-memory bytes vs JSON chars)
+    * cancels. Known bias: a null struct counts its full fixed width —
+    * fine for a strategy probe. */
+  private[graft] def widthOf(dt: DataType, c: Column): Column = {
+    def fixed(t: DataType): Option[Double] = t match {
+      case BooleanType | ByteType => Some(1.0)
+      case ShortType => Some(2.0)
+      case IntegerType | FloatType | DateType => Some(4.0)
+      case LongType | DoubleType | TimestampType | TimestampNTZType => Some(8.0)
+      case _: DecimalType => Some(16.0)
+      case _ => None
+    }
+    dt match {
+      case t if fixed(t).isDefined => lit(fixed(t).get)
+      case StringType | BinaryType =>
+        coalesce(octet_length(c).cast(DoubleType), lit(0.0))
+      case ArrayType(et, _) if fixed(et).isDefined =>
+        coalesce(size(c).cast(DoubleType), lit(0.0)) * fixed(et).get
+      case st: StructType =>
+        if (st.fields.isEmpty) lit(0.0)
+        else st.fields.toIndexedSeq
+          .map(f => widthOf(f.dataType, c.getField(f.name))).reduce(_ + _)
+      case _ =>
+        coalesce(octet_length(to_json(struct(c))), lit(0)).cast(DoubleType)
+    }
+  }
 }
