@@ -124,6 +124,39 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: semDedup survivors at nlist=1 equal exact-pair clustering " +
+    "and are a subset of every coarser clustering's survivors") {
+    (0 until 2).foreach { seed =>
+      val rnd = new Random(200 + seed)
+      // clustered corpus: 8 base directions, per-doc small jitter, plus a
+      // few planted near-identical pairs — guarantees real merges
+      val bases = Array.fill(8)(Array.fill(8)(rnd.nextGaussian().toFloat))
+      val rows = (0 until 50).map { i =>
+        val b = bases(rnd.nextInt(8))
+        val v = b.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+        Row(i.toLong, v.toSeq)
+      }
+      val df = spark.createDataFrame(new java.util.ArrayList(rows.asJava),
+        StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+      val exact1 = graft.ext.Dedup.semDedupSurvivors(df, "embedding", "vec_id",
+        0.995, nlist = 1, trainIters = 0).collect().map(_.getLong(0)).toSet
+      // independent ground truth: exact pairs -> components -> survivors
+      val pairs = graft.ext.Dedup.embeddingNearDupExact(df, "embedding", "vec_id", 0.995)
+      val comps = graft.ext.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val removed = comps.collect { case (id, c) if id != c => id }.toSet
+      val want = (0L until 50L).toSet -- removed
+      assert(exact1 == want, s"seed=$seed")
+      // coarser clusterings only MISS cross-cluster pairs -> more survivors
+      for (nlist <- Seq(2, 4)) {
+        val coarse = graft.ext.Dedup.semDedupSurvivors(df, "embedding", "vec_id",
+          0.995, nlist = nlist, trainIters = 1).collect().map(_.getLong(0)).toSet
+        assert(exact1.subsetOf(coarse), s"seed=$seed nlist=$nlist")
+      }
+    }
+  }
+
   test("property: pigeonhole-blocked simhash pairs equal the exhaustive pairs") {
     // random near-dup-ish corpora: word sequences drawn from a tiny
     // vocabulary so some pairs land within small hamming distances
