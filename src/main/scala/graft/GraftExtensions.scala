@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SparkSessionExtensions injector: registers every graft custom Catalyst
+ * expression as a session built-in SQL function at session BUILD time, so
+ * a cluster enables the whole library declaratively —
+ *
+ * {{{
+ *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+ * }}}
+ *
+ * or `SparkSession.builder().withExtensions(new GraftExtensions())` — and
+ * the functions resolve in pure SQL (`SELECT simhash64(tokens) ...`) on
+ * every session of the cluster, with no imperative `register` call.
+ *
+ * The imperative per-session registration in each function's companion
+ * (`SimHash.register(spark)` etc., used by the Column APIs) remains — the
+ * two paths are idempotent with each other: `injectFunction` seeds the
+ * session registry at build time and `createOrReplaceTempFunction`
+ * overwrites with the identical builder at first Column-API use.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injected.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def fn(name: String)(builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      builder)
+
+  /** (identifier, info, builder) for every graft SQL function. */
+  val injected: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("simhash64")(exprs => functions.SimHash(exprs.head)),
+    fn("dot_product")(exprs => functions.DotProduct(exprs(0), exprs(1))),
+    fn("jaccard_sim")(exprs => functions.JaccardSim(exprs(0), exprs(1))),
+    fn("minhash_sig")(exprs => functions.MinHashSignature(exprs(0), exprs(1))),
+    fn("top_k_by_score")(exprs => functions.TopKByScore(exprs(0), exprs(1), exprs(2))))
+}
