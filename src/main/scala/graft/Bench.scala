@@ -237,7 +237,8 @@ object Bench {
     val knownNames: Seq[String] = SparkEntry.queries.keys.toSeq ++
       parityScenarios.map(_._1) ++
       Seq("scale_neardup_survivors", "scale_neardup_hotbucket",
-        "scale_semdedup", "scale_seq_packing_8", "scale_seq_packing_64",
+        "scale_semdedup", "scale_repeated_spans",
+        "scale_seq_packing_8", "scale_seq_packing_64",
         "scale_knn_100q", "scale_knn_1000q",
         "auto_pack_parent_dom_2k", "auto_pack_skewed")
     onlyFilters.filterNot(tok => knownNames.exists(_.contains(tok))).foreach(tok =>
@@ -363,6 +364,15 @@ object Bench {
           maxBucketSize = 1000)
       })
 
+    // exact repeated-span sweep over the full corpus: ~1 hashed window
+    // per corpus token through a map-side-combinable DF count + semi-join
+    val scaleSpans =
+      if (!selected("scale_repeated_spans")) Nil
+      else Seq(scenario("scale_repeated_spans")(
+        graft.ext.Curation.repeatedSpans(
+          spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+          windowTokens = 8)))
+
     // SemDeDup at corpus scale: Lloyd-trained clusters + within-cluster
     // cosine pruning + components — times the full semantic-dedup
     // pipeline (the nlist=1 equivalence gate lives in q_semdedup)
@@ -418,7 +428,7 @@ object Bench {
     }
 
     val all0 = queryTimes ++ parityResults ++ scaleDedup ++ scaleHotBucket ++
-      scaleSemDedup ++ scaleSeqPacking ++ scaleKnn ++ autoScenarios
+      scaleSpans ++ scaleSemDedup ++ scaleSeqPacking ++ scaleKnn ++ autoScenarios
 
     // ---- noise-robust finalization (see scaladoc: NOISE ROBUSTNESS) ----
     // BENCH_REFERENCE.json is the committed known-good artifact; entries

@@ -458,6 +458,15 @@ object SparkEntry {
       Curation.repetitionStats(d, "text")
         .select("doc_id", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac", "keep")
     }),
+    // exact repeated-span detection (Lee et al. span-level dedup): md5
+    // window hashes reproduce bit-identically in DuckDB, so the full
+    // (n_windows, n_repeated, repeated_frac) frame is hash-compared.
+    // doc_id < 2000 bounds the oracle's 10M-window list_transform at
+    // sf1.0; covers the whole corpus at the sf0.001/0.01 gates
+    "q_repeated_spans" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 2000)
+      Curation.repeatedSpans(d, "doc_id", "text", windowTokens = 5)
+    }),
     // PII redaction over a deterministic synthetic profile string (the
     // corpus itself carries no PII): emails, IPv4s, and phone-shaped
     // numbers are constructed from doc_id arithmetic, redacted to typed
@@ -1005,6 +1014,27 @@ object SparkEntry {
           |  round(min(q.quality), 6) AS min_quality,
           |  round(max(q.quality), 6) AS max_quality
           |FROM q JOIN surv USING (doc_id)""".stripMargin,
+      "q_repeated_spans" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE doc_id < 2000),
+          |w AS (
+          |  SELECT doc_id,
+          |    CASE WHEN toks IS NULL OR len(toks) < 5 THEN []::VARCHAR[]
+          |         ELSE list_distinct(list_transform(range(1, len(toks) - 5 + 2),
+          |                i -> md5(array_to_string(toks[i:i+4], ' ')))) END AS ws
+          |  FROM d),
+          |e AS (SELECT doc_id, unnest(ws) AS w FROM w),
+          |rep AS (SELECT w FROM e GROUP BY w HAVING count(*) >= 2),
+          |cnt AS (SELECT e.doc_id, count(*) AS n_rep FROM e JOIN rep USING (w) GROUP BY e.doc_id)
+          |SELECT w.doc_id,
+          |  CAST(len(w.ws) AS BIGINT) AS n_windows,
+          |  CAST(COALESCE(cnt.n_rep, 0) AS BIGINT) AS n_repeated,
+          |  CASE WHEN len(w.ws) = 0 THEN 0.0
+          |       ELSE floor(COALESCE(cnt.n_rep, 0) * 1e6 / len(w.ws)) / 1e6 END AS repeated_frac
+          |FROM w LEFT JOIN cnt ON w.doc_id = cnt.doc_id""".stripMargin,
       "q_repetition_stats" ->
         """WITH t AS (
           |  SELECT doc_id,

@@ -248,6 +248,66 @@ object Curation {
     }
   }
 
+  // ----------------------------------------------- exact span dedup
+
+  /**
+   * Exact repeated-span detection — the detection half of exact
+   * substring dedup (Lee et al., "Deduplicating Training Data Makes
+   * Language Models Better", arXiv:2107.06499; their suffix array finds
+   * arbitrary-length repeats, a sliding window hash is the
+   * shuffle-friendly equivalent at a fixed span length): hash every
+   * `windowTokens`-token window of every document, count each window
+   * hash's document frequency across the corpus, and score each
+   * document by the fraction of its DISTINCT windows that also occur in
+   * at least `minDocs - 1` other documents.
+   *
+   * Scale shape: one explode to (16-byte md5, id) rows — ~1 row per
+   * corpus token, the published algorithm's inherent cost — then a
+   * map-side-combinable groupBy on the window hash and one semi-join
+   * back. The token/window pipeline computes ONCE behind an id-hash
+   * exchange fence reused by both consumers (the shingleFrame idiom).
+   * md5, not xxhash: the result is DuckDB-oracle-checkable.
+   *
+   * Output: (idCol, n_windows, n_repeated, repeated_frac), one row per
+   * document; docs shorter than `windowTokens` score 0 / 0 / 0.0.
+   */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toksName = Iterator.from(0)
+      .map(i => if (i == 0) "__span_toks" else s"__span_toks_$i")
+      .find(n => !df.columns.contains(n)).get
+    // stage tokens, then windows, each as its OWN projection: a lambda
+    // may only close over staged ATTRIBUTES (closing over a derived
+    // expression re-evaluates it once per element — the HOF hazard)
+    val wins = df
+      .withColumn(toksName, TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+      .select(col(idCol), array_distinct(
+        when(col(textCol).isNull || size(col(toksName)) < windowTokens,
+          array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(1), size(col(toksName)) - windowTokens + 1),
+            i => md5(concat_ws(" ", slice(col(toksName), i, lit(windowTokens)))))))
+        .alias("__ws"))
+      .repartition(col(idCol)) // fence: tokenize+hash once, exchange reused
+    val spans = wins.select(col(idCol), explode(col("__ws")).alias("__w"))
+    // per-doc-distinct windows → count(*) IS the document frequency
+    val repeated = spans.groupBy(col("__w"))
+      .agg(count(lit(1)).alias("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__w"))
+    val perDoc = spans.join(repeated, Seq("__w"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).alias("n_repeated"))
+    wins.select(col(idCol), size(col("__ws")).cast("long").alias("n_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).alias("n_repeated"))
+      .withColumn("repeated_frac",
+        when(col("n_windows") === 0, 0.0)
+          .otherwise(trunc6(col("n_repeated").cast("double") / col("n_windows"))))
+  }
+
   // ------------------------------------------------- sequence packing
 
   /**

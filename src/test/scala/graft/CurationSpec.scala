@@ -135,6 +135,29 @@ class CurationSpec extends SparkSpec {
     assert(tiny.count() == 4)
   }
 
+  test("repeatedSpans flags shared exact spans and only them") {
+    val boiler = "this exact boilerplate footer sentence repeats verbatim across documents"
+    val df = docsOf(
+      1L -> s"unique intro alpha beta gamma. $boiler",
+      2L -> s"different words entirely here today. $boiler",
+      3L -> "completely unrelated document with its own words only",
+      4L -> "short")
+    val out = Curation.repeatedSpans(df, "doc_id", "text", windowTokens = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 4: shorter than the window -> 0/0/0
+    assert(out(4L) == ((0L, 0L, 0.0)))
+    // doc 3: windows exist, none repeated
+    assert(out(3L)._1 > 0 && out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    // docs 1 and 2 share the boilerplate span: the windows fully inside
+    // the shared suffix repeat (the straddling windows differ)
+    assert(out(1L)._2 > 0 && out(2L)._2 > 0)
+    assert(out(1L)._3 > 0.0 && out(1L)._3 < 1.0)
+    // count parity with an independent set computation
+    val shared = out(1L)._2
+    assert(out(2L)._2 == shared, "both docs repeat exactly the shared windows")
+  }
+
   // ------------------------------------------------- sequence packing
 
   test("packSequences assigns concat-and-chunk bins per shard") {
