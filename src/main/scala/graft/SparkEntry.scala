@@ -465,7 +465,8 @@ object SparkEntry {
     // sf1.0; covers the whole corpus at the sf0.001/0.01 gates
     "q_repeated_spans" -> ((s, dir) => {
       val d = table(s, dir, "documents").filter(col("doc_id") < 2000)
-      Curation.repeatedSpans(d, "doc_id", "text", windowTokens = 5)
+      Curation.repeatedSpans(d, "doc_id", "text", windowTokens = 5,
+        md5Windows = true) // md5: the window hash DuckDB can recompute
     }),
     // PII redaction over a deterministic synthetic profile string (the
     // corpus itself carries no PII): emails, IPv4s, and phone-shaped

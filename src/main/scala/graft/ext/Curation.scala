@@ -270,9 +270,17 @@ object Curation {
    *
    * Output: (idCol, n_windows, n_repeated, repeated_frac), one row per
    * document; docs shorter than `windowTokens` score 0 / 0 / 0.0.
+   *
+   * `md5Windows`: window identity is exact string equality either way;
+   * the default xxhash64 key is one codegen'd 64-bit hash per window
+   * (collision odds ~2^-64 per pair — a collision could only over-count
+   * one window as repeated), while md5 — bit-identical in DuckDB —
+   * exists for the oracle gate and pays a 128-bit hash plus a 32-char
+   * hex allocation per window (~1.5× slower end-to-end, measured).
    */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                    windowTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+                    windowTokens: Int = 8, minDocs: Int = 2,
+                    md5Windows: Boolean = false): DataFrame = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val toksName = Iterator.from(0)
@@ -288,10 +296,21 @@ object Curation {
           array().cast("array<string>"))
           .otherwise(transform(
             sequence(lit(1), size(col(toksName)) - windowTokens + 1),
-            i => md5(concat_ws(" ", slice(col(toksName), i, lit(windowTokens)))))))
+            i => {
+              val w = concat_ws(" ", slice(col(toksName), i, lit(windowTokens)))
+              if (md5Windows) md5(w) else xxhash64(w).cast("string")
+            })))
         .alias("__ws"))
       .repartition(col(idCol)) // fence: tokenize+hash once, exchange reused
-    val spans = wins.select(col(idCol), explode(col("__ws")).alias("__w"))
+    // explode_OUTER, deliberately: plain explode adds an implicit
+    // `size(__ws) > 0` Filter, and predicate pushdown substitutes the
+    // staged aliases all the way into the parquet scan — the entire
+    // tokenize+window pipeline then re-runs as an interpreted scan
+    // filter (measured 10x on this operator; the round-3 staging
+    // lesson). The outer variant emits one null __w row per windowless
+    // doc instead; a null never equals a join key, so `repeated` and the
+    // semi-join are unaffected.
+    val spans = wins.select(col(idCol), explode_outer(col("__ws")).alias("__w"))
     // per-doc-distinct windows → count(*) IS the document frequency
     val repeated = spans.groupBy(col("__w"))
       .agg(count(lit(1)).alias("__df"))
