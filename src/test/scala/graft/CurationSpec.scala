@@ -158,6 +158,18 @@ class CurationSpec extends SparkSpec {
     assert(out(2L)._2 == shared, "both docs repeat exactly the shared windows")
   }
 
+  test("repeatedSpans plan has no tokenizing Filter (explode_outer " +
+    "pushdown regression: plain explode's implicit size>0 filter re-inlines " +
+    "the whole window pipeline into the scan)") {
+    val df = docsOf(1L -> "a b c d e f g h i j", 2L -> "k l m").repartition(2)
+    val out = Curation.repeatedSpans(df, "doc_id", "text", windowTokens = 5)
+    val filters = out.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.toString.contains("split(") => f
+    }
+    assert(filters.isEmpty, filters.mkString("\n").take(2000))
+  }
+
   // ------------------------------------------------- sequence packing
 
   test("packSequences assigns concat-and-chunk bins per shard") {
