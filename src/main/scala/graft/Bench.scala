@@ -237,7 +237,7 @@ object Bench {
     val knownNames: Seq[String] = SparkEntry.queries.keys.toSeq ++
       parityScenarios.map(_._1) ++
       Seq("scale_neardup_survivors", "scale_neardup_hotbucket",
-        "scale_semdedup", "scale_repeated_spans",
+        "scale_semdedup", "scale_repeated_spans", "scale_drop_repeated_spans",
         "scale_seq_packing_8", "scale_seq_packing_64",
         "scale_knn_100q", "scale_knn_1000q",
         "auto_pack_parent_dom_2k", "auto_pack_skewed")
@@ -372,6 +372,12 @@ object Bench {
         graft.ext.Curation.repeatedSpans(
           spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
           windowTokens = 8)))
+    val scaleDropSpans =
+      if (!selected("scale_drop_repeated_spans")) Nil
+      else Seq(scenario("scale_drop_repeated_spans")(
+        graft.ext.Curation.dropRepeatedSpans(
+          spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+          windowTokens = 8)))
 
     // SemDeDup at corpus scale: Lloyd-trained clusters + within-cluster
     // cosine pruning + components — times the full semantic-dedup
@@ -428,7 +434,8 @@ object Bench {
     }
 
     val all0 = queryTimes ++ parityResults ++ scaleDedup ++ scaleHotBucket ++
-      scaleSpans ++ scaleSemDedup ++ scaleSeqPacking ++ scaleKnn ++ autoScenarios
+      scaleSpans ++ scaleDropSpans ++ scaleSemDedup ++ scaleSeqPacking ++
+      scaleKnn ++ autoScenarios
 
     // ---- noise-robust finalization (see scaladoc: NOISE ROBUSTNESS) ----
     // BENCH_REFERENCE.json is the committed known-good artifact; entries

@@ -468,6 +468,14 @@ object SparkEntry {
       Curation.repeatedSpans(d, "doc_id", "text", windowTokens = 5,
         md5Windows = true) // md5: the window hash DuckDB can recompute
     }),
+    // the removal half: cleaned corpus with every >=2-doc span cut out;
+    // the oracle rebuilds the identical token-coverage filter, so
+    // cleaned_text is string-compared byte for byte
+    "q_drop_repeated_spans" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 2000)
+      Curation.dropRepeatedSpans(d, "doc_id", "text", windowTokens = 5,
+        md5Windows = true)
+    }),
     // PII redaction over a deterministic synthetic profile string (the
     // corpus itself carries no PII): emails, IPv4s, and phone-shaped
     // numbers are constructed from doc_id arithmetic, redacted to typed
@@ -1036,6 +1044,40 @@ object SparkEntry {
           |  CASE WHEN len(w.ws) = 0 THEN 0.0
           |       ELSE floor(COALESCE(cnt.n_rep, 0) * 1e6 / len(w.ws)) / 1e6 END AS repeated_frac
           |FROM w LEFT JOIN cnt ON w.doc_id = cnt.doc_id""".stripMargin,
+      "q_drop_repeated_spans" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE doc_id < 2000),
+          |w AS (
+          |  SELECT doc_id,
+          |    CASE WHEN toks IS NULL OR len(toks) < 5 THEN []
+          |         ELSE list_transform(range(1, len(toks) - 5 + 2),
+          |                i -> struct_pack(s := i, h := md5(array_to_string(toks[i:i+4], ' ')))) END AS ws
+          |  FROM d),
+          |e0 AS (SELECT doc_id, unnest(ws) AS u FROM w),
+          |e AS (SELECT doc_id, struct_extract(u, 's') AS s,
+          |             struct_extract(u, 'h') AS h FROM e0),
+          |rep AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM e)
+          |        GROUP BY h HAVING count(*) >= 2),
+          |st AS (SELECT e.doc_id, list_sort(list(e.s)) AS starts
+          |       FROM e JOIN rep USING (h) GROUP BY e.doc_id),
+          |j AS (SELECT d.doc_id, d.toks, COALESCE(st.starts, []) AS starts
+          |      FROM d LEFT JOIN st USING (doc_id)),
+          |k AS (SELECT doc_id, toks,
+          |  CASE WHEN toks IS NULL THEN NULL ELSE
+          |    list_filter(list_transform(range(1, len(toks) + 1),
+          |      i -> CASE WHEN len(list_filter(starts, s -> i >= s AND i < s + 5)) > 0
+          |                THEN NULL ELSE toks[i] END),
+          |      x -> x IS NOT NULL) END AS kept
+          |  FROM j)
+          |SELECT doc_id,
+          |  CAST(COALESCE(len(toks), 0) AS BIGINT) AS n_tokens,
+          |  CAST(COALESCE(len(kept), 0) AS BIGINT) AS n_kept,
+          |  CASE WHEN kept IS NULL THEN NULL
+          |       ELSE COALESCE(array_to_string(kept, ' '), '') END AS cleaned_text
+          |FROM k""".stripMargin,
       "q_repetition_stats" ->
         """WITH t AS (
           |  SELECT doc_id,

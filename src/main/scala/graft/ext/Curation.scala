@@ -327,6 +327,72 @@ object Curation {
           .otherwise(trunc6(col("n_repeated").cast("double") / col("n_windows"))))
   }
 
+  /**
+   * Repeated-span REMOVAL — the rewrite half of exact substring dedup
+   * (Lee et al. drop every duplicated span from the corpus, not just
+   * score it): every token covered by ANY window whose hash occurs in
+   * at least `minDocs` documents is removed, and the document is
+   * re-emitted as the surviving token sequence over normalized text.
+   *
+   * Same scale shape as [[repeatedSpans]] plus one bounded per-doc
+   * aggregation: (window start, hash) pairs explode (~1 per corpus
+   * token), document frequency is a map-side-combinable count over
+   * per-doc-distinct hashes, and each doc collects only its REPEATED
+   * window starts (bounded by its own window count) before a per-row
+   * coverage filter rebuilds the token list. The coverage test is
+   * O(tokens × repeated-windows) per doc — fine for real corpora where
+   * repeated spans are sparse; a fully-duplicated doc degrades to
+   * O(tokens²) on its own row only.
+   *
+   * Output: (idCol, n_tokens, n_kept, cleaned_text); null text stays
+   * null with 0 / 0 counts.
+   */
+  def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                        windowTokens: Int = 8, minDocs: Int = 2,
+                        md5Windows: Boolean = false): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val toksF = df
+      .withColumn("__dr_toks",
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol))))
+      .select(col(idCol), col("__dr_toks").alias("__toks"))
+      .repartition(col(idCol)) // fence: tokenize once, exchange reused
+    val winStructs =
+      when(col("__toks").isNull || size(col("__toks")) < windowTokens,
+        array().cast("array<struct<s:int,h:string>>"))
+        .otherwise(transform(
+          sequence(lit(1), size(col("__toks")) - windowTokens + 1),
+          i => {
+            val w = concat_ws(" ", slice(col("__toks"), i, lit(windowTokens)))
+            struct(i.cast("int").alias("s"),
+              (if (md5Windows) md5(w) else xxhash64(w).cast("string")).alias("h"))
+          }))
+    // explode_outer: see repeatedSpans — plain explode's implicit filter
+    // would re-inline the window pipeline into the scan
+    val spansPos = toksF.select(col(idCol), explode_outer(winStructs).alias("__u"))
+    // per-doc-distinct hashes -> count(*) is the document frequency
+    val repeated = spansPos.select(col(idCol), col("__u.h").alias("__h")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).alias("__df"))
+      .filter(col("__df") >= minDocs).select(col("__h"))
+    val repStarts = spansPos
+      .select(col(idCol), col("__u.s").alias("__s"), col("__u.h").alias("__h"))
+      .join(repeated, Seq("__h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__s"))).alias("__starts"))
+    toksF.join(repStarts, Seq(idCol), "left")
+      .withColumn("__starts2", coalesce(col("__starts"), array().cast("array<int>")))
+      .select(col(idCol),
+        coalesce(size(col("__toks")), lit(0)).cast("long").alias("n_tokens"),
+        when(col("__toks").isNull, lit(null).cast("array<string>"))
+          .otherwise(filter(col("__toks"), (_, idx) =>
+            not(exists(col("__starts2"), s =>
+              (idx + 1 >= s) && (idx + 1 < s + windowTokens))))).alias("__kept"))
+      .select(col(idCol), col("n_tokens"),
+        coalesce(size(col("__kept")), lit(0)).cast("long").alias("n_kept"),
+        when(col("__kept").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", col("__kept"))).alias("cleaned_text"))
+  }
+
   // ------------------------------------------------- sequence packing
 
   /**

@@ -170,6 +170,29 @@ class CurationSpec extends SparkSpec {
     assert(filters.isEmpty, filters.mkString("\n").take(2000))
   }
 
+  test("dropRepeatedSpans removes exactly the shared-span tokens") {
+    val boiler = "one two three four five six seven eight"
+    val df = docsOf(
+      1L -> s"keep alpha beta gamma delta $boiler",
+      2L -> s"other words flow here nicely $boiler",
+      3L -> "totally independent document content here today")
+    val out = Curation.dropRepeatedSpans(df, "doc_id", "text", windowTokens = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 3 untouched (normalized text preserved)
+    assert(out(3L)._3 == "totally independent document content here today")
+    assert(out(3L)._1 == out(3L)._2)
+    // docs 1-2: the 8 shared boilerplate tokens are cut, uniques remain
+    assert(out(1L)._3 == "keep alpha beta gamma delta")
+    assert(out(2L)._3 == "other words flow here nicely")
+    assert(out(1L)._1 == 13L && out(1L)._2 == 5L)
+    // a doc that is ENTIRELY a shared span cleans to the empty string
+    val dup = docsOf(10L -> boiler, 11L -> boiler)
+    val gone = Curation.dropRepeatedSpans(dup, "doc_id", "text", windowTokens = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(gone(10L) == "" && gone(11L) == "")
+  }
+
   // ------------------------------------------------- sequence packing
 
   test("packSequences assigns concat-and-chunk bins per shard") {
