@@ -23,9 +23,14 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// -Xms is NOT pinned by default: a pinned 16 GiB parent plus a pinned
+// 16 GiB bench re-run child exceeded the loaded round-4 sandbox and the
+// OOM killer took the parent mid-capture (BENCH_r04.json exit 137). An
+// unpinned heap commits only what it touches and G1 uncommits after a
+// full GC, so parent + forked child fit. SPARK_GRAFT_XMS=16g restores
+// pinning for variance studies.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_XMS").map(x => s"-Xms$x").toSeq

@@ -39,7 +39,11 @@ import org.apache.spark.storage.StorageLevel
   *    number as the entry's value (best-of-all-observations, consistent
   *    with the best-of-N protocol) plus the raw in-process value and the
   *    flagged list, so a hot driver box can never masquerade as a code
-  *    regression. Disable with SPARK_GRAFT_RERUN=0.
+  *    regression. Disable with SPARK_GRAFT_RERUN=0. Round-5 memory
+  *    discipline (round 4's re-run OOM-killed its own capture): the
+  *    parent unpersists + stops its SparkSession BEFORE forking, the
+  *    child heap is unpinned (-Xmx only) and sized by SPARK_GRAFT_RERUN_MEM
+  *    clamped to MemAvailable at fork time ([[rerunHeapMb]]).
   */
 object Bench {
 
@@ -163,18 +167,51 @@ object Bench {
     }
   } catch { case _: Throwable => Map.empty }
 
+  /** "16g"/"512m"/"8192"(MB) heap spec → MB; -1 on parse failure. */
+  private[graft] def heapMb(s: String): Long = try {
+    val t = s.trim.toLowerCase
+    if (t.endsWith("g")) t.dropRight(1).toLong * 1024
+    else if (t.endsWith("m")) t.dropRight(1).toLong
+    else if (t.endsWith("k")) t.dropRight(1).toLong / 1024
+    else t.toLong
+  } catch { case _: Throwable => -1L }
+
+  /** MemAvailable from /proc/meminfo in MB; -1 if unreadable. */
+  private[graft] def memAvailableMb(): Long = try {
+    scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemAvailable"))
+      .map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
+  } catch { case _: Throwable => -1L }
+
+  /** Child-JVM -Xmx for the isolated re-run, in MB: SPARK_GRAFT_RERUN_MEM
+    * (default: the driver's heap), clamped to what the box can spare at
+    * fork time (MemAvailable minus 4 GiB slack, floor 2 GiB). Round 4's
+    * capture died exactly here — a -Xms-pinned 16 GiB child forked beside
+    * the still-pinned 16 GiB parent got the parent SIGKILLed on a loaded
+    * sandbox (BENCH_r04.json: rc 1, exit 137, parsed:null) — so the child
+    * is now unpinned AND sized against reality, and [[main]] stops the
+    * parent SparkSession before forking. */
+  private[graft] def rerunHeapMb(): Long = {
+    val requested = math.max(2048L, heapMb(sys.env.getOrElse(
+      "SPARK_GRAFT_RERUN_MEM", sys.env.getOrElse("SPARK_DRIVER_MEM", "16g"))))
+    val avail = memAvailableMb()
+    if (avail > 0) math.min(requested, math.max(2048L, avail - 4096L))
+    else requested
+  }
+
   /** Re-run `names` in a fresh child JVM (graft.Bench filtered via
     * SPARK_GRAFT_ONLY) and return its per-entry timings — clean-room
     * measurements free of the main pass's GC residue and whatever ambient
-    * load polluted it. SPARK_GRAFT_RERUN=0 in the child stops recursion. */
+    * load polluted it. SPARK_GRAFT_RERUN=0 in the child stops recursion.
+    * The child's heap is unpinned (no -Xms) and bounded by [[rerunHeapMb]]
+    * so parent + child always fit the sandbox. */
   private[graft] def runIsolated(names: Seq[String], cpus: String,
                                  repeat: Int): Map[String, Double] = {
     val out = java.io.File.createTempFile("graft_bench_rerun", ".json")
     try {
       val javaBin = s"${System.getProperty("java.home")}/bin/java"
-      val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
       val cmd = (Seq(javaBin) ++ BenchScenario.addOpensArgs ++ Seq(
-        s"-Xmx$heap", s"-Xms$heap", "-Dspark.ui.enabled=false",
+        s"-Xmx${rerunHeapMb()}m", "-Dspark.ui.enabled=false",
         "-cp", System.getProperty("java.class.path"),
         "graft.Bench")).toArray
       val pb = new ProcessBuilder(cmd: _*)
@@ -220,6 +257,24 @@ object Bench {
     // reference number; scale-up-linearity evidence vs parity_pack_large
     ("parity_pack_very_large", "very_large", d => packer.pack(d, "image")))
 
+  // Non-parity scenario names, single-sourced: the scenario blocks below
+  // and the SPARK_GRAFT_ONLY typo warning both read THESE, so a renamed
+  // or added scenario can't silently drift the known-name list.
+  private[graft] val NmScaleDedup = "scale_neardup_survivors"
+  private[graft] val NmScaleHotBucket = "scale_neardup_hotbucket"
+  private[graft] val NmScaleSemDedup = "scale_semdedup"
+  private[graft] val NmScaleSpans = "scale_repeated_spans"
+  private[graft] val NmScaleDropSpans = "scale_drop_repeated_spans"
+  private[graft] val seqPackingShards = Seq(8, 64)
+  private[graft] val knnQueryCounts = Seq(100, 1000)
+  private[graft] val autoPackKeys = Seq("parent_dom_2k", "skewed")
+  private[graft] val scaleScenarioNames: Seq[String] =
+    Seq(NmScaleDedup, NmScaleHotBucket, NmScaleSemDedup, NmScaleSpans,
+      NmScaleDropSpans) ++
+    seqPackingShards.map(s => s"scale_seq_packing_$s") ++
+    knnQueryCounts.map(n => s"scale_knn_${n}q") ++
+    autoPackKeys.map(k => s"auto_pack_$k")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -235,12 +290,7 @@ object Bench {
     // a typo'd filter must fail loudly, not produce an empty-but-valid
     // artifact: warn per zero-match token and log the selected count
     val knownNames: Seq[String] = SparkEntry.queries.keys.toSeq ++
-      parityScenarios.map(_._1) ++
-      Seq("scale_neardup_survivors", "scale_neardup_hotbucket",
-        "scale_semdedup", "scale_repeated_spans", "scale_drop_repeated_spans",
-        "scale_seq_packing_8", "scale_seq_packing_64",
-        "scale_knn_100q", "scale_knn_1000q",
-        "auto_pack_parent_dom_2k", "auto_pack_skewed")
+      parityScenarios.map(_._1) ++ scaleScenarioNames
     onlyFilters.filterNot(tok => knownNames.exists(_.contains(tok))).foreach(tok =>
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY token '$tok' matches NO bench entry"))
     if (onlyFilters.nonEmpty)
@@ -337,8 +387,8 @@ object Bench {
     // q_dedup_survivors covers 100 docs; this times the banded path at
     // corpus scale)
     val scaleDedup =
-      if (!selected("scale_neardup_survivors")) Nil
-      else Seq(scenario("scale_neardup_survivors")(
+      if (!selected(NmScaleDedup)) Nil
+      else Seq(scenario(NmScaleDedup)(
         graft.ext.Dedup.nearDupSurvivors(
           spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
           threshold = 0.5, shingleN = 3, numHashes = 128, bands = 32)))
@@ -351,8 +401,8 @@ object Bench {
     // materializing a hot bucket in one task; the old window guard made
     // this a single-task straggler before dropping the rows.
     val scaleHotBucket =
-      if (!selected("scale_neardup_hotbucket")) Nil
-      else Seq(scenario("scale_neardup_hotbucket") {
+      if (!selected(NmScaleHotBucket)) Nil
+      else Seq(scenario(NmScaleHotBucket) {
         val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text"))
         val boiler = spark.range(20000).select(
@@ -367,14 +417,14 @@ object Bench {
     // exact repeated-span sweep over the full corpus: ~1 hashed window
     // per corpus token through a map-side-combinable DF count + semi-join
     val scaleSpans =
-      if (!selected("scale_repeated_spans")) Nil
-      else Seq(scenario("scale_repeated_spans")(
+      if (!selected(NmScaleSpans)) Nil
+      else Seq(scenario(NmScaleSpans)(
         graft.ext.Curation.repeatedSpans(
           spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
           windowTokens = 8)))
     val scaleDropSpans =
-      if (!selected("scale_drop_repeated_spans")) Nil
-      else Seq(scenario("scale_drop_repeated_spans")(
+      if (!selected(NmScaleDropSpans)) Nil
+      else Seq(scenario(NmScaleDropSpans)(
         graft.ext.Curation.dropRepeatedSpans(
           spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
           windowTokens = 8)))
@@ -383,8 +433,8 @@ object Bench {
     // cosine pruning + components — times the full semantic-dedup
     // pipeline (the nlist=1 equivalence gate lives in q_semdedup)
     val scaleSemDedup =
-      if (!selected("scale_semdedup")) Nil
-      else Seq(scenario("scale_semdedup")(
+      if (!selected(NmScaleSemDedup)) Nil
+      else Seq(scenario(NmScaleSemDedup)(
         graft.ext.Dedup.semDedupSurvivors(
           spark.read.parquet(s"$sfDir/embeddings.parquet"), "embedding",
           "vec_id", threshold = 0.5, nlist = 16, trainIters = 2)))
@@ -395,7 +445,7 @@ object Bench {
     // dominate the scheduling floor. Chunk contents at a GIVEN shard count
     // are invariant to physical partitioning (CurationSpec asserts it);
     // different shard counts legitimately produce different chunkings.
-    val scaleSeqPacking = Seq(8, 64)
+    val scaleSeqPacking = seqPackingShards
       .filter(s => selected(s"scale_seq_packing_$s")).map { shards =>
       scenario(s"scale_seq_packing_${shards}")(
         graft.ext.Curation.packSequences(
@@ -408,7 +458,7 @@ object Bench {
     // is one corpus scan + (k × queries) heap entries per partition, so
     // time should grow far SLOWER than the query count — the single-task
     // window ranking this replaced scaled linearly in queries × corpus.
-    val knnCounts = Seq(100, 1000).filter(nq => selected(s"scale_knn_${nq}q"))
+    val knnCounts = knnQueryCounts.filter(nq => selected(s"scale_knn_${nq}q"))
     val scaleKnn = if (knnCounts.isEmpty) Nil else {
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -424,7 +474,7 @@ object Bench {
     // two presets where the choice matters — evidence the sampled
     // selector lands on the winning side (compare against the manual
     // parity_pack_* entries for the same datasets)
-    val autoScenarios = Seq("parent_dom_2k", "skewed")
+    val autoScenarios = autoPackKeys
       .filter(k => selected(s"auto_pack_$k")).map { dsKey =>
       val ds = buildDataset(spark, dsKey).persist(StorageLevel.MEMORY_AND_DISK)
       ds.count()
@@ -455,6 +505,17 @@ object Bench {
         System.err.println(s"[bench] ${flagged.size} entries exceed " +
           s"${flagFactor}x their committed reference — isolated re-run: " +
           flagged.mkString(", "))
+        // The in-process capture is complete — release the parent BEFORE
+        // forking: drop any cached plans, stop the SparkContext (frees 32
+        // executor threads + shuffle/broadcast memory, so the parent can't
+        // compete with the child's measurement), and ask for a full GC so
+        // the unpinned heap uncommits back to the OS before the child
+        // sizes itself against MemAvailable (round-4 postmortem: the
+        // re-run fork OOM-killed the capture it was trying to save).
+        try spark.sharedState.cacheManager.clearCache()
+        catch { case _: Throwable => }
+        spark.stop()
+        System.gc()
         runIsolated(flagged, cpus, repeat)
       }
     // an entry's final value is its best observation across the in-process
@@ -560,10 +621,13 @@ object BenchScenario {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = addOpensArgs
     // Child heap honors SPARK_DRIVER_MEM (like build.sbt's javaOptions) so
-    // fork mode can measure memory-parity envelopes at reference-like heaps
+    // fork mode can measure memory-parity envelopes at reference-like
+    // heaps. -Xmx only — an -Xms-pinned child beside the live parent is
+    // the exact shape that OOM-killed the round-4 capture; VmHWM measures
+    // touched pages, so unpinning does not change the memory story.
     val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
     val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
-      s"-Xmx$heap", s"-Xms$heap", "-Dspark.ui.enabled=false",
+      s"-Xmx$heap", "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchScenario", name)).toArray
     val pb = new ProcessBuilder(cmd: _*)

@@ -129,16 +129,34 @@ object Dedup {
     * time for the count pass — a 640k-row hot bucket is cheap for one
     * local task. The trade is deliberate: the window's cost grows with
     * the hot bucket (billions of boilerplate rows through ONE task at
-    * 100 TB — straggler + spill), the two-pass guard's does not. */
+    * 100 TB — straggler + spill), the two-pass guard's does not.
+    *
+    * The hot-group list itself is BOUNDED before broadcasting: it is
+    * collected with `limit(maxBroadcastGroups+1)` — a degenerate corpus
+    * with millions of just-over-cap groups can put at most
+    * maxBroadcastGroups+1 tiny key rows on the driver. Within the bound
+    * (the common case: degenerate buckets are rare) the collected list
+    * becomes a broadcast LOCAL relation, so the anti-join re-evaluates
+    * nothing; over the bound the guard falls back to a plain shuffled
+    * left_anti join — an unhinted `broadcast(hot)` there would bypass
+    * autoBroadcastJoinThreshold and OOM the driver on exactly the
+    * degenerate-input class this guard exists for. */
   private[ext] def dropHotBuckets(rows: DataFrame, keys: Seq[String],
-                                  cap: Int): DataFrame =
+                                  cap: Int,
+                                  maxBroadcastGroups: Int = 100000): DataFrame =
     if (cap == Int.MaxValue) rows
     else {
       val hot = rows.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).alias("__bsize"))
         .filter(col("__bsize") > cap)
         .select(keys.map(col): _*)
-      rows.join(broadcast(hot), keys, "left_anti")
+      val probe = hot.limit(maxBroadcastGroups + 1).collect()
+      if (probe.length <= maxBroadcastGroups) {
+        val sp = rows.sparkSession
+        val local = sp.createDataFrame(
+          java.util.Arrays.asList(probe: _*), hot.schema)
+        rows.join(broadcast(local), keys, "left_anti")
+      } else rows.join(hot, keys, "left_anti")
     }
 
   /** Candidate pairs from MinHash LSH: docs sharing ≥1 band bucket.
@@ -225,30 +243,40 @@ object Dedup {
     // SMALL-GRAPH FAST PATH: a dedup pair graph is usually tiny relative
     // to the corpus (it holds only the near-duplicate matches), and the
     // iterative join loop pays ~4 scheduled jobs PER ROUND — dominated by
-    // the scheduling floor when the graph is a few thousand edges. When
-    // the edge count (one cache-served aggregate over the persisted
-    // pairs) is at most `smallGraphEdges`, collect the bounded edge list
-    // (long ids, 16 B each — 100k edges = 1.6 MB) and run union-find on
-    // the driver: 2 jobs total instead of 4 x rounds. Above the bound —
-    // the 100 TB regime — the O(log diameter) distributed loop below
-    // runs unchanged. Long-id graphs only; other id types always take
-    // the distributed path. Pass smallGraphEdges = 0 to force it.
+    // the scheduling floor when the graph is a few thousand edges. The
+    // probe is ONE collect-with-limit job over the persisted edge frame:
+    // `limit(smallGraphEdges+1)` short-circuits an over-bound graph after
+    // smallGraphEdges+1 rows, so an unexpectedly large (or
+    // non-deterministically growing) pair source can NEVER materialize on
+    // the driver — there is no count()-then-collect() window to grow
+    // through, and the driver holds at most smallGraphEdges+1 long-id
+    // edges (16 B each — 100k edges = 1.6 MB). Within the bound the
+    // driver runs union-find: 1 probe job + 1 result job instead of
+    // 4 x rounds. Above the bound — the 100 TB regime — the O(log
+    // diameter) distributed loop below runs unchanged, building `sym`
+    // from the STILL-PERSISTED probe frame so the partitions the probe
+    // already computed are served from cache, not re-derived from the
+    // (expensive at scale) candidate-pair lineage; the frame unpersists
+    // right after sym's checkpoint. Long-id graphs only; other id types
+    // always take the distributed path. Pass smallGraphEdges = 0 to
+    // force the distributed loop.
     val isLongIds = {
       val f = pairs.schema
       f(aCol).dataType == org.apache.spark.sql.types.LongType &&
         f(bCol).dataType == org.apache.spark.sql.types.LongType
     }
-    if (smallGraphEdges > 0 && isLongIds) {
-      val edgesDf = pairs.select(col(aCol).alias("src"), col(bCol).alias("dst"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = edgesDf.count()
-      if (n <= smallGraphEdges) {
-        val edges = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1)))
-        edgesDf.unpersist(false)
-        return driverComponents(pairs.sparkSession, edges)
-      }
-      edgesDf.unpersist(false) // big graph: fall through to the loop
-    }
+    val probedEdges: Option[DataFrame] =
+      if (smallGraphEdges > 0 && isLongIds) {
+        val edgesDf = pairs.select(col(aCol).alias("src"), col(bCol).alias("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val probe = edgesDf.limit(smallGraphEdges + 1).collect()
+        if (probe.length <= smallGraphEdges) {
+          edgesDf.unpersist(false)
+          return driverComponents(pairs.sparkSession,
+            probe.map(r => (r.getLong(0), r.getLong(1))))
+        }
+        Some(edgesDf) // big graph: the loop's sym build reuses the cache
+      } else None
     val sc = pairs.sparkSession.sparkContext
     // Each localCheckpoint registers block-manager storage; without eager
     // release, superseded label frames pile up until driver GC /
@@ -266,10 +294,12 @@ object Dedup {
     def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
       rdds.foreach(r => try r.unpersist(blocking = false)
       catch { case _: Throwable => () })
+    val edgeSrc = probedEdges.getOrElse(
+      pairs.select(col(aCol).alias("src"), col(bCol).alias("dst")))
     val (sym, symBlocks) = cpTracked(
-      pairs.select(col(aCol).alias("src"), col(bCol).alias("dst"))
-        .union(pairs.select(col(bCol).alias("src"), col(aCol).alias("dst"))))
+      edgeSrc.union(edgeSrc.select(col("dst").alias("src"), col("src").alias("dst"))))
       // reused every round — cut off the pair pipeline
+    probedEdges.foreach(_.unpersist(false)) // sym is checkpointed; cache done
     var (labels, labelBlocks) = cpTracked(
       sym.select(col("src").alias("id")).distinct()
         .select(col("id"), col("id").alias("comp")))
