@@ -476,6 +476,18 @@ object SparkEntry {
       Curation.dropRepeatedSpans(d, "doc_id", "text", windowTokens = 5,
         md5Windows = true)
     }),
+    // variable-length span form (Lee et al.'s maximal repeated
+    // substrings on the fixed-window lattice): overlapping/adjacent
+    // repeated windows merge into maximal (span_start, span_end) token
+    // ranges; the oracle re-derives the merge independently with a
+    // gaps-and-islands window over the same repeated starts. The corpus'
+    // planted duplicate docs repeat spans far longer than one window, so
+    // the merge path is genuinely exercised.
+    "q_merged_spans" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 2000)
+      Curation.mergedRepeatedSpans(d, "doc_id", "text", windowTokens = 5,
+        md5Windows = true)
+    }),
     // PII redaction over a deterministic synthetic profile string (the
     // corpus itself carries no PII): emails, IPv4s, and phone-shaped
     // numbers are constructed from doc_id arithmetic, redacted to typed
@@ -1044,6 +1056,34 @@ object SparkEntry {
           |  CASE WHEN len(w.ws) = 0 THEN 0.0
           |       ELSE floor(COALESCE(cnt.n_rep, 0) * 1e6 / len(w.ws)) / 1e6 END AS repeated_frac
           |FROM w LEFT JOIN cnt ON w.doc_id = cnt.doc_id""".stripMargin,
+      "q_merged_spans" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE doc_id < 2000),
+          |w AS (
+          |  SELECT doc_id,
+          |    CASE WHEN toks IS NULL OR len(toks) < 5 THEN []
+          |         ELSE list_transform(range(1, len(toks) - 5 + 2),
+          |                i -> struct_pack(s := i, h := md5(array_to_string(toks[i:i+4], ' ')))) END AS ws
+          |  FROM d),
+          |e0 AS (SELECT doc_id, unnest(ws) AS u FROM w),
+          |e AS (SELECT doc_id, struct_extract(u, 's') AS s,
+          |             struct_extract(u, 'h') AS h FROM e0),
+          |rep AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM e)
+          |        GROUP BY h HAVING count(*) >= 2),
+          |rs AS (SELECT e.doc_id, e.s FROM e JOIN rep USING (h)),
+          |isl AS (SELECT doc_id, s,
+          |  CASE WHEN s > COALESCE(max(s) OVER (PARTITION BY doc_id ORDER BY s
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 5, -1)
+          |       THEN 1 ELSE 0 END AS brk
+          |  FROM rs),
+          |g AS (SELECT doc_id, s,
+          |  sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM isl)
+          |SELECT doc_id, CAST(min(s) AS INT) AS span_start,
+          |  CAST(max(s) + 5 AS INT) AS span_end
+          |FROM g GROUP BY doc_id, grp""".stripMargin,
       "q_drop_repeated_spans" ->
         """WITH d AS (
           |  SELECT doc_id,

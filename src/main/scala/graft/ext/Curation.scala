@@ -315,13 +315,21 @@ object Curation {
     val repeated = spans.groupBy(col("__w"))
       .agg(count(lit(1)).alias("__df"))
       .filter(col("__df") >= minDocs)
-      .select(col("__w"))
-    val perDoc = spans.join(repeated, Seq("__w"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).alias("n_repeated"))
-    wins.select(col(idCol), size(col("__ws")).cast("long").alias("n_windows"))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_windows"),
-        coalesce(col("n_repeated"), lit(0L)).alias("n_repeated"))
+      .select(col("__w"), lit(1).alias("__rep"))
+    // BOTH per-doc counts come off the exploded side in ONE aggregation:
+    // n_windows = count(__w) (count skips the windowless doc's null row),
+    // n_repeated = count(__rep) after a left join against the repeated
+    // set (unique __w keys — a groupBy result — so no row multiplication;
+    // left join + count(marker) ≡ the former semi-join + count). The old
+    // shape re-read `wins` for a size(__ws) projection and joined it back
+    // — one more evaluation of the token/window pipeline when the
+    // exchange is not reused, plus two extra shuffles, for nothing the
+    // exploded rows don't already know. explode_outer guarantees every
+    // doc at least one row, so the groupBy covers the whole corpus.
+    spans.join(repeated, Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__w")).alias("n_windows"),
+        count(col("__rep")).alias("n_repeated"))
       .withColumn("repeated_frac",
         when(col("n_windows") === 0, 0.0)
           .otherwise(trunc6(col("n_repeated").cast("double") / col("n_windows"))))
@@ -338,11 +346,12 @@ object Curation {
    * aggregation: (window start, hash) pairs explode (~1 per corpus
    * token), document frequency is a map-side-combinable count over
    * per-doc-distinct hashes, and each doc collects only its REPEATED
-   * window starts (bounded by its own window count) before a per-row
-   * coverage filter rebuilds the token list. The coverage test is
-   * O(tokens × repeated-windows) per doc — fine for real corpora where
-   * repeated spans are sparse; a fully-duplicated doc degrades to
-   * O(tokens²) on its own row only.
+   * window starts (bounded by its own window count), folded into
+   * maximal MERGED spans ([[mergeStarts]]) before a per-row coverage
+   * filter rebuilds the token list. The coverage test is
+   * O(tokens × merged-spans) per doc; a fully-duplicated doc's windows
+   * merge into ONE span, so even the degenerate case stays O(tokens)
+   * (it was O(tokens²) when the filter tested raw window starts).
    *
    * Output: (idCol, n_tokens, n_kept, cleaned_text); null text stays
    * null with 0 / 0 counts.
@@ -350,6 +359,83 @@ object Curation {
   def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                         windowTokens: Int = 8, minDocs: Int = 2,
                         md5Windows: Boolean = false): DataFrame = {
+    val (toksF, mergedSpans) =
+      mergedSpanFrames(df, idCol, textCol, windowTokens, minDocs, md5Windows)
+    toksF.join(mergedSpans, Seq(idCol), "left")
+      // cheap coalesce alias: safe to reference inside the lambda (the
+      // expensive merge fold stays BELOW the join, where CollapseProject
+      // cannot inline it into the per-token lambda)
+      .withColumn("__spans2", coalesce(col("__spans"),
+        array().cast("array<struct<lo:int,hi:int>>")))
+      .select(col(idCol),
+        coalesce(size(col("__toks")), lit(0)).cast("long").alias("n_tokens"),
+        when(col("__toks").isNull, lit(null).cast("array<string>"))
+          .otherwise(filter(col("__toks"), (_, idx) =>
+            not(exists(col("__spans2"), p =>
+              (idx + 1 >= p.getField("lo")) && (idx + 1 < p.getField("hi"))))))
+          .alias("__kept"))
+      .select(col(idCol), col("n_tokens"),
+        coalesce(size(col("__kept")), lit(0)).cast("long").alias("n_kept"),
+        when(col("__kept").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", col("__kept"))).alias("cleaned_text"))
+  }
+
+  /**
+   * Variable-length repeated spans: maximal merged token ranges covered
+   * by ≥ `minDocs`-doc repeated windows — the fixed-window-lattice
+   * approximation of Lee et al.'s maximal repeated substrings (their
+   * suffix array reports arbitrary-length duplicates; overlapping and
+   * adjacent fixed windows merge into the same maximal cover). One row
+   * per (document, maximal span): (idCol, span_start, span_end) as
+   * 1-based half-open token positions. Docs with no repeated span emit
+   * no rows.
+   */
+  def mergedRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          windowTokens: Int = 8, minDocs: Int = 2,
+                          md5Windows: Boolean = false): DataFrame = {
+    val (_, mergedSpans) =
+      mergedSpanFrames(df, idCol, textCol, windowTokens, minDocs, md5Windows)
+    // plain explode is safe here: below it sits an Aggregate, so the
+    // implicit size>0 filter cannot push into a scan (and __spans is
+    // non-empty by construction — only docs WITH repeats have rows)
+    mergedSpans.select(col(idCol), explode(col("__spans")).alias("__p"))
+      .select(col(idCol), col("__p.lo").alias("span_start"),
+        col("__p.hi").alias("span_end"))
+  }
+
+  /** Fold a SORTED start list into maximal half-open token spans
+    * [lo, hi), hi = start + windowTokens: one `aggregate` pass — a start
+    * at or before the open span's end EXTENDS it (overlap or adjacency),
+    * otherwise it opens a new span. Cuts the coverage filter from
+    * O(tokens × repeated windows) to O(tokens × merged spans) per doc —
+    * a fully-duplicated doc (every window repeated) collapses to ONE
+    * span, so the old degenerate O(tokens²) case is now O(tokens). */
+  private[ext] def mergeStarts(sortedStarts: Column, windowTokens: Int): Column =
+    aggregate(sortedStarts,
+      array().cast("array<struct<lo:int,hi:int>>"),
+      (acc, s) => {
+        // get(), not element_at(): ANSI mode makes element_at on the
+        // empty initial accumulator a runtime error; get returns null
+        val last = get(acc, size(acc) - 1)
+        when(last.isNull || s > last.getField("hi"),
+          concat(acc, array(struct(s.alias("lo"),
+            (s + windowTokens).alias("hi")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("lo").alias("lo"),
+              greatest(last.getField("hi"), s + windowTokens).alias("hi")))))
+      })
+
+  /** Shared front half of the repeated-span rewrite family: the
+    * normalized token frame behind the id-fence exchange, and each
+    * document's MERGED maximal repeated-span list (from the sorted
+    * 1-based starts of windows whose hash occurs in ≥ `minDocs` docs).
+    * Same scale shape as [[repeatedSpans]]: one (start, hash) explode
+    * (~1 row per corpus token), a map-side-combinable doc-frequency
+    * count over per-doc-distinct hashes, and a bounded per-doc start
+    * collect (≤ the doc's own window count) folded into spans. */
+  private def mergedSpanFrames(df: DataFrame, idCol: String, textCol: String,
+                               windowTokens: Int, minDocs: Int,
+                               md5Windows: Boolean): (DataFrame, DataFrame) = {
     require(windowTokens >= 1, s"windowTokens must be >= 1, got $windowTokens")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val toksF = df
@@ -374,23 +460,13 @@ object Curation {
     val repeated = spansPos.select(col(idCol), col("__u.h").alias("__h")).distinct()
       .groupBy(col("__h")).agg(count(lit(1)).alias("__df"))
       .filter(col("__df") >= minDocs).select(col("__h"))
-    val repStarts = spansPos
+    val mergedSpans = spansPos
       .select(col(idCol), col("__u.s").alias("__s"), col("__u.h").alias("__h"))
       .join(repeated, Seq("__h"), "left_semi")
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__s"))).alias("__starts"))
-    toksF.join(repStarts, Seq(idCol), "left")
-      .withColumn("__starts2", coalesce(col("__starts"), array().cast("array<int>")))
-      .select(col(idCol),
-        coalesce(size(col("__toks")), lit(0)).cast("long").alias("n_tokens"),
-        when(col("__toks").isNull, lit(null).cast("array<string>"))
-          .otherwise(filter(col("__toks"), (_, idx) =>
-            not(exists(col("__starts2"), s =>
-              (idx + 1 >= s) && (idx + 1 < s + windowTokens))))).alias("__kept"))
-      .select(col(idCol), col("n_tokens"),
-        coalesce(size(col("__kept")), lit(0)).cast("long").alias("n_kept"),
-        when(col("__kept").isNull, lit(null).cast("string"))
-          .otherwise(concat_ws(" ", col("__kept"))).alias("cleaned_text"))
+      .select(col(idCol), mergeStarts(col("__starts"), windowTokens).alias("__spans"))
+    (toksF, mergedSpans)
   }
 
   // ------------------------------------------------- sequence packing

@@ -170,6 +170,29 @@ class CurationSpec extends SparkSpec {
     assert(filters.isEmpty, filters.mkString("\n").take(2000))
   }
 
+  test("repeatedSpans computes the window pipeline once: both per-doc " +
+    "counts come off a single exploded side (one Generate), and the " +
+    "id-fence exchange is reused across its two consumers") {
+    val df = docsOf(1L -> "a b c d e f g h i j", 2L -> "a b c d e f g h i j",
+      3L -> "k l m n o p q r s t").repartition(2)
+    val out = Curation.repeatedSpans(df, "doc_id", "text", windowTokens = 5)
+    // a logical plan is a TREE: the exploded side's two consumers (doc
+    // frequency + per-doc counts) necessarily duplicate the subtree, so
+    // the single-evaluation guarantee is physical — the tokenize/window
+    // pipeline sits BELOW the id-fence exchange, and the second consumer
+    // must read a ReusedExchange instead of recomputing it. Exactly two
+    // Generates (one per consumer, over already-hashed exchanged rows —
+    // cheap); a third would mean a consumer re-derives the pipeline.
+    val generates = out.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.size == 2,
+      s"expected the 2 consumer branches, got ${generates.size}")
+    out.collect() // AQE reuse only shows in the EXECUTED plan
+    assert(out.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      out.queryExecution.executedPlan.toString.take(3000))
+  }
+
   test("dropRepeatedSpans removes exactly the shared-span tokens") {
     val boiler = "one two three four five six seven eight"
     val df = docsOf(
@@ -191,6 +214,40 @@ class CurationSpec extends SparkSpec {
     val gone = Curation.dropRepeatedSpans(dup, "doc_id", "text", windowTokens = 5)
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(gone(10L) == "" && gone(11L) == "")
+  }
+
+  test("mergedRepeatedSpans merges overlapping and adjacent repeated " +
+    "windows into maximal spans; dropRepeatedSpans coverage is identical " +
+    "to the per-window semantics") {
+    val df = docsOf(
+      1L -> "u1 u2 b1 b2 b3 b4 b5 c1 c2 c3 c4 c5 u3", // B then C: ADJACENT spans
+      3L -> "x y b1 b2 b3 b4 b5 z w v",                // B repeated elsewhere
+      4L -> "k c1 c2 c3 c4 c5 q r t",                  // C repeated elsewhere
+      5L -> "p q s1 s2 s3 s4 s5 s6 s7",                // 7-token run: OVERLAPPING windows
+      6L -> "m s1 s2 s3 s4 s5 s6 s7 n o",
+      7L -> "totally unrelated filler words only here")
+    val spans = Curation.mergedRepeatedSpans(df, "doc_id", "text", windowTokens = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1).map { case (k, v) =>
+        k -> v.map(x => (x._2, x._3)).sorted.toSeq }
+    // doc 1: B at [3,8) and C at [8,13) are adjacent (start == open hi) →
+    // ONE maximal span; the B/C-straddling windows are unique so only the
+    // merge, not a longer shared window, can produce [3,13)
+    assert(spans(1L) == Seq((3, 13)))
+    assert(spans(3L) == Seq((3, 8)))
+    assert(spans(4L) == Seq((2, 7)))
+    // docs 5/6 share a 7-token run → 3 overlapping windows merge
+    assert(spans(5L) == Seq((3, 10)))
+    assert(spans(6L) == Seq((2, 9)))
+    assert(!spans.contains(7L)) // nothing repeated → no rows
+    // the merged-span coverage must remove EXACTLY the per-window cover
+    val cleaned = Curation.dropRepeatedSpans(df, "doc_id", "text", windowTokens = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(cleaned(1L) == ((13L, 3L, "u1 u2 u3")))
+    assert(cleaned(5L) == ((9L, 2L, "p q")))
+    assert(cleaned(6L) == ((10L, 3L, "m n o")))
+    assert(cleaned(7L)._1 == cleaned(7L)._2) // untouched doc keeps all tokens
   }
 
   // ------------------------------------------------- sequence packing
