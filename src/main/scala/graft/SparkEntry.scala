@@ -675,6 +675,31 @@ object SparkEntry {
       Dedup.semDedupSurvivors(e, "embedding", "vec_id", threshold = 0.35,
         nlist = 1, trainIters = 0).select("vec_id")
     }),
+    // SemDeDup at REALISTIC nlist: the cluster-local trade sacrifices
+    // boundary-straddling pairs, so nlist=16 output can't equal an exact
+    // oracle — instead this is the approximate path's quality gate (the
+    // q_knn_ivf_recall idiom): 50 planted near-duplicate clones
+    // (deterministic ~1e-4 per-element perturbation, cosine ~0.9999 to
+    // their originals) must be pruned at >=90% despite Lloyd-trained
+    // nlist=16 clustering — a near-identical pair only escapes when it
+    // straddles a centroid boundary. recall_pass is the thresholded
+    // boolean; the oracle asserts it true (10 * missed <= planted).
+    "q_semdedup_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("embedding")) // drop `label`: the union side
+      val clones = e.filter(col("vec_id") < 50).select(
+        (col("vec_id") + 100000L).alias("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0) + ((col("vec_id") + i) % 7 - 3) * lit(1e-4)))
+            .cast("float")).alias("embedding"))
+      val surv = Dedup.semDedupSurvivors(e.unionByName(clones), "embedding",
+        "vec_id", threshold = 0.9, nlist = 16, trainIters = 2)
+      val missed = surv.filter(col("vec_id") >= 100000L)
+        .agg(count(lit(1)).alias("__n_missed"))
+      missed.crossJoin(clones.agg(count(lit(1)).alias("n_planted")))
+        .select(col("n_planted"),
+          (col("__n_missed") * 10 <= col("n_planted")).alias("recall_pass"))
+    }),
     // multimodal: binary payload + typed metadata extraction
     "q_multimodal_meta" -> ((s, dir) => {
       val assets = Multimodal.assetsFromText(table(s, dir, "documents"), "doc_id", "text")
@@ -1249,6 +1274,11 @@ object SparkEntry {
       // SemDeDup nlist=1 ≡ exact pairs → recursive-CTE components →
       // survivors (min id per component + singletons) — the same
       // clustering oracle shape as q_dedup_survivors
+      // thresholded recall gate (see the Spark side): the oracle pins the
+      // planted count and asserts the >=90%-pruned boolean
+      "q_semdedup_recall" ->
+        """SELECT count(*) AS n_planted, true AS recall_pass
+          |FROM embeddings WHERE vec_id < 50""".stripMargin,
       "q_semdedup" ->
         s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500),
            |pairs AS (

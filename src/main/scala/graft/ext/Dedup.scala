@@ -499,6 +499,11 @@ object Dedup {
     * checks this). With nlist > 1, pairs straddling a centroid boundary
     * are sacrificed for the ~nlist× candidate reduction — the paper's
     * trade; survivors is then a superset of the exact-survivor set.
+    * The realistic-nlist quality gate (q_semdedup_recall): 50 planted
+    * near-duplicate clones (cosine ~0.9999) must be pruned at ≥ 90%
+    * under Lloyd-trained nlist=16 — a near-identical pair escapes only
+    * when it straddles a centroid boundary, so sub-90% recall on
+    * near-exact duplicates means the assignment (not the trade) broke.
     *
     * 100 TB: size `nlist` so clusters hold ~1k-10k docs (the paper runs
     * 50k clusters on web scale) — each cluster's all-pairs join lands in
