@@ -30,17 +30,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def fn(name: String)(builder: Seq[Expression] => Expression)
+  private def fn(name: String, arity: Int)(builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),
       new ExpressionInfo(classOf[GraftExtensions].getName, name),
-      builder)
+      exprs => {
+        if (exprs.length != arity)
+          throw new IllegalArgumentException(
+            s"Function `$name` expects $arity argument(s) but got ${exprs.length}")
+        builder(exprs)
+      })
 
   /** (identifier, info, builder) for every graft SQL function. */
   val injected: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    fn("simhash64")(exprs => functions.SimHash(exprs.head)),
-    fn("dot_product")(exprs => functions.DotProduct(exprs(0), exprs(1))),
-    fn("jaccard_sim")(exprs => functions.JaccardSim(exprs(0), exprs(1))),
-    fn("minhash_sig")(exprs => functions.MinHashSignature(exprs(0), exprs(1))),
-    fn("top_k_by_score")(exprs => functions.TopKByScore(exprs(0), exprs(1), exprs(2))))
+    fn("simhash64", 1)(exprs => functions.SimHash(exprs.head)),
+    fn("dot_product", 2)(exprs => functions.DotProduct(exprs(0), exprs(1))),
+    fn("jaccard_sim", 2)(exprs => functions.JaccardSim(exprs(0), exprs(1))),
+    fn("minhash_sig", 2)(exprs => functions.MinHashSignature(exprs(0), exprs(1))),
+    fn("top_k_by_score", 3)(exprs => functions.TopKByScore(exprs(0), exprs(1), exprs(2))))
 }

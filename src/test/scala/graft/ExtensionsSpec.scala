@@ -15,6 +15,22 @@ class ExtensionsSpec extends SparkSpec {
       Seq("dot_product", "jaccard_sim", "minhash_sig", "simhash64", "top_k_by_score"))
   }
 
+  test("wrong-arity SQL calls fail with the function name and expected count") {
+    for ((name, arity, sample) <- Seq(
+        ("simhash64", 1, "simhash64()"),
+        ("dot_product", 2, "dot_product(array(1.0D))"),
+        ("jaccard_sim", 2, "jaccard_sim(array('a'), array('b'), array('c'))"),
+        ("minhash_sig", 2, "minhash_sig(array('a'))"),
+        ("top_k_by_score", 3, "top_k_by_score(1.0D, 1L)"))) {
+      val builder = GraftExtensions.injected.find(_._1.funcName == name).get._3
+      val parsed = spark.sessionState.sqlParser.parseExpression(sample)
+      val args = parsed.children // the parsed call's argument expressions
+      val err = intercept[IllegalArgumentException](builder(args))
+      assert(err.getMessage.contains(name), s"message names the function: ${err.getMessage}")
+      assert(err.getMessage.contains(s"expects $arity"), err.getMessage)
+    }
+  }
+
   test("a session built withExtensions resolves graft functions in pure SQL") {
     spark.sparkContext // force the shared context up before cloning sessions
     val prevDefault = SparkSession.getDefaultSession
