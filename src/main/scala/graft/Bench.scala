@@ -54,10 +54,16 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** All N timings (not just the best) — negative entries mark failures. */
+  /** All N timings (not just the best) — negative entries mark failures.
+    * GC runs (untimed) before EVERY repeat, not just the first: broadcast
+    * pieces and shuffle buffers from repeat k stay strongly reachable until
+    * a collection, so without the per-repeat GC heavy presets degrade
+    * monotonically across their own repeats (observed 3.2→5.2→11.2 s on
+    * split_join parent_dominant_2k) and the "best-of" protocol measures
+    * heap residue instead of the query. */
   private[graft] def runsOfN(repeat: Int)(f: => DataFrame): Seq[Double] = {
-    System.gc() // level the GC field between queries; variance otherwise 5-10x
     (1 to repeat).map { _ =>
+      System.gc() // level the GC field between repeats; variance otherwise 5-10x
       try time(materialize(f)) catch { case _: Throwable => -1.0 }
     }
   }
