@@ -774,22 +774,24 @@ object SparkEntry {
     "q_stateful_sessions" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import s.implicits._
-      val ds = table(s, dir, "events").select(
+      val raw = table(s, dir, "events")
+      val ds = raw.select(
         col("user_id").alias("userId"), col("event_id").alias("eventId"),
-        expr("ts div 1000").cast("long").alias("us"), col("value"))
+        graft.streaming.EventStreams.eventMicros(raw).alias("us"), col("value"))
         .as[graft.streaming.Event]
       graft.streaming.EventStreams.statefulSessionCounts(ds, 1800000000L).toDF()
     }),
     // events: sessionization via window functions (30-min inactivity gap).
-    // The events parquet stores TIMESTAMP(NANOS), which Spark 4 rejects by
-    // default — read it as a raw ns long and work in microseconds.
+    // eventMicros adapts to the parquet's physical ts encoding (TIMESTAMP,
+    // TIMESTAMP_NTZ, or legacy int64 nanos) — all paths work in micros.
     "q_events_sessions" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = table(s, dir, "events")
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val ns = col("ts") // raw int64 nanoseconds — no float division anywhere
-      val prev = lag(ns, 1).over(w)
-      val newSession = when(prev.isNull || (ns - prev) > 1800000000000L, 1L).otherwise(0L)
+      val e0 = table(s, dir, "events")
+      val e = e0.withColumn("__us", graft.streaming.EventStreams.eventMicros(e0))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__us"), col("event_id"))
+      val us = col("__us")
+      val prev = lag(us, 1).over(w)
+      val newSession = when(prev.isNull || (us - prev) > 1800000000L, 1L).otherwise(0L)
       e.withColumn("__new_session", newSession)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).alias("n_events"),
@@ -1363,12 +1365,12 @@ object SparkEntry {
           |FROM o GROUP BY user_id""".stripMargin,
       "q_events_sessions" ->
         """WITH o AS (
-          |  SELECT user_id, value, epoch_ns(ts) AS ns,
-          |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          |  SELECT user_id, value, epoch_us(ts) AS us,
+          |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
           |  FROM events)
           |SELECT user_id,
           |  count(*) AS n_events,
-          |  CAST(sum(CASE WHEN prev IS NULL OR ns - prev > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+          |  CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
           |  round(sum(value), 6) AS total_value
           |FROM o GROUP BY user_id""".stripMargin
     )

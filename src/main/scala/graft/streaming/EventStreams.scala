@@ -1,12 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
-/** One event, with event time as epoch MICROSECONDS (the driver's events
-  * parquet stores TIMESTAMP(NANOS), which Spark 4 only reads as a raw long
-  * via spark.sql.legacy.parquet.nanosAsLong — we standardize on micros). */
+/** One event, with event time as epoch MICROSECONDS (whatever the source's
+  * physical encoding — see [[EventStreams.eventMicros]] — we standardize on
+  * micros internally). */
 final case class Event(userId: Long, eventId: Long, us: Long, value: Double)
 
 /** Per-user session summary emitted by the stateful sessionizer. */
@@ -28,14 +29,39 @@ final case class SessionState(nSessions: Long, nEvents: Long, lastUs: Long)
  */
 object EventStreams {
 
-  /** Attach a proper TimestampType event-time column from the raw
-    * nanos-as-long `ts` column (micros truncation). */
+  /** Epoch-microseconds expression for `tsCol`, adapting to its PHYSICAL
+    * encoding — real event-time sources arrive in several shapes and the
+    * operators must not care which:
+    *   - `TimestampType` → `unix_micros` (native epoch-micros).
+    *   - `TimestampNTZType` (e.g. parquet TIMESTAMP_MICROS with
+    *     isAdjustedToUTC=false, Spark 4's default inference) → cast to
+    *     TimestampType then `unix_micros`; the session time zone is pinned
+    *     to UTC by every graft entrypoint, so the naive value IS the UTC
+    *     epoch value — same convention DuckDB's `epoch_us` applies.
+    *   - `LongType` → raw int64 epoch-NANOS (parquet TIMESTAMP(NANOS) read
+    *     via spark.sql.legacy.parquet.nanosAsLong). `div` (integral
+    *     divide), NOT `/`: float division of epoch-nanos longs
+    *     (~1.7e18 > 2^53) loses up to 256 ns and shifts micro boundaries. */
+  def eventMicros(df: DataFrame, tsCol: String = "ts"): Column =
+    eventMicrosFor(df.schema(tsCol).dataType, tsCol)
+
+  private def eventMicrosFor(dt: DataType, tsCol: String): Column = {
+    val c = col(graft.ColName.quote(tsCol))
+    dt match {
+      case TimestampType    => unix_micros(c)
+      case TimestampNTZType => unix_micros(c.cast(TimestampType))
+      case LongType => expr(s"${graft.ColName.quote(tsCol)} div 1000").cast("long")
+      case other => throw new IllegalArgumentException(
+        s"event-time column `$tsCol` has unsupported type $other; " +
+          "expected TIMESTAMP, TIMESTAMP_NTZ, or INT64 epoch-nanos")
+    }
+  }
+
+  /** Attach a proper TimestampType event-time column from `tsCol`,
+    * whatever its physical encoding (see [[eventMicros]]). */
   def withEventTime(df: DataFrame, tsCol: String = "ts",
                     out: String = "event_time"): DataFrame =
-    // `div` (integral divide), NOT `/`: float division of epoch-nanos longs
-    // (~1.7e18 > 2^53) loses up to 256 ns and shifts microsecond boundaries
-    df.withColumn(out,
-      timestamp_micros(expr(s"${graft.ColName.quote(tsCol)} div 1000").cast("long")))
+    df.withColumn(out, timestamp_micros(eventMicros(df, tsCol)))
 
   /** Session aggregation via the built-in `session_window`: an event merges
     * into the previous session when its inter-event gap is <= `gap`
