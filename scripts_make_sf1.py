@@ -7,10 +7,12 @@ ships no sf1.0). Replication protocol, copy k in 0..9:
 - customer/supplier/part/orders/lineitem: primary AND foreign keys offset
   by k * (table's sf0.1 key cardinality), so referential integrity and the
   children-per-parent distribution are preserved exactly; copy 0 IS sf0.1.
-- events: event_id/user_id offset; `ts` preserved as TIMESTAMP(NANOS)
-  via pyarrow (Spark reads it as nanos-as-long — rewriting through
-  duckdb/Spark would silently retype it to micros and break
-  EventStreams.withEventTime's `div 1000`).
+- events: event_id/user_id offset; `ts` physical type preserved EXACTLY
+  as the source encodes it via pyarrow (the driver regenerated sf0.1
+  with TIMESTAMP_MICROS in round 5; a duckdb COPY could silently
+  retype). EventStreams.eventMicros adapts to whichever encoding
+  arrives, but the generator must stay faithful to the driver's
+  current testdata, not assume one.
 - documents: doc_id offset; copies k>0 get a " repk<k>" suffix token so
   replicas are NEAR-duplicates (stresses minhash/LSH + connected
   components with 10-doc clusters at full-corpus scale) rather than
@@ -100,7 +102,9 @@ upscale("embeddings", lambda k: f"""
          label
   FROM '{SRC}/embeddings.parquet'""")
 
-# events via pyarrow: keep timestamp[ns] (duckdb COPY would write micros)
+# events via pyarrow: preserve the source's exact ts physical type
+# (duckdb COPY normalizes timestamps to micros — harmless today, but the
+# generator must not re-encode what the driver ships)
 tbl = pq.read_table(f"{SRC}/events.parquet")
 batches = []
 for k in range(K):

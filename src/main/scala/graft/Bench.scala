@@ -54,17 +54,20 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** All N timings (not just the best) — negative entries mark failures.
+  /** All N timings (not just the best) — negative entries mark failures
+    * (`onError` receives the throwable so callers can surface the MESSAGE
+    * in the artifact instead of a bare sentinel).
     * GC runs (untimed) before EVERY repeat, not just the first: broadcast
     * pieces and shuffle buffers from repeat k stay strongly reachable until
     * a collection, so without the per-repeat GC heavy presets degrade
     * monotonically across their own repeats (observed 3.2→5.2→11.2 s on
     * split_join parent_dominant_2k) and the "best-of" protocol measures
     * heap residue instead of the query. */
-  private[graft] def runsOfN(repeat: Int)(f: => DataFrame): Seq[Double] = {
+  private[graft] def runsOfN(repeat: Int, onError: Throwable => Unit = _ => ())
+                            (f: => DataFrame): Seq[Double] = {
     (1 to repeat).map { _ =>
       System.gc() // level the GC field between repeats; variance otherwise 5-10x
-      try time(materialize(f)) catch { case _: Throwable => -1.0 }
+      try time(materialize(f)) catch { case e: Throwable => onError(e); -1.0 }
     }
   }
 
@@ -173,6 +176,16 @@ object Bench {
     }
   } catch { case _: Throwable => Map.empty }
 
+  /** Parse "floor_sec" out of a bench artifact; -1 on any failure. */
+  private[graft] def readFloorSec(f: java.io.File): Double = try {
+    if (!f.isFile) -1.0
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+      val fl = node.get("floor_sec")
+      if (fl == null) -1.0 else fl.asDouble(-1.0)
+    }
+  } catch { case _: Throwable => -1.0 }
+
   /** "16g"/"512m"/"8192"(MB) heap spec → MB; -1 on parse failure. */
   private[graft] def heapMb(s: String): Long = try {
     val t = s.trim.toLowerCase
@@ -224,6 +237,9 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.getAbsolutePath)
       pb.environment().put("SPARK_GRAFT_RERUN", "0")
+      // the re-run child is already a clean room — shared-JVM mode inside
+      // it avoids a second layer of per-scenario JVM spawns
+      pb.environment().put("SPARK_GRAFT_FORK", "0")
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.environment().put("SPARK_GRAFT_REPEAT", repeat.toString)
       pb.redirectErrorStream(true)
@@ -262,6 +278,99 @@ object Bench {
     // very_large: 2x `large` (102,400 leaf rows, ~1.6 GB) — no published
     // reference number; scale-up-linearity evidence vs parity_pack_large
     ("parity_pack_very_large", "very_large", d => packer.pack(d, "image")))
+
+  /** Spark's minimum job latency: a trivial two-stage aggregate at the
+    * parent-dominant preset's row count. Any parity target below this is
+    * a scheduling-floor artifact, not an operator gap. */
+  private[graft] def floorJob(spark: SparkSession): DataFrame = spark.range(6400)
+    .select((col("id") % 64).alias("k"), col("id").alias("v"))
+    .groupBy("k").agg(count(lit(1)).alias("n"), sum(col("v")).alias("s"))
+
+  /** Untimed-setup handle for a scenario: `query` builds the DataFrame to
+    * materialize (the TIMED part, re-planned per repeat); `cleanup`
+    * unpersists whatever `prepare` cached. Shared by the in-process runner
+    * and the per-scenario forked child ([[BenchScenario]]) so both paths
+    * measure exactly the same work on exactly the same cached inputs. */
+  private[graft] final case class Prepared(query: () => DataFrame,
+                                           cleanup: () => Unit)
+
+  /** Build (untimed) the named non-parity scenario against `sfDir`.
+    * Scenario semantics are documented inline; BASELINE.md carries the
+    * targets. Single source of truth for both runners. */
+  private[graft] def prepareScale(spark: SparkSession, name: String,
+                                  sfDir: String): Prepared = {
+    def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    name match {
+      // full-corpus near-dup dedup — minhash pairs → connected components
+      // → survivor set — at production-ish LSH settings (the oracle-gated
+      // q_dedup_survivors covers 100 docs; this times the banded path at
+      // corpus scale)
+      case NmScaleDedup => Prepared(() =>
+        graft.ext.Dedup.nearDupSurvivors(docs, "text", "doc_id",
+          threshold = 0.5, shingleN = 3, numHashes = 128, bands = 32), () => ())
+      // hot-bucket skew-guard stress: the sf corpus PLUS a degenerate
+      // near-clique — 20k copies of one boilerplate doc, so every one of
+      // its 32 band buckets holds 20k rows >> maxBucketSize=1000 (exactly
+      // the input class the cap exists for). The two-pass groupBy+anti-join
+      // guard drops the clique from partial counts without ever
+      // materializing a hot bucket in one task.
+      case NmScaleHotBucket => Prepared(() => {
+        val corpus = docs.select(col("doc_id"), col("text"))
+        val boiler = spark.range(20000).select(
+          (col("id") + 10000000L).alias("doc_id"),
+          lit("lorem ipsum boilerplate footer text repeated on every " +
+            "page of the crawl corpus").alias("text"))
+        graft.ext.Dedup.minhashCandidates(corpus.unionByName(boiler),
+          "text", "doc_id", shingleN = 3, numHashes = 128, bands = 32,
+          maxBucketSize = 1000)
+      }, () => ())
+      // exact repeated-span sweep over the full corpus: ~1 hashed window
+      // per corpus token through a map-side-combinable count + semi-join
+      case NmScaleSpans => Prepared(() =>
+        graft.ext.Curation.repeatedSpans(docs, "doc_id", "text",
+          windowTokens = 8), () => ())
+      case NmScaleDropSpans => Prepared(() =>
+        graft.ext.Curation.dropRepeatedSpans(docs, "doc_id", "text",
+          windowTokens = 8), () => ())
+      // SemDeDup at corpus scale: Lloyd-trained clusters + within-cluster
+      // cosine pruning + components (the nlist=1 equivalence gate lives in
+      // q_semdedup)
+      case NmScaleSemDedup => Prepared(() =>
+        graft.ext.Dedup.semDedupSurvivors(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), "embedding",
+          "vec_id", threshold = 0.5, nlist = 16, trainIters = 2), () => ())
+      // packSequences shard-knob scaling: parallelism = numShards, so wall
+      // time should improve 8 → 64 shards once per-shard row counts
+      // dominate the scheduling floor
+      case n if n.startsWith("scale_seq_packing_") =>
+        val shards = n.stripPrefix("scale_seq_packing_").toInt
+        Prepared(() => graft.ext.Curation.packSequences(docs,
+          "doc_id", "text", maxTokens = 2048, numShards = shards), () => ())
+      // top-k query-count scaling over a PRE-CACHED corpus: with the
+      // bounded-heap TopKByScore the cost model is one corpus scan +
+      // (k × queries) heap entries per partition, so time grows far
+      // slower than the query count
+      case n if n.startsWith("scale_knn_") =>
+        val nq = n.stripPrefix("scale_knn_").stripSuffix("q").toInt
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        emb.count()
+        Prepared(() => graft.ext.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < nq), 10, "vec_id", "embedding"),
+          () => { emb.unpersist(); () })
+      // auto strategy selection: the probe + the strategy it picks, on the
+      // presets where the choice matters (compare the manual parity_pack_*
+      // entries on the same datasets)
+      case n if n.startsWith("auto_pack_") =>
+        val ds = buildDataset(spark, n.stripPrefix("auto_pack_"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        ds.count()
+        Prepared(() => packer.packAuto(ds, "image"),
+          () => { ds.unpersist(); () })
+      case other =>
+        throw new IllegalArgumentException(s"unknown scale scenario '$other'")
+    }
+  }
 
   // Non-parity scenario names, single-sourced: the scenario blocks below
   // and the SPARK_GRAFT_ONLY typo warning both read THESE, so a renamed
@@ -315,29 +424,27 @@ object Bench {
     try materialize(SparkEntry.queries("q_enrich_aggs")(spark, "/root/testdata/sf0.001"))
     catch { case _: Throwable => }
 
-    // Spark's minimum job latency: a trivial two-stage aggregate at the
-    // parent-dominant preset's row count. Any parity target below this is
-    // a scheduling-floor artifact, not an operator gap.
-    def floorJob(): DataFrame = spark.range(6400)
-      .select((col("id") % 64).alias("k"), col("id").alias("v"))
-      .groupBy("k").agg(count(lit(1)).alias("n"), sum(col("v")).alias("s"))
-
     val runsLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val floorsLog = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // explicit failure records (VERDICT r5 / advisor: no -1.0 sentinel in
+    // the artifact) — failed entries are OMITTED from "queries" and appear
+    // here as name → message instead
+    val errMsgs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // every entry records its full run vector AND one floor sample taken
     // immediately after it — the per-entry ambient-load canary (a slow
     // entry beside a slow adjacent floor is load; beside a clean floor
     // it's a regression)
     def measured(name: String)(f: => DataFrame): (String, Double) = {
-      val runs = runsOfN(repeat)(f)
+      val runs = runsOfN(repeat, e => errMsgs(name) =
+        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300))(f)
       runsLog(name) = runs
-      floorsLog(name) = time(materialize(floorJob()))
+      floorsLog(name) = time(materialize(floorJob(spark)))
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
     }
 
     // floor-plan warmup: the first adjacent floor sample must measure
     // ambient load, not the floor job's own codegen
-    try materialize(floorJob()) catch { case _: Throwable => }
+    try materialize(floorJob(spark)) catch { case _: Throwable => }
 
     val queryTimes = SparkEntry.queries.toSeq.collect {
       case (name, fn) if selected(name) => measured(name)(fn(spark, sfDir))
@@ -350,25 +457,31 @@ object Bench {
       res
     }
 
-    val floorSec = bestOf(floorJob())
+    val floorSec = bestOf(floorJob(spark))
 
     // ---- parity workloads vs BASELINE.md (same shapes as the reference) ----
     // Datasets and scenario definitions live in [[parityScenarios]] /
-    // [[buildDataset]]. Default mode runs them in this JVM (per-scenario
-    // RSS = 50 ms VmRSS sampling, upper bounds — shared-heap caveat in the
-    // scaladoc). SPARK_GRAFT_FORK=1 instead spawns one child JVM per
+    // [[buildDataset]] / [[prepareScale]]. DEFAULT: one fresh child JVM per
     // scenario (the reference harness's spawn-mode isolation,
-    // harness.py:253-259): slower, but peak_rss_mb becomes a true
-    // per-process VmHWM and the partitions-sweep memory story (BASELINE.md
-    // :32) is directly comparable.
-    val forkMode = sys.env.get("SPARK_GRAFT_FORK").contains("1")
+    // harness.py:253-259) — peak_rss_mb is a true per-process VmHWM and no
+    // scenario ever measures another's heap residue (round 5's in-process
+    // capture peaked at 92 GB RSS and flagged 16 entries). The child
+    // reports its runs vector + adjacent floor sample, so the per-entry
+    // noise diagnostics survive forking. SPARK_GRAFT_FORK=0 opts back into
+    // the shared-JVM runner (faster; used by the isolated re-run child,
+    // which is already a clean room).
+    val forkMode = !sys.env.get("SPARK_GRAFT_FORK").contains("0")
+    def runForkedAndRecord(name: String): (String, Double) = {
+      val r = BenchScenario.runForked(name, cpus, repeat, sfDir)
+      rss(name) = r.rssMb
+      if (r.runs.nonEmpty) runsLog(name) = r.runs
+      if (r.floor > 0) floorsLog(name) = r.floor
+      r.err.foreach(m => errMsgs(name) = m)
+      name -> r.sec
+    }
     val activeParity = parityScenarios.filter(s => selected(s._1))
     val parityResults: Seq[(String, Double)] =
-      if (forkMode) activeParity.map { case (name, _, _) =>
-        val (sec, rssMb) = BenchScenario.runForked(name, cpus, repeat)
-        rss(name) = rssMb
-        name -> sec
-      }
+      if (forkMode) activeParity.map(s => runForkedAndRecord(s._1))
       else {
         // iterate datasets in first-appearance order, persist each once
         val dsOrder = activeParity.map(_._2).distinct
@@ -387,111 +500,22 @@ object Bench {
         }
       }
 
-    // scale scenario (not a reference parity): full-corpus near-dup dedup
-    // — minhash pairs → connected components → survivor set — over EVERY
-    // document at this sf, at production-ish LSH settings (the oracle-gated
-    // q_dedup_survivors covers 100 docs; this times the banded path at
-    // corpus scale)
-    val scaleDedup =
-      if (!selected(NmScaleDedup)) Nil
-      else Seq(scenario(NmScaleDedup)(
-        graft.ext.Dedup.nearDupSurvivors(
-          spark.read.parquet(s"$sfDir/documents.parquet"), "text", "doc_id",
-          threshold = 0.5, shingleN = 3, numHashes = 128, bands = 32)))
+    // non-parity scale/auto scenarios (definitions + rationale in
+    // [[prepareScale]]): forked per scenario by default, like parity
+    val scaleResults: Seq[(String, Double)] =
+      scaleScenarioNames.filter(selected).map { name =>
+        if (forkMode) runForkedAndRecord(name)
+        else {
+          val p = try prepareScale(spark, name, sfDir) catch {
+            case e: Throwable =>
+              errMsgs(name) = s"prepare failed: ${e.getMessage}".take(300)
+              Prepared(() => throw e, () => ())
+          }
+          try scenario(name)(p.query()) finally p.cleanup()
+        }
+      }
 
-    // hot-bucket skew-guard stress: the sf corpus PLUS a degenerate
-    // near-clique — 20k copies of one boilerplate doc, so every one of
-    // its 32 band buckets holds 20k rows >> maxBucketSize=1000 (exactly
-    // the input class the cap exists for). The two-pass groupBy+anti-join
-    // guard drops the clique from partial counts without ever
-    // materializing a hot bucket in one task; the old window guard made
-    // this a single-task straggler before dropping the rows.
-    val scaleHotBucket =
-      if (!selected(NmScaleHotBucket)) Nil
-      else Seq(scenario(NmScaleHotBucket) {
-        val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
-          .select(col("doc_id"), col("text"))
-        val boiler = spark.range(20000).select(
-          (col("id") + 10000000L).alias("doc_id"),
-          lit("lorem ipsum boilerplate footer text repeated on every " +
-            "page of the crawl corpus").alias("text"))
-        graft.ext.Dedup.minhashCandidates(corpus.unionByName(boiler),
-          "text", "doc_id", shingleN = 3, numHashes = 128, bands = 32,
-          maxBucketSize = 1000)
-      })
-
-    // exact repeated-span sweep over the full corpus: ~1 hashed window
-    // per corpus token through a map-side-combinable DF count + semi-join
-    val scaleSpans =
-      if (!selected(NmScaleSpans)) Nil
-      else Seq(scenario(NmScaleSpans)(
-        graft.ext.Curation.repeatedSpans(
-          spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
-          windowTokens = 8)))
-    val scaleDropSpans =
-      if (!selected(NmScaleDropSpans)) Nil
-      else Seq(scenario(NmScaleDropSpans)(
-        graft.ext.Curation.dropRepeatedSpans(
-          spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
-          windowTokens = 8)))
-
-    // SemDeDup at corpus scale: Lloyd-trained clusters + within-cluster
-    // cosine pruning + components — times the full semantic-dedup
-    // pipeline (the nlist=1 equivalence gate lives in q_semdedup)
-    val scaleSemDedup =
-      if (!selected(NmScaleSemDedup)) Nil
-      else Seq(scenario(NmScaleSemDedup)(
-        graft.ext.Dedup.semDedupSurvivors(
-          spark.read.parquet(s"$sfDir/embeddings.parquet"), "embedding",
-          "vec_id", threshold = 0.5, nlist = 16, trainIters = 2)))
-
-    // packSequences shard-knob scaling: parallelism = numShards (each
-    // shard's prefix-sum window runs in one task over metadata-only rows),
-    // so wall time should improve 8 → 64 shards once per-shard row counts
-    // dominate the scheduling floor. Chunk contents at a GIVEN shard count
-    // are invariant to physical partitioning (CurationSpec asserts it);
-    // different shard counts legitimately produce different chunkings.
-    val scaleSeqPacking = seqPackingShards
-      .filter(s => selected(s"scale_seq_packing_$s")).map { shards =>
-      scenario(s"scale_seq_packing_${shards}")(
-        graft.ext.Curation.packSequences(
-          spark.read.parquet(s"$sfDir/documents.parquet"),
-          "doc_id", "text", maxTokens = 2048, numShards = shards))
-    }
-
-    // top-k query-count scaling: q_knn_bruteforce runs 10 queries; these
-    // run 10× and 100×. With the bounded-heap TopKByScore the cost model
-    // is one corpus scan + (k × queries) heap entries per partition, so
-    // time should grow far SLOWER than the query count — the single-task
-    // window ranking this replaced scaled linearly in queries × corpus.
-    val knnCounts = knnQueryCounts.filter(nq => selected(s"scale_knn_${nq}q"))
-    val scaleKnn = if (knnCounts.isEmpty) Nil else {
-      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      emb.count()
-      val out = knnCounts.map(nq => scenario(s"scale_knn_${nq}q")(
-        graft.ext.Similarity.bruteForceTopK(
-          emb, emb.filter(col("vec_id") < nq), 10, "vec_id", "embedding")))
-      emb.unpersist()
-      out
-    }
-
-    // auto strategy selection: the probe + the strategy it picks, on the
-    // two presets where the choice matters — evidence the sampled
-    // selector lands on the winning side (compare against the manual
-    // parity_pack_* entries for the same datasets)
-    val autoScenarios = autoPackKeys
-      .filter(k => selected(s"auto_pack_$k")).map { dsKey =>
-      val ds = buildDataset(spark, dsKey).persist(StorageLevel.MEMORY_AND_DISK)
-      ds.count()
-      val r = scenario(s"auto_pack_$dsKey")(packer.packAuto(ds, "image"))
-      ds.unpersist()
-      r
-    }
-
-    val all0 = queryTimes ++ parityResults ++ scaleDedup ++ scaleHotBucket ++
-      scaleSpans ++ scaleDropSpans ++ scaleSemDedup ++ scaleSeqPacking ++
-      scaleKnn ++ autoScenarios
+    val all0 = queryTimes ++ parityResults ++ scaleResults
 
     // ---- noise-robust finalization (see scaladoc: NOISE ROBUSTNESS) ----
     // BENCH_REFERENCE.json is the committed known-good artifact; entries
@@ -505,6 +529,26 @@ object Bench {
       case (name, t) if t > 0 && refTimes.get(name).exists(r =>
         t > r * flagFactor && t - r > 0.4) => name
     }
+    // floor-gate (VERDICT r5 #4): before burning isolated re-runs, check
+    // whether the BOX is hot — re-running 13 entries under the same
+    // ambient burst that flagged them records noise as signal. Probe the
+    // scheduling floor in a fresh child; if it exceeds 1.5× the committed
+    // reference floor, wait once and re-probe. Entries whose re-run still
+    // happened under a hot floor are listed in "floor_hot" so the artifact
+    // distinguishes "regression" from "hot box".
+    // calm-floor estimate: the committed reference's floor_sec when
+    // present; otherwise the MINIMUM floor sample observed this capture
+    // (the min over ~90 samples approximates the calm floor even if parts
+    // of the run were hot)
+    val refFloor0 = readFloorSec(new java.io.File(refPath))
+    val refFloor =
+      if (refFloor0 > 0) refFloor0
+      else (floorsLog.values.toSeq :+ floorSec).filter(_ > 0) match {
+        case Nil => -1.0
+        case xs => xs.min
+      }
+    var rerunFloor = -1.0
+    var rerunFloorHot = false
     val isolated: Map[String, Double] =
       if (flagged.isEmpty || !rerunEnabled) Map.empty
       else {
@@ -522,6 +566,21 @@ object Bench {
         catch { case _: Throwable => }
         spark.stop()
         System.gc()
+        def hot(f: Double): Boolean =
+          refFloor > 0 && f > 0 && f > refFloor * 1.5 + 0.05
+        rerunFloor = BenchScenario.runForked("__floor__", cpus,
+          math.max(repeat, 3), sfDir).sec
+        if (hot(rerunFloor)) {
+          System.err.println(s"[bench] floor probe $rerunFloor s > 1.5x " +
+            s"committed floor $refFloor s — waiting 30 s for the box to calm")
+          Thread.sleep(30000)
+          rerunFloor = BenchScenario.runForked("__floor__", cpus,
+            math.max(repeat, 3), sfDir).sec
+        }
+        rerunFloorHot = hot(rerunFloor)
+        if (rerunFloorHot)
+          System.err.println(s"[bench] floor still hot ($rerunFloor s) — " +
+            "re-run values will carry floor_hot annotations")
         runIsolated(flagged, cpus, repeat)
       }
     // an entry's final value is its best observation across the in-process
@@ -534,7 +593,21 @@ object Bench {
         case _ => name -> t
       }
     }
-    val qs = all.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // explicit failure records: a failed entry is OMITTED from "queries"
+    // and carried in "errors" with its message — no -1.0 sentinel for
+    // downstream aggregations to silently include
+    val (good, bad) = all.partition(_._2 >= 0)
+    bad.foreach { case (name, _) =>
+      if (!errMsgs.contains(name)) errMsgs(name) = "failed (no message captured)"
+    }
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errsJson = errMsgs.filter(e => bad.exists(_._1 == e._1))
+      .map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+    val qs = good.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val rssJson = rss.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val runsJson = runsLog.map { case (k, v) =>
       s""""$k":[${v.mkString(",")}]""" }.mkString("{", ",", "}")
@@ -552,12 +625,19 @@ object Bench {
       hwm.map(_ / 1024).getOrElse(-1L)
     } catch { case _: Throwable => -1L }
     val refJson = if (refTimes.isEmpty) "null" else s""""$refPath""""
+    // floor_hot: flagged entries whose isolated re-run happened under a
+    // still-hot scheduling floor — read their values as "hot box", not
+    // "regression"; rerun_floor is the probe that decided it
+    val floorHotJson = (if (rerunFloorHot) flagged else Nil)
+      .map(n => s""""$n"""").mkString("[", ",", "]")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
-      s""""n_queries":${all.size},"scenario_rss_mb":$rssJson,""" +
+      s""""n_queries":${good.size},"scenario_rss_mb":$rssJson,""" +
       s""""flag_factor":$flagFactor,"reference":$refJson,""" +
       s""""flagged":$flaggedJson,"inprocess":$inprocJson,""" +
-      s""""isolated_rerun":$isoJson,"floors":$floorsJson,"runs":$runsJson,""" +
+      s""""isolated_rerun":$isoJson,"rerun_floor":$rerunFloor,""" +
+      s""""floor_hot":$floorHotJson,"errors":$errsJson,""" +
+      s""""floors":$floorsJson,"runs":$runsJson,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     // Full metrics go to a FILE (lossless — round-2's stdout capture
     // truncated the tail, losing the total and ~15 timings); stdout gets
@@ -569,7 +649,8 @@ object Bench {
       try w.println(fullJson) finally w.close()
       println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
-        s""""n_queries":${all.size},"full":"$outPath","sf":"$sfDir"}""")
+        s""""n_queries":${good.size},"n_errors":${bad.size},""" +
+        s""""full":"$outPath","sf":"$sfDir"}""")
     } catch { case _: Throwable =>
       // file write failed (read-only cwd?) — fall back to the full line
       println(fullJson)
@@ -579,31 +660,61 @@ object Bench {
 }
 
 /**
- * Child-process entry for fork-isolated parity scenarios
- * (SPARK_GRAFT_FORK=1): runs ONE scenario from [[Bench.parityScenarios]]
- * in its own JVM — its VmHWM is a clean per-scenario peak RSS, matching
- * the reference harness's spawn-mode child processes — and prints one
- * line `SCENARIO_RESULT <sec> <peak_rss_mb>`.
+ * Child-process entry for fork-isolated scenarios (the DEFAULT bench
+ * mode): runs ONE scenario — a [[Bench.parityScenarios]] entry, a
+ * [[Bench.prepareScale]] scale/auto scenario, or the `__floor__` probe —
+ * in its own JVM. Its VmHWM is a clean per-scenario peak RSS, matching
+ * the reference harness's spawn-mode child processes. Prints one line
+ * `SCENARIO_RESULT <sec> <peak_rss_mb> <floor_sec> <r1,r2,...>` so the
+ * parent keeps the per-entry runs-vector + adjacent-floor noise
+ * diagnostics it records for in-process entries.
  */
 object BenchScenario {
+
+  /** Parsed child report; `sec`<=0 with `err` set marks a failure. */
+  private[graft] final case class ForkResult(sec: Double, rssMb: Long,
+                                             floor: Double, runs: Seq[Double],
+                                             err: Option[String])
 
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val (_, dsKey, fn) = Bench.parityScenarios.find(_._1 == name)
-      .getOrElse(throw new IllegalArgumentException(s"unknown scenario '$name'"))
-    val ds = Bench.buildDataset(spark, dsKey).persist(StorageLevel.MEMORY_AND_DISK)
-    ds.count()
-    try Bench.materializeDf(fn(ds)) catch { case _: Throwable => } // JIT warmup
-    val sec = Bench.bestOfN(repeat)(fn(ds))
-    println(s"SCENARIO_RESULT $sec ${Bench.vmHwmMb()}")
+    val prepared: Bench.Prepared =
+      if (name == "__floor__") Bench.Prepared(() => Bench.floorJob(spark), () => ())
+      else Bench.parityScenarios.find(_._1 == name) match {
+        case Some((_, dsKey, fn)) =>
+          val ds = Bench.buildDataset(spark, dsKey)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          ds.count()
+          Bench.Prepared(() => fn(ds), () => ())
+        case None => Bench.prepareScale(spark, name, sfDir)
+      }
+    // TWO untimed warmup passes: this JVM is JIT-cold (unlike the shared
+    // runner, which has dozens of prior queries behind it) — one pass
+    // leaves the first timed run 3-4x steady state (observed 9.1 s → 2.4 s)
+    for (_ <- 1 to 2)
+      try Bench.materializeDf(prepared.query())
+      catch { case _: Throwable => }
+    var errMsg = ""
+    val runs = Bench.runsOfN(repeat, e => errMsg =
+      s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        .take(300).replaceAll("[\\r\\n\\t]", " "))(prepared.query())
+    val sec = if (runs.exists(_ < 0)) -1.0 else runs.min
+    // adjacent floor sample — same ambient-load canary the in-process
+    // runner records per entry
+    try Bench.materializeDf(Bench.floorJob(spark)) catch { case _: Throwable => }
+    val floor = Bench.bestOfN(1)(Bench.floorJob(spark))
+    println(s"SCENARIO_RESULT $sec ${Bench.vmHwmMb()} $floor " +
+      runs.mkString(",") + (if (errMsg.nonEmpty) s" ERR $errMsg" else ""))
+    prepared.cleanup()
     spark.stop()
   }
 
@@ -623,7 +734,8 @@ object BenchScenario {
     "java.base/sun.security.action", "java.base/sun.util.calendar"
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  private[graft] def runForked(name: String, cpus: String, repeat: Int): (Double, Long) = {
+  private[graft] def runForked(name: String, cpus: String, repeat: Int,
+                               sfDir: String): ForkResult = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = addOpensArgs
     // Child heap honors SPARK_DRIVER_MEM (like build.sbt's javaOptions) so
@@ -639,7 +751,9 @@ object BenchScenario {
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
     pb.environment().put("SPARK_GRAFT_REPEAT", repeat.toString)
+    pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
     pb.redirectErrorStream(true)
+    val fail = ForkResult(-1.0, -1L, -1.0, Nil, None)
     try {
       val proc = pb.start()
       // drain the pipe to EOF — stopping at the result line would let a
@@ -652,10 +766,21 @@ object BenchScenario {
       val rc = proc.waitFor()
       out match {
         case Some(line) if rc == 0 =>
-          val parts = line.split("\\s+")
-          (parts(1).toDouble, parts(2).toLong)
-        case _ => (-1.0, -1L)
+          val parts = line.split("\\s+", 5)
+          // parts: SCENARIO_RESULT sec rss floor runsCsv[ ERR msg]
+          val tail = if (parts.length > 4) parts(4) else ""
+          val (runsCsv, err) = tail.indexOf(" ERR ") match {
+            case -1 => (tail, None)
+            case i => (tail.take(i), Some(tail.drop(i + 5)))
+          }
+          val runs = runsCsv.split(",").toSeq
+            .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+          ForkResult(parts(1).toDouble, parts(2).toLong,
+            if (parts.length > 3) parts(3).toDouble else -1.0, runs, err)
+        case _ => fail.copy(err = Some(s"forked child failed (rc=$rc)"))
       }
-    } catch { case _: Throwable => (-1.0, -1L) }
+    } catch { case e: Throwable =>
+      fail.copy(err = Some(s"fork error: ${e.getMessage}".take(200)))
+    }
   }
 }

@@ -718,6 +718,14 @@ object SparkEntry {
           (aggregate(col("features"), lit(0.0), (a, x) => a + x) * 256.0)
             .cast("long").alias("feat_sum_x256"))
     }),
+    // multimodal REAL codec: 64 planted PNGs encoded by javax.imageio on
+    // the executors, decoded back by javax.imageio, per-image dims +
+    // exact pixel-channel sum. The oracle recomputes dims AND the pixel
+    // sum from the id formula alone (generate_series cross join) — it
+    // never sees the PNG bytes, so equality proves the encode→decode
+    // round trip is pixel-faithful end-to-end.
+    "q_multimodal_decode" -> ((s, _) =>
+      Multimodal.decodeImageMeta(Multimodal.plantedImages(s, 64))),
     // sources/sinks beyond parquet (free via DataFrameReader/Writer,
     // SURVEY §2.6): stage a table to CSV / JSON-lines and read it back —
     // the oracle reads the ORIGINAL parquet, so the hash compare checks
@@ -1306,6 +1314,22 @@ object SparkEntry {
           |   i -> (strpos('0123456789abcdef', substr(md5(text), 2*i+1, 1)) - 1) * 16
           |      + (strpos('0123456789abcdef', substr(md5(text), 2*i+2, 1)) - 1))) AS BIGINT) AS feat_sum_x256
           |FROM documents""".stripMargin,
+      "q_multimodal_decode" ->
+        """WITH ids AS (
+          |  SELECT i AS asset_id, 32 + i % 64 AS w, 24 + i % 48 AS h
+          |  FROM generate_series(0, 63) t(i)),
+          |px AS (
+          |  SELECT asset_id, w, h,
+          |    SUM((asset_id + 3*x.x + 7*y.y) % 256
+          |      + (asset_id*2 + 5*x.x + y.y) % 256
+          |      + (asset_id*3 + x.x + 11*y.y) % 256) AS pixel_sum
+          |  FROM ids, generate_series(0, 94) x(x), generate_series(0, 70) y(y)
+          |  WHERE x.x < w AND y.y < h
+          |  GROUP BY 1, 2, 3)
+          |SELECT asset_id, CAST(w AS INTEGER) AS width,
+          |  CAST(h AS INTEGER) AS height,
+          |  CAST(pixel_sum AS BIGINT) AS pixel_sum
+          |FROM px""".stripMargin,
       "q_knn_bruteforce" -> knnBruteSql,
       "q_embedding_neardup" -> embPairsSql("0.35"),
       "q_multimodal_meta" ->

@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
  * with typed metadata, plus decode / feature-extract / resize /
  * frame-sample stages.
  *
- * The decode step is STUBBED with a deterministic fake (this container has
- * no image/audio codecs): features are derived from seeded xxhash64 of the
- * payload, so every test is reproducible. The Spark-side plumbing —
- * schema, partitioning, batch shape — is real:
+ * Two codec tiers: a REAL image codec on `javax.imageio` (JDK-built-in
+ * PNG/JPEG/BMP/GIF — [[plantedImages]]/[[decodeImageMeta]]/[[imageIoCodec]]/
+ * [[resizeImages]], oracle-gated by q_multimodal_decode), and a
+ * deterministic FAKE for mime types the JDK cannot decode (audio/video):
+ * fake features derive from the md5 of the payload, so every test is
+ * reproducible. The Spark-side plumbing — schema, partitioning, batch
+ * shape — is shared and real:
  *
  *  - assets are `(asset_id, payload: binary, meta: struct)` rows;
  *  - decode stages are per-row Column expressions where possible
@@ -159,4 +162,159 @@ object Multimodal {
     // (pmod(xxhash64(id), n)) and re-hashing those would leave ~1/e of
     // the partitions empty and stack heavies on the collisions
     assets.repartition(partitions, col("asset_id"))
+
+  // ---- REAL image codec (javax.imageio — ships with the JDK) -----------
+  // PNG is lossless, so encode→decode is bit-faithful to the source
+  // pixels; the planted corpus below makes the whole pipeline
+  // DuckDB-oracle-checkable because dims AND pixel values are pure
+  // formulas of the asset id that SQL can recompute independently.
+
+  locally { // BufferedImage/ImageIO are raster-only but insist on this
+    System.setProperty("java.awt.headless", "true")
+  }
+
+  /** Planted image dims: (32 + id%64) × (24 + id%48). */
+  private[ext] def plantedDims(id: Long): (Int, Int) =
+    ((32 + id % 64).toInt, (24 + id % 48).toInt)
+
+  /** Planted pixel channels at (x,y): r=(id+3x+7y)%256, g=(2id+5x+y)%256,
+    * b=(3id+x+11y)%256 — mirrored EXACTLY by the q_multimodal_decode
+    * oracle SQL (generate_series cross join). */
+  private[ext] def plantedRgb(id: Long, x: Int, y: Int): Int = {
+    val r = ((id + 3L * x + 7L * y) % 256).toInt
+    val g = ((2L * id + 5L * x + y) % 256).toInt
+    val b = ((3L * id + x + 11L * y) % 256).toInt
+    (r << 16) | (g << 8) | b
+  }
+
+  /** Deterministic planted image encoded as REAL PNG bytes. */
+  private[ext] def plantedPng(id: Long): Array[Byte] = {
+    val (w, h) = plantedDims(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, plantedRgb(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private[ext] def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) throw new IllegalArgumentException(
+      "payload is not a decodable image (no ImageIO reader matched)")
+    img
+  }
+
+  /** Planted-PNG asset table, generated ON THE EXECUTORS (one encoder
+    * loop per partition, payload bytes never touch the driver). Same
+    * schema as [[assetsFromText]]. */
+  def plantedImages(spark: org.apache.spark.sql.SparkSession, n: Int,
+                    partitions: Int = 8): DataFrame = {
+    val rows = spark.range(0, n, 1, partitions).rdd.map { id =>
+      val (w, h) = plantedDims(id)
+      val png = plantedPng(id)
+      Row(id, png, Row("image/png", png.length.toLong, w, h))
+    }
+    spark.createDataFrame(rows, assetSchema)
+  }
+
+  /** REAL decode → per-image dimensions + exact pixel-channel sum
+    * (Σ r+g+b over all pixels, a long). mapPartitions, not a UDF-per-row:
+    * one reusable decode path per partition, payload column pruned away
+    * after this stage. At 100 TB this is the narrow "open every blob
+    * once" pass; everything downstream is small typed rows. */
+  def decodeImageMeta(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_sum", LongType)))
+    val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        if (r.isNullAt(1)) Row(id, null, null, null)
+        else {
+          val img = readImage(r.getAs[Array[Byte]](1))
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, w, h, sum)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** REAL codec through the [[AssetCodec]] seam: decode the image, split
+    * it into `dim` vertical strips, mean luminance (r+g+b)/3/255 per
+    * strip — an actual content-derived feature vector in [0,1]. Drops in
+    * wherever [[fakeCodec]] does ([[decodeBatches]] factory). */
+  def imageIoCodec(dim: Int): AssetCodec = new AssetCodec {
+    def decode(payload: Array[Byte]): Array[Double] = {
+      val img = readImage(payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Long](dim)
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val strip = math.min(dim - 1, x * dim / w)
+          val rgb = img.getRGB(x, y)
+          sums(strip) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          counts(strip) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim)(i =>
+        if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i) / 3.0 / 255.0)
+    }
+  }
+
+  /** REAL resize: decode → Graphics2D bilinear scale → PNG re-encode,
+    * meta dims updated. Same plumbing shape as [[fakeResize]], actual
+    * pixels. */
+  def resizeImages(assets: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = assets.sparkSession
+    val rows = assets.select(col("asset_id"), col("payload"), col("meta.mime"))
+      .rdd.mapPartitions { it =>
+        it.map { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          if (r.isNullAt(1)) Row(id, null, Row(r.getString(2), null, null, null))
+          else {
+            val src = readImage(r.getAs[Array[Byte]](1))
+            val dst = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, w, h, null); ()
+            } finally g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            val png = bos.toByteArray
+            Row(id, png, Row("image/png", png.length.toLong, w, h))
+          }
+        }
+      }
+    spark.createDataFrame(rows, assetSchema)
+  }
 }

@@ -305,4 +305,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val ids = sp.table("dedup_out").select("eventId").as[Long].collect().sorted
     assert(ids.toSeq == Seq(10L, 11L, 12L))
   }
+
+  test("eventMicros adapts to all three physical ts encodings identically") {
+    // round 5's gate-breaker: the driver regenerated events.parquet from
+    // int64-nanos to TIMESTAMP_MICROS and the hardcoded nanos path broke.
+    // The same instant in each encoding must yield the same micros.
+    val us = 1700000000123456L // epoch micros, sub-millisecond precision
+    val base = spark.range(1).select(
+      lit(us * 1000).alias("ts_nanos"),                       // LongType nanos
+      timestamp_micros(lit(us)).alias("ts_ts"),               // TimestampType
+      timestamp_micros(lit(us)).cast("timestamp_ntz").alias("ts_ntz"))
+    def micros(c: String): Long = {
+      val df = base.select(col(c).alias("ts"))
+      df.select(EventStreams.eventMicros(df).alias("us")).head().getLong(0)
+    }
+    assert(micros("ts_nanos") == us)
+    assert(micros("ts_ts") == us)
+    // NTZ → TS cast applies the session zone; the graft sessions pin UTC,
+    // so the naive value IS the UTC epoch value (DuckDB epoch_us semantics)
+    assert(micros("ts_ntz") == us)
+    // unsupported types fail loudly with the column name
+    val bad = spark.range(1).select(lit("x").alias("ts"))
+    val e = intercept[IllegalArgumentException](EventStreams.eventMicros(bad))
+    assert(e.getMessage.contains("`ts`"))
+    // withEventTime produces a proper TimestampType column on each
+    for (c <- Seq("ts_nanos", "ts_ts", "ts_ntz")) {
+      val df = base.select(col(c).alias("ts"))
+      val et = EventStreams.withEventTime(df).schema("event_time").dataType
+      assert(et == org.apache.spark.sql.types.TimestampType, s"$c -> $et")
+    }
+  }
 }

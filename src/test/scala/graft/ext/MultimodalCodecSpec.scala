@@ -1,0 +1,92 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The REAL javax.imageio codec tier: planted-PNG encode→decode must be
+  * pixel-faithful (PNG is lossless), and every derived quantity —
+  * dimensions, channel sums, strip features, resize output — must match
+  * values computed independently from the planting formula. */
+class MultimodalCodecSpec extends AnyFunSuite with SparkSpec {
+
+  test("PNG encode→decode is pixel-faithful to the planting formula") {
+    for (id <- Seq(0L, 1L, 17L, 63L)) {
+      val img = Multimodal.readImage(Multimodal.plantedPng(id))
+      val (w, h) = Multimodal.plantedDims(id)
+      assert((img.getWidth, img.getHeight) == (w, h))
+      for (x <- Seq(0, w / 2, w - 1); y <- Seq(0, h / 2, h - 1))
+        assert((img.getRGB(x, y) & 0xffffff) == Multimodal.plantedRgb(id, x, y),
+          s"pixel mismatch at id=$id ($x,$y)")
+    }
+  }
+
+  test("decodeImageMeta matches independently computed dims and sums") {
+    val got = Multimodal.decodeImageMeta(Multimodal.plantedImages(spark, 12))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3))))
+      .toMap
+    for (id <- 0L until 12L) {
+      val (w, h) = Multimodal.plantedDims(id)
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = Multimodal.plantedRgb(id, x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      assert(got(id) == ((w, h, sum)), s"id=$id")
+    }
+  }
+
+  test("imageIoCodec: strip luminance features in [0,1], exact on uniform image") {
+    // uniform mid-gray 10x10 image: every strip's mean luminance is 128/255
+    val img = new java.awt.image.BufferedImage(
+      10, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 10)
+      img.setRGB(x, y, (128 << 16) | (128 << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val feats = Multimodal.imageIoCodec(5).decode(bos.toByteArray)
+    assert(feats.length == 5)
+    feats.foreach(f => assert(math.abs(f - 128.0 / 255.0) < 1e-12))
+    // planted images: deterministic, bounded
+    val f1 = Multimodal.imageIoCodec(8).decode(Multimodal.plantedPng(7L))
+    val f2 = Multimodal.imageIoCodec(8).decode(Multimodal.plantedPng(7L))
+    assert(f1.toSeq == f2.toSeq)
+    f1.foreach(f => assert(f >= 0.0 && f <= 1.0))
+  }
+
+  test("decodeBatches drives the REAL codec through the AssetCodec seam") {
+    val dim = 4
+    val out = Multimodal.decodeBatches(
+        Multimodal.plantedImages(spark, 6), dim,
+        () => Multimodal.imageIoCodec(dim))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.size == 6)
+    for (id <- 0L until 6L)
+      assert(out(id) == Multimodal.imageIoCodec(dim)
+        .decode(Multimodal.plantedPng(id)).toSeq)
+  }
+
+  test("resizeImages re-encodes real PNGs at the target dims") {
+    val resized = Multimodal.resizeImages(Multimodal.plantedImages(spark, 5), 16, 12)
+    val rows = resized.select(col("asset_id"), col("payload"),
+      col("meta.width"), col("meta.height"), col("meta.mime")).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert((r.getInt(2), r.getInt(3)) == ((16, 12)))
+      assert(r.getString(4) == "image/png")
+      val img = Multimodal.readImage(r.getAs[Array[Byte]](1))
+      assert((img.getWidth, img.getHeight) == ((16, 12)))
+    }
+  }
+
+  test("non-image payload fails loudly, not with a null deref") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeImageMeta(
+        Multimodal.assetsFromText(
+          spark.range(1).select(col("id").alias("doc_id"),
+            lit("not a png").alias("text")), "doc_id", "text")).collect()
+    }
+    assert(e.getMessage.contains("not a decodable image") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a decodable image")))
+  }
+}
