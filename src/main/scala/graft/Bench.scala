@@ -522,12 +522,30 @@ object Bench {
     // slower than flagFactor x their reference (with 0.4 s absolute slack
     // so scheduling-floor entries never flag) re-run in a clean child JVM.
     val refPath = sys.env.getOrElse("SPARK_GRAFT_REF", "BENCH_REFERENCE.json")
-    val refTimes = readQueryTimes(new java.io.File(refPath))
+    val refFile = new java.io.File(refPath)
+    val refTimes = readQueryTimes(refFile)
+    val refFloorSec = readFloorSec(refFile)
     val flagFactor = sys.env.getOrElse("SPARK_GRAFT_FLAG_FACTOR", "2.0").toDouble
     val rerunEnabled = !sys.env.get("SPARK_GRAFT_RERUN").contains("0")
+    // FLOOR-NORMALIZED flagging: a 0.5 s entry is ~60% scheduling floor,
+    // so a mildly warm box (floor 0.31 → 0.39 s) pushes every cheap entry
+    // past 2x its committed value while the heavy entries sit at 1x — the
+    // round-6 capture reproduced exactly this signature. When the
+    // committed reference records its floor, compare floor-SUBTRACTED
+    // work (t - adjacentFloor vs factor × (ref - refFloor)); entries whose
+    // computed work is sub-floor can never flag. Falls back to the raw
+    // ratio when the reference artifact predates floor recording.
     val flagged = all0.collect {
-      case (name, t) if t > 0 && refTimes.get(name).exists(r =>
-        t > r * flagFactor && t - r > 0.4) => name
+      case (name, t) if t > 0 && refTimes.get(name).exists { r =>
+        val rawFlag = t > r * flagFactor && t - r > 0.4
+        if (refFloorSec <= 0) rawFlag
+        else {
+          val fNow = floorsLog.getOrElse(name, floorSec)
+          val work = t - math.min(fNow, t)
+          val refWork = math.max(r - refFloorSec, 0.05)
+          rawFlag && work > refWork * flagFactor
+        }
+      } => name
     }
     // floor-gate (VERDICT r5 #4): before burning isolated re-runs, check
     // whether the BOX is hot — re-running 13 entries under the same
@@ -540,9 +558,8 @@ object Bench {
     // present; otherwise the MINIMUM floor sample observed this capture
     // (the min over ~90 samples approximates the calm floor even if parts
     // of the run were hot)
-    val refFloor0 = readFloorSec(new java.io.File(refPath))
     val refFloor =
-      if (refFloor0 > 0) refFloor0
+      if (refFloorSec > 0) refFloorSec
       else (floorsLog.values.toSeq :+ floorSec).filter(_ > 0) match {
         case Nil => -1.0
         case xs => xs.min
