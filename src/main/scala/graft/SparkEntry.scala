@@ -726,6 +726,12 @@ object SparkEntry {
     // round trip is pixel-faithful end-to-end.
     "q_multimodal_decode" -> ((s, _) =>
       Multimodal.decodeImageMeta(Multimodal.plantedImages(s, 64))),
+    // multimodal REAL audio codec: 48 planted mono PCM16 WAVs encoded by
+    // javax.sound.sampled on the executors, decoded back, per-clip sample
+    // count + exact sample sum + exact energy (Σv²) — same formula-only
+    // oracle strategy as q_multimodal_decode (WAV/PCM is lossless)
+    "q_multimodal_audio" -> ((s, _) =>
+      Multimodal.decodeAudioMeta(Multimodal.plantedAudio(s, 48))),
     // sources/sinks beyond parquet (free via DataFrameReader/Writer,
     // SURVEY §2.6): stage a table to CSV / JSON-lines and read it back —
     // the oracle reads the ORIGINAL parquet, so the hash compare checks
@@ -1330,6 +1336,20 @@ object SparkEntry {
           |  CAST(h AS INTEGER) AS height,
           |  CAST(pixel_sum AS BIGINT) AS pixel_sum
           |FROM px""".stripMargin,
+      "q_multimodal_audio" ->
+        """WITH ids AS (
+          |  SELECT i AS asset_id, 800 + (i % 32) * 25 AS n
+          |  FROM generate_series(0, 47) t(i)),
+          |v AS (
+          |  SELECT asset_id, n, (asset_id*7 + x.x*13) % 2001 - 1000 AS v
+          |  FROM ids, generate_series(0, 1574) x(x) WHERE x.x < n),
+          |s AS (
+          |  SELECT asset_id, n, SUM(v) AS sample_sum, SUM(v*v) AS energy
+          |  FROM v GROUP BY 1, 2)
+          |SELECT asset_id, CAST(n AS INTEGER) AS n_samples,
+          |  CAST(sample_sum AS BIGINT) AS sample_sum,
+          |  CAST(energy AS BIGINT) AS energy
+          |FROM s""".stripMargin,
       "q_knn_bruteforce" -> knnBruteSql,
       "q_embedding_neardup" -> embPairsSql("0.35"),
       "q_multimodal_meta" ->

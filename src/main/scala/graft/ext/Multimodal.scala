@@ -287,6 +287,101 @@ object Multimodal {
     }
   }
 
+  // ---- REAL audio codec (javax.sound.sampled — also JDK-built-in) ------
+  // WAV/PCM16 is lossless like PNG, so the same oracle strategy applies:
+  // samples are a pure formula of (id, t) that DuckDB recomputes without
+  // ever seeing the WAV bytes.
+
+  private val AudioSampleRate = 8000f
+
+  /** Planted sample count: 800 + (id%32)·25 (0.1–0.2 s at 8 kHz). */
+  private[ext] def plantedWavLen(id: Long): Int = 800 + (id % 32).toInt * 25
+
+  /** Planted PCM16 sample at frame t: ((7·id + 13·t) mod 2001) − 1000 —
+    * int16-safe, mirrored EXACTLY by the q_multimodal_audio oracle. */
+  private[ext] def plantedSample(id: Long, t: Int): Int =
+    ((id * 7 + t * 13L) % 2001).toInt - 1000
+
+  /** Deterministic planted clip encoded as a REAL mono PCM16 WAV. */
+  private[ext] def plantedWav(id: Long): Array[Byte] = {
+    val n = plantedWavLen(id)
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) { // little-endian int16 frames
+      val v = plantedSample(id, t)
+      pcm(2 * t) = (v & 0xff).toByte
+      pcm(2 * t + 1) = ((v >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(AudioSampleRate, 16, 1,
+      true /*signed*/, false /*little-endian*/)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV payload back to int16 samples (any PCM16 mono WAV). */
+  private[ext] def readWavSamples(bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected mono PCM16, got $fmt")
+      val raw = ais.readAllBytes()
+      val out = new Array[Int](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        val lo = raw(2 * i) & 0xff
+        val hi = raw(2 * i + 1).toInt // sign-extends
+        out(i) = if (fmt.isBigEndian) (lo << 8) | (hi & 0xff) else (hi << 8) | lo
+        i += 1
+      }
+      out
+    } finally ais.close()
+  }
+
+  /** Planted-WAV asset table, encoded ON the executors ([[assetSchema]];
+    * image dims are null for audio). */
+  def plantedAudio(spark: org.apache.spark.sql.SparkSession, n: Int,
+                   partitions: Int = 8): DataFrame = {
+    val rows = spark.range(0, n, 1, partitions).rdd.map { id =>
+      val wav = plantedWav(id)
+      Row(id, wav, Row("audio/wav", wav.length.toLong, null, null))
+    }
+    spark.createDataFrame(rows, assetSchema)
+  }
+
+  /** REAL audio decode → per-clip sample count, exact sample sum, and
+    * exact energy (Σ v², a long) — the audio analogue of
+    * [[decodeImageMeta]]: one "open every blob" pass, narrow rows out. */
+  def decodeAudioMeta(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("n_samples", IntegerType),
+      StructField("sample_sum", LongType),
+      StructField("energy", LongType)))
+    val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        if (r.isNullAt(1)) Row(id, null, null, null)
+        else {
+          val s = readWavSamples(r.getAs[Array[Byte]](1))
+          var sum = 0L
+          var energy = 0L
+          var i = 0
+          while (i < s.length) { sum += s(i); energy += s(i).toLong * s(i); i += 1 }
+          Row(id, s.length, sum, energy)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** REAL resize: decode → Graphics2D bilinear scale → PNG re-encode,
     * meta dims updated. Same plumbing shape as [[fakeResize]], actual
     * pixels. */

@@ -79,6 +79,30 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("WAV encode→decode is sample-faithful to the planting formula") {
+    for (id <- Seq(0L, 5L, 31L, 47L)) {
+      val samples = Multimodal.readWavSamples(Multimodal.plantedWav(id))
+      assert(samples.length == Multimodal.plantedWavLen(id))
+      for (t <- Seq(0, samples.length / 2, samples.length - 1))
+        assert(samples(t) == Multimodal.plantedSample(id, t), s"id=$id t=$t")
+    }
+  }
+
+  test("decodeAudioMeta matches independently computed sums and energy") {
+    val got = Multimodal.decodeAudioMeta(Multimodal.plantedAudio(spark, 10))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    for (id <- 0L until 10L) {
+      val n = Multimodal.plantedWavLen(id)
+      var sum = 0L; var energy = 0L
+      for (t <- 0 until n) {
+        val v = Multimodal.plantedSample(id, t)
+        sum += v; energy += v.toLong * v
+      }
+      assert(got(id) == ((n, sum, energy)), s"id=$id")
+    }
+  }
+
   test("non-image payload fails loudly, not with a null deref") {
     val e = intercept[org.apache.spark.SparkException] {
       Multimodal.decodeImageMeta(
