@@ -306,6 +306,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ids.toSeq == Seq(10L, 11L, 12L))
   }
 
+  test("file-source STREAM over the real events parquet matches batch") {
+    // round 5's regression shipped because the streaming path was only
+    // exercised through MemoryStream[Event] (already-micros longs) — the
+    // real parquet's physical ts encoding never flowed through a stream in
+    // CI. This drives readStream over the actual driver-generated file, so
+    // the next encoding change breaks HERE, in streaming mode, loudly.
+    val sp = spark
+    val src = "/root/testdata/sf0.001/events.parquet"
+    assume(new java.io.File(src).exists(), s"$src not present")
+    // file streams read DIRECTORIES; stage the single file into one
+    val dir = "target/tmp/events_stream_src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      java.nio.file.Paths.get(dir, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = sp.read.parquet(dir).schema
+    val pipeline = (df: org.apache.spark.sql.DataFrame) =>
+      EventStreams.sessionAgg(
+        EventStreams.watermarked(EventStreams.withEventTime(df),
+          delay = "0 seconds"), "30 minutes")
+    val batchOut = pipeline(sp.read.parquet(dir)).collect().map(_.toSeq).toSet
+    assert(batchOut.nonEmpty)
+    val q = pipeline(sp.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("file_sess_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode only emits sessions CLOSED by the watermark — the final
+    // watermark sits at the max event time, so sessions still open there
+    // (per user, the last one) legitimately stay unemitted. Everything
+    // emitted must match batch exactly, and coverage must be substantial.
+    val streamOut = sp.table("file_sess_out").collect().map(_.toSeq).toSet
+    assert(streamOut.subsetOf(batchOut),
+      s"stream emitted ${streamOut.size} rows not all present in batch's ${batchOut.size}")
+    assert(streamOut.size >= batchOut.size / 2,
+      s"stream emitted only ${streamOut.size} of ${batchOut.size} batch sessions")
+  }
+
   test("eventMicros adapts to all three physical ts encodings identically") {
     // round 5's gate-breaker: the driver regenerated events.parquet from
     // int64-nanos to TIMESTAMP_MICROS and the hardcoded nanos path broke.
