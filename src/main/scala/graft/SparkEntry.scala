@@ -775,6 +775,41 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n"),
           sum(get_json_object(col("props"), "$.k").cast("long")).alias("sum_k"))
     }),
+    // as-of join: every purchase attached to the user's latest prior
+    // click within 2 h — union + ONE window pass (no join, no pair
+    // explosion; Temporal.scala scaladoc). Right side pre-aggregated to
+    // one row per (user, ts) so "latest" is well-defined for the hash
+    // compare; oracle is DuckDB's native ASOF LEFT JOIN.
+    "q_asof_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e0 = table(s, dir, "events")
+      val e = e0.withColumn("us", graft.streaming.EventStreams.eventMicros(e0))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us").alias("click_us"))
+        .agg(max(col("event_id")).alias("click_id"))
+      graft.ext.Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+        "us", "click_us", Seq("click_id", "click_us"),
+        toleranceUs = Some(7200L * 1000000))
+    }),
+    // interval (band) join: click→purchase funnel pairs within 30 min,
+    // aggregated per user (pair count + exact total latency). The band
+    // rides inside the user_id equi-join — keyed shuffle, no cartesian.
+    "q_interval_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e0 = table(s, dir, "events")
+      val e = e0.withColumn("us", graft.streaming.EventStreams.eventMicros(e0))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"))
+      graft.ext.Temporal.intervalJoin(clicks, purchases, Seq("user_id"),
+          "us", "us", lowerUs = 0L, upperUs = 1800L * 1000000)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).alias("n_pairs"),
+          sum(col("r_us") - col("us")).alias("total_latency_us"))
+    }),
     // streaming module, batch-checked: session_window aggregation (same
     // code path StreamingSpec drives through readStream with a watermark)
     "q_session_window" -> ((s, dir) => {
@@ -1384,6 +1419,30 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_asof_join" ->
+        """WITH p AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS us
+          |  FROM events WHERE event_type = 'purchase'),
+          |c AS (
+          |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id
+          |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+          |SELECT p.event_id, p.user_id, p.us,
+          |  CASE WHEN p.us - c.click_us <= 7200000000 THEN c.click_id END AS click_id,
+          |  CASE WHEN p.us - c.click_us <= 7200000000 THEN c.click_us END AS click_us
+          |FROM p ASOF LEFT JOIN c
+          |  ON p.user_id = c.user_id AND p.us >= c.click_us""".stripMargin,
+      "q_interval_join" ->
+        """WITH c AS (
+          |  SELECT user_id, epoch_us(ts) AS us FROM events
+          |  WHERE event_type = 'click'),
+          |p AS (
+          |  SELECT user_id, epoch_us(ts) AS us FROM events
+          |  WHERE event_type = 'purchase')
+          |SELECT c.user_id, count(*) AS n_pairs,
+          |  CAST(sum(p.us - c.us) AS BIGINT) AS total_latency_us
+          |FROM c JOIN p ON c.user_id = p.user_id
+          |  AND p.us >= c.us AND p.us <= c.us + 1800000000
+          |GROUP BY c.user_id""".stripMargin,
       "q_session_window" ->
         """WITH o AS (
           |  SELECT user_id, value, epoch_us(ts) AS us,

@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal joins for event data at scale — the two shapes every
+ * training-data / attribution pipeline needs and plain equi-joins can't
+ * express:
+ *
+ *  - [[asofJoin]]: "attach the most recent prior state" (feature stores,
+ *    market data, last-touch attribution). Implemented as union + ONE
+ *    window pass over (keys, time): one shuffle total, no range probe,
+ *    no pair explosion — at 100 TB the naive join-then-rank does a keys
+ *    shuffle of the full CROSS-range pairs first; this moves each row
+ *    exactly once and sorts per key.
+ *  - [[intervalJoin]]: "all pairs within a time band" (funnels,
+ *    sessionized attribution windows). An equi-shuffle on the keys with
+ *    the band evaluated inside the join — pair output is the answer, so
+ *    the explosion is inherent; the band bounds it.
+ *
+ * Both operate on event time as epoch MICROSECONDS longs (see
+ * `EventStreams.eventMicros` for encoding-adaptive extraction), keeping
+ * them orthogonal to the source's physical timestamp encoding.
+ * [[intervalJoinStreams]] is the Structured Streaming form of
+ * [[intervalJoin]] (TimestampType event-time + watermarks on both sides
+ * so the join state buffer is bounded).
+ */
+object Temporal {
+
+  /** As-of join: for every left row, the single right row with the
+    * LARGEST `rightTs <= leftTs` for the same `keys` (inclusive ties
+    * match). Left-join semantics: `rightCols` come back null when no
+    * prior right row exists, or — with `toleranceUs` — when the match is
+    * older than the tolerance.
+    *
+    * Determinism caveat: if several right rows share (keys, rightTs),
+    * "the" latest is ambiguous; pre-aggregate the right side to one row
+    * per (keys, ts) when exact reproducibility matters (the
+    * q_asof_join oracle does).
+    *
+    * Plan shape: union both sides → window over keys ordered by
+    * (ts, side) with rights-before-lefts on ties → running
+    * `last(ignoreNulls)` of each right column → keep left rows. ONE
+    * hash exchange on `keys`, per-key sort, zero joins. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, rightCols: Seq[String],
+               toleranceUs: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "asofJoin needs at least one key column")
+    val clash = rightCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"rightCols collide with left columns: $clash")
+    val leftCols = left.columns.toSeq
+    val ts = "__asof_ts"
+    val side = "__asof_side" // right=0 < left=1: equal-ts rights match
+    val rts = "__asof_rts"
+    val l = left.select(
+      leftCols.map(c => graft.ColName.topCol(c)) ++
+        Seq(graft.ColName.topCol(leftTs).alias(ts), lit(1).alias(side),
+          lit(null).cast("long").alias(rts)) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).alias(c)): _*)
+    val r = right.select(
+      keys.map(k => graft.ColName.topCol(k)) ++
+        leftCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(left.schema(c).dataType).alias(c)) ++
+        Seq(graft.ColName.topCol(rightTs).alias(ts), lit(0).alias(side),
+          graft.ColName.topCol(rightTs).alias(rts)) ++
+        rightCols.map(c => graft.ColName.topCol(c)): _*)
+    val w = Window.partitionBy(keys.map(graft.ColName.topCol): _*)
+      .orderBy(col(ts).asc, col(side).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r.select(l.columns.map(graft.ColName.topCol): _*))
+      .withColumns((rightCols :+ rts).map(c =>
+        c -> last(graft.ColName.topCol(c), ignoreNulls = true).over(w)).toMap)
+    val inTol = toleranceUs match {
+      case None => col(rts).isNotNull
+      case Some(t) => col(rts).isNotNull && (col(ts) - col(rts) <= t)
+    }
+    carried.filter(col(side) === 1)
+      .select(leftCols.map(graft.ColName.topCol) ++ rightCols.map(c =>
+        when(inTol, graft.ColName.topCol(c)).otherwise(lit(null)).alias(c)): _*)
+  }
+
+  /** Interval (band) join: inner-join pairs with equal `keys` and
+    * `rightTs` in `[leftTs + lowerUs, leftTs + upperUs]`. The band rides
+    * inside the equi-join on `keys`, so Catalyst plans a plain keyed
+    * shuffle (broadcast if one side is small) and evaluates the range as
+    * the join residual — never a cartesian. Column-name collisions:
+    * right's non-key columns are renamed with `rightPrefix`. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   lowerUs: Long, upperUs: Long,
+                   rightPrefix: String = "r_"): DataFrame = {
+    require(lowerUs <= upperUs, s"empty band: [$lowerUs, $upperUs]")
+    val renamed = right.columns.foldLeft(right)((df, c) =>
+      if (keys.contains(c)) df
+      else df.withColumnRenamed(c, rightPrefix + c))
+    val rTs = if (keys.contains(rightTs)) rightTs else rightPrefix + rightTs
+    val cond = keys.map(k =>
+        left(graft.ColName.quote(k)) === renamed(graft.ColName.quote(k)))
+      .reduce(_ && _) &&
+      renamed(graft.ColName.quote(rTs)) >= left(graft.ColName.quote(leftTs)) + lowerUs &&
+      renamed(graft.ColName.quote(rTs)) <= left(graft.ColName.quote(leftTs)) + upperUs
+    keys.foldLeft(left.join(renamed, cond))((df, k) =>
+      df.drop(renamed(graft.ColName.quote(k))))
+  }
+
+  /** Structured Streaming form of [[intervalJoin]]: both sides carry
+    * TimestampType event-time columns (`leftTime`/`rightTime`), both get
+    * watermarked with `delay`, and the band is expressed on event time so
+    * Spark can BOUND the join state buffer (state older than
+    * watermark − band is evicted). Works identically on batch frames
+    * (watermark is a no-op there). */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], leftTime: String,
+                          rightTime: String, lowerSec: Long, upperSec: Long,
+                          delay: String = "1 hour",
+                          rightPrefix: String = "r_"): DataFrame = {
+    val lw = if (left.isStreaming) left.withWatermark(leftTime, delay) else left
+    val rw0 = if (right.isStreaming) right.withWatermark(rightTime, delay) else right
+    val rw = rw0.columns.foldLeft(rw0)((df, c) =>
+      if (keys.contains(c)) df else df.withColumnRenamed(c, rightPrefix + c))
+    val rTime = rightPrefix + rightTime
+    val cond = keys.map(k =>
+        lw(graft.ColName.quote(k)) === rw(graft.ColName.quote(k))).reduce(_ && _) &&
+      rw(graft.ColName.quote(rTime)) >= lw(graft.ColName.quote(leftTime)) +
+        expr(s"INTERVAL $lowerSec SECOND") &&
+      rw(graft.ColName.quote(rTime)) <= lw(graft.ColName.quote(leftTime)) +
+        expr(s"INTERVAL $upperSec SECOND")
+    keys.foldLeft(lw.join(rw, cond))((df, k) =>
+      df.drop(rw(graft.ColName.quote(k))))
+  }
+}
