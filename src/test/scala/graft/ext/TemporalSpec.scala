@@ -76,6 +76,36 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
       s"band must ride the equi-join:\n$plan")
   }
 
+  test("asofJoin equals the brute-force definition on randomized data") {
+    // 300×300 seeded-random events over 6 keys with deliberate ts
+    // collisions (ts ∈ 0..120): checks the window formulation against the
+    // direct "max rightTs <= leftTs" definition, including tie paths.
+    // Right (key, ts) pairs are deduped (max r_id) — same determinism
+    // contract the scaladoc states and q_asof_join applies.
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    val lRows = (0 until 300).map(i =>
+      LEvent(rnd.nextInt(6), i, rnd.nextInt(121)))
+    val rRaw = (0 until 300).map(i =>
+      REvent(rnd.nextInt(6), i, rnd.nextInt(121)))
+    val rDedup = rRaw.groupBy(r => (r.user_id, r.r_us)).map { case ((u, ts), g) =>
+      REvent(u, g.map(_.r_id).max, ts)
+    }.toSeq
+    for (tol <- Seq(None, Some(10L), Some(0L))) {
+      val got = Temporal.asofJoin(lRows.toDF(), rDedup.toDF(), Seq("user_id"),
+          "us", "r_us", Seq("r_id"), toleranceUs = tol)
+        .collect().map(r => r.getLong(1) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      val expected = lRows.map { l =>
+        val best = rDedup.filter(r => r.user_id == l.user_id && r.r_us <= l.us &&
+            tol.forall(t => l.us - r.r_us <= t))
+          .sortBy(r => (r.r_us, r.r_id)).lastOption
+        l.l_id -> best.map(_.r_id)
+      }.toMap
+      assert(got == expected, s"tolerance=$tol")
+    }
+  }
+
   test("intervalJoinStreams: stream-stream band join matches batch") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
