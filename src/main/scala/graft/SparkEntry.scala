@@ -775,6 +775,26 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n"),
           sum(get_json_object(col("props"), "$.k").cast("long")).alias("sum_k"))
     }),
+    // exact quantiles (percentile = sorted interpolation, same definition
+    // as DuckDB quantile_cont): partial-aggregatable per group, no
+    // global sort; rounded 4 dp on both sides (interpolation arithmetic)
+    "q_quantiles" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).alias("qty_p50"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 4).alias("price_p95"),
+          count(lit(1)).alias("n"))),
+    // rollup subtotals: hierarchical grouping sets in ONE pass (Expand +
+    // single shuffle — no per-level rescans); grouping_id disambiguates
+    // genuine NULL group values from subtotal rows
+    "q_rollup" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).alias("n"),
+          round(sum(col("l_quantity")), 4).alias("sum_qty"),
+          grouping_id().alias("gid"))),
     // as-of join: every purchase attached to the user's latest prior
     // click within 2 h — union + ONE window pass (no join, no pair
     // explosion; Temporal.scala scaladoc). Right side pre-aggregated to
@@ -1419,6 +1439,19 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_quantiles" ->
+        """SELECT l_returnflag,
+          |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+          |  round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+          |  round(quantile_cont(l_extendedprice, 0.95), 4) AS price_p95,
+          |  count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "q_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  round(sum(l_quantity), 4) AS sum_qty,
+          |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+          |       AS BIGINT) AS gid
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
       "q_asof_join" ->
         """WITH p AS (
           |  SELECT event_id, user_id, epoch_us(ts) AS us
