@@ -775,6 +775,20 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n"),
           sum(get_json_object(col("props"), "$.k").cast("long")).alias("sum_k"))
     }),
+    // Z-order layout roundtrip: re-cluster lineitem by (l_partkey,
+    // l_suppkey) Morton order into range files and read back — content
+    // must be EXACTLY preserved (layout ops may only change physical
+    // order). The pruning win itself is asserted in LayoutSpec (box
+    // query touches <= half the files of a hash layout).
+    "q_zorder_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_lineitem"
+      graft.ext.Layout.zorderWrite(
+        table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_quantity")),
+        Seq("l_partkey", "l_suppkey"), out, numFiles = 8)
+      s.read.parquet(out)
+    }),
     // exact quantiles (percentile = sorted interpolation, same definition
     // as DuckDB quantile_cont): partial-aggregatable per group, no
     // global sort; rounded 4 dp on both sides (interpolation arithmetic)
@@ -1439,6 +1453,9 @@ object SparkEntry {
         """SELECT event_type, count(*) AS n,
           | CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
           |FROM events GROUP BY event_type""".stripMargin,
+      "q_zorder_roundtrip" ->
+        """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+          |FROM lineitem""".stripMargin,
       "q_quantiles" ->
         """SELECT l_returnflag,
           |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,

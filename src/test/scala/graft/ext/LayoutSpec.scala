@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite with SparkSpec {
+
+  test("mortonCode interleaves rank bits in closed form") {
+    val sp = spark; import sp.implicits._
+    val df = Seq((1L, 1L), (2L, 3L), (0L, 0L), (3L, 3L)).toDF("x", "y")
+    val z = df.select(Layout.mortonCode(Seq(col("x"), col("y")), 2).alias("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // bit b of dim d lands at position b*2+d
+    assert(z == Seq(3L, 14L, 0L, 15L))
+  }
+
+  test("zorder preserves content exactly") {
+    val sp = spark
+    val src = sp.range(1000).select(
+      col("id"), (col("id") * 17 % 101).alias("x"),
+      (col("id") * 31 % 97).alias("y"))
+    val out = Layout.zorder(src, Seq("x", "y"), numFiles = 8)
+    assertSameRows(src, out)
+  }
+
+  test("z-ordered layout touches fewer files than hash layout on a box query") {
+    val sp = spark
+    // 20k uniform points on a 100x100 grid
+    val src = sp.range(20000).select(
+      (col("id") % 100).alias("x"),
+      ((col("id") * 7919) % 100).alias("y"),
+      col("id").alias("payload"))
+    val zPath = "target/tmp/layout_z"
+    val hPath = "target/tmp/layout_hash"
+    Layout.zorderWrite(src, Seq("x", "y"), zPath, numFiles = 16)
+    src.repartition(16).write.mode("overwrite").parquet(hPath)
+    val box = col("x") < 25 && col("y") < 25
+    val zTouched = Layout.filesTouched(sp.read.parquet(zPath), box)
+    val hTouched = Layout.filesTouched(sp.read.parquet(hPath), box)
+    // hash layout scatters the box over every file; z-order confines it
+    // to the files covering that z-region
+    assert(hTouched == 16, s"hash layout should hit all files, got $hTouched")
+    assert(zTouched * 2 <= hTouched,
+      s"zorder touched $zTouched of 16 files; expected <= half of hash's $hTouched")
+    // content parity through the layout
+    assert(sp.read.parquet(zPath).count() == 20000)
+  }
+}
