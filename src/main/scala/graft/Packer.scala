@@ -854,6 +854,83 @@ final class Packer(
     }
   }
 
+  // ------------------------------------------------------------------ merge
+
+  /** Incremental pack maintenance (upsert): merge newly-arrived FLAT rows
+    * into an already-packed frame, repacking ONLY the touched entities.
+    * This is the exact cross-batch merge that [[packStreaming]]'s
+    * foreachBatch sink delegates to the storage layer — expressed as a
+    * batch operator so any upsert-capable sink (or
+    * `EventStreams.packUpsertEachBatch`) can maintain a packed table
+    * incrementally.
+    *
+    * Plan shape (the 100 TB story): the delta's DISTINCT top-level keys
+    * split `packed` with a semi + anti join — AQE broadcasts the key set
+    * when the delta is small, so the untouched majority of the packed
+    * table is a PASSTHROUGH: never unpacked, never shuffled. Only rows
+    * for touched keys are unpacked to the leaf, unioned with the delta,
+    * and repacked — incremental cost is O(delta + touched-entity
+    * payload), not O(corpus).
+    *
+    * Semantics: for touched keys the result is exactly
+    * `pack(oldFlatRows ++ newRows, toLevel)` — child order follows the
+    * spec's `orderBy` when present; under bare `preserveChildOrder`,
+    * existing children keep their packed order and new children append
+    * after them (the union scans affected partitions before delta
+    * partitions, so the repack's row ids preserve old-before-new).
+    * Brand-new keys in `newRows` pack into fresh rows; parent-attribute
+    * conflicts between old and new rows resolve like any pack
+    * (first-non-null, uniformity-auditable via `validateOnPack`). */
+  def mergePacked(packed: DataFrame, newRows: DataFrame, toLevel: String,
+                  extraColumns: ExtraColumns = ExtraColumns.Preserve): DataFrame = {
+    val targetIdx = spec.levelIndex(toLevel)
+    // rows of a packed frame are identified by the grouping keys of its
+    // last aggregating stage: toLevel's ancestorKeys — unless the target
+    // is the ROOT fold (no ancestors), where they are the root level's
+    // own id columns, which the fold moved INSIDE the root struct
+    val rootFold = metas(targetIdx).ancestorKeys.isEmpty
+    val keys: Seq[String] =
+      if (!rootFold) metas(targetIdx).ancestorKeys
+      else metas.lift(targetIdx + 1).map(_.ancestorKeys).getOrElse(Seq.empty)
+    if (keys.isEmpty) throw new HierarchyConfigError(
+      s"mergePacked needs top-level keys at '$toLevel' to identify entities")
+    val rootMeta = metas(targetIdx)
+    def packedKey(k: String): Column =
+      if (!rootFold) topCol(k)
+      else topCol(rootMeta.path).getField(k.substring(rootMeta.prefix.length))
+
+    val (newPrepared, newAdded) = prepareFrame(newRows)
+    val missing = keys.filterNot(hasCol(newPrepared, _))
+    if (missing.nonEmpty) throw new HierarchyError(
+      s"mergePacked: delta is missing top-level key columns: ${missing.mkString(", ")}")
+    // canonical flat shape: computed helper keys AND the row ids
+    // prepareFrame just assigned must go — the repack assigns UNION-WIDE
+    // row ids so existing children sort before new ones; a leaked
+    // delta-local id would leave the unpacked old rows null-id'd
+    val newAligned = dropIfPresent(newPrepared, newAdded :+ RowIdCol)
+
+    // distinct touched keys under FRESH aliases: the delta often shares
+    // lineage with the packed frame (two filters of one source), and
+    // unaliased attributes would make the split joins ambiguous
+    // self-joins. Null-safe equality (<=>): pack keeps a null-keyed
+    // group, and a delta row for it must reach that group.
+    val tNames = keys.indices.map(i => s"__mt_$i")
+    val touched = newPrepared.select(keys.zip(tNames).map {
+      case (k, t) => topCol(k).alias(t) }: _*).distinct()
+    val cond = keys.zip(tNames).map { case (k, t) =>
+      packedKey(k) <=> col(t) }.reduce(_ && _)
+    val untouched = packed.join(touched, cond, "left_anti")
+    val affected = packed.join(touched, cond, "left_semi")
+
+    // unpack affected entities to the LEAF and replay the pack over
+    // old ++ new. unionByName(allowMissing) tolerates a narrower delta
+    // (absent attributes arrive null, like any sparse flat input).
+    val affectedFlat = unpack(affected, metas.last.name)
+    val unioned = affectedFlat.unionByName(newAligned, allowMissingColumns = true)
+    val mergedAffected = pack(unioned, toLevel, extraColumns)
+    untouched.unionByName(mergedAffected, allowMissingColumns = true)
+  }
+
   // -------------------------------------------------------------- validation
 
   /** Per-pack-invocation chain of M10 audit caches: each new cache

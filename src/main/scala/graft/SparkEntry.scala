@@ -880,7 +880,72 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n_events"),
           sum(col("__new_session")).alias("n_sessions"),
           round(sum(col("value")), 6).alias("total_value"))
-    })
+    }),
+    // incremental pack merge (upsert): pack lines 1-3, merge the rest in,
+    // unpack — must reproduce the full flat join exactly. Orders with no
+    // line > 3 exercise the untouched-passthrough path; the rest repack
+    // (only) their own rows. The spec proves merge ≡ direct pack at the
+    // packed level; this oracle proves the END state row-for-row.
+    "q_pack_merge" -> ((s, dir) => {
+      val p = orderPacker
+      val flat = flatOrderLines(s, dir)
+      val lineNo = ColName.topCol("order.lineitem.l_linenumber")
+      val packed1 = p.pack(flat.filter(lineNo <= 3), "lineitem")
+      val merged = p.mergePacked(packed1, flat.filter(lineNo > 3), "lineitem")
+      stripPrefixes(p.unpack(merged, "lineitem"))
+    }),
+    // snapshot diff: old = orders, new = deterministic perturbation
+    // (drop %97 keys, bump totalprice on %89, add shifted copies of
+    // %101). One full-outer join; per-row change class + changed column
+    // list, re-derived independently by the DuckDB oracle.
+    "q_table_diff" -> ((s, dir) => {
+      val base = table(s, dir, "orders").select(orderCols.map(col): _*)
+      val newSnap = base.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.ext.Diff.tableDiff(base, newSnap, Seq("o_orderkey"))
+    }),
+    // SCD2 interval builder: event_type validity ranges per user from the
+    // event log — two window passes over ONE exchange, no joins
+    "q_scd2" -> ((s, dir) => {
+      val e0 = table(s, dir, "events")
+      val e = e0.withColumn("__us", graft.streaming.EventStreams.eventMicros(e0))
+      graft.ext.Temporal.scd2(e, Seq("user_id"), "__us",
+        Seq("event_type"), tieBreak = Seq("event_id"))
+    }),
+    // salted skew join: replicate-and-salt rewrite spread over 8 buckets;
+    // result must equal the PLAIN inner join (aggregated per priority so
+    // the oracle is order-free)
+    "q_salted_join" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val r = table(s, dir, "orders")
+        .select(col("o_orderkey").alias("l_orderkey"), col("o_orderpriority"))
+      graft.ext.Skew.saltedJoin(l, r, Seq("l_orderkey"), buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("n"),
+          round(sum(col("l_quantity")), 4).alias("sum_qty"))
+    }),
+    // reshaping: wide → long (unpivot is a zero-shuffle Expand over the
+    // aggregated frame)
+    "q_unpivot" -> ((s, dir) => {
+      val agg = table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 4).alias("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).alias("sum_price"))
+      agg.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price")), "metric", "value")
+    }),
+    // reshaping: long → wide with an EXPLICIT pivot domain (no extra
+    // distinct-values job — the two-pass form Spark warns about at scale)
+    "q_pivot" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 4)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1525,7 +1590,69 @@ object SparkEntry {
           |  count(*) AS n_events,
           |  CAST(sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
           |  round(sum(value), 6) AS total_value
-          |FROM o GROUP BY user_id""".stripMargin
+          |FROM o GROUP BY user_id""".stripMargin,
+      // merge(pack(lines<=3), lines>3) then unpack must reproduce the
+      // full flat join — same oracle as the pack/unpack roundtrips
+      "q_pack_merge" -> roundtripSql,
+      "q_table_diff" -> {
+        val cmp = orderCols.filterNot(_ == "o_orderkey")
+        val isDiff = (c: String) => s"l.$c IS DISTINCT FROM r.$c"
+        s"""WITH base AS (SELECT ${orderCols.mkString(", ")} FROM orders),
+           |r AS (
+           |  SELECT o_orderkey, o_custkey, o_orderstatus,
+           |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+           |         ELSE o_totalprice END AS o_totalprice,
+           |    o_orderdate, o_orderpriority
+           |  FROM base WHERE o_orderkey % 97 <> 0
+           |  UNION ALL
+           |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+           |    o_totalprice, o_orderdate, o_orderpriority
+           |  FROM base WHERE o_orderkey % 101 = 0)
+           |SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+           |  CASE WHEN l.o_orderkey IS NULL THEN 'added'
+           |       WHEN r.o_orderkey IS NULL THEN 'removed'
+           |       WHEN ${cmp.map(isDiff).mkString(" OR ")} THEN 'changed'
+           |       ELSE 'unchanged' END AS change,
+           |  CASE WHEN l.o_orderkey IS NULL OR r.o_orderkey IS NULL THEN ''
+           |       ELSE concat_ws(',', ${cmp.map(c =>
+                    s"CASE WHEN ${isDiff(c)} THEN '$c' END").mkString(", ")})
+           |       END AS changed_cols
+           |FROM base l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey""".stripMargin
+      },
+      // independent gaps-and-islands re-derivation of the SCD2 intervals
+      "q_scd2" ->
+        """WITH e AS (
+          |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events),
+          |m AS (
+          |  SELECT *, lag(event_type) OVER
+          |    (PARTITION BY user_id ORDER BY us, event_id) AS prev
+          |  FROM e),
+          |s AS (
+          |  SELECT user_id, event_id, event_type, us AS valid_from_us
+          |  FROM m WHERE prev IS NULL OR prev IS DISTINCT FROM event_type)
+          |SELECT user_id, event_type, valid_from_us,
+          |  lead(valid_from_us) OVER
+          |    (PARTITION BY user_id ORDER BY valid_from_us, event_id) AS valid_to_us
+          |FROM s""".stripMargin,
+      // salted join ≡ plain join: the oracle is the UNSALTED aggregation
+      "q_salted_join" ->
+        """SELECT o_orderpriority, count(*) AS n,
+          | round(sum(l_quantity), 4) AS sum_qty
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |GROUP BY o_orderpriority""".stripMargin,
+      "q_unpivot" ->
+        """WITH a AS (
+          |  SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
+          |    round(sum(l_extendedprice), 4) AS sum_price
+          |  FROM lineitem GROUP BY 1)
+          |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+          |UNION ALL
+          |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a""".stripMargin,
+      "q_pivot" ->
+        """SELECT l_returnflag,
+          | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F,
+          | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin
     )
   }
 }

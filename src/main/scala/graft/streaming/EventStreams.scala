@@ -122,6 +122,63 @@ object EventStreams {
     checkpointLocation.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** EXACT cross-batch streaming pack: maintain one packed table across
+    * micro-batches by merging each batch into the previous version with
+    * [[graft.Packer.mergePacked]] — entities whose rows span micro-batches
+    * end up in ONE packed row, unlike [[packEachBatch]]'s
+    * one-row-per-batch contract.
+    *
+    * Versioned sink layout: each batch writes `sinkPath/v=<batchId>` by
+    * merging the delta into the LATEST version strictly below its own
+    * batchId. Replay-idempotent: a restarted batch N re-reads the same
+    * predecessor and overwrites its own `v=N` — never compounds. Old
+    * versions are retained for `keepVersions` batches (readers of a
+    * superseded version finish their scan; a vacuum can drop older dirs).
+    * Single-writer per sinkPath, like any file-based upsert sink.
+    * Read the current state with [[readPackedSink]]. */
+  def packUpsertEachBatch(flat: DataFrame, packer: graft.Packer, toLevel: String,
+                          sinkPath: String,
+                          checkpointLocation: Option[String] = None,
+                          keepVersions: Int = 2
+                         ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = flat.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val merged = listPackVersions(spark, sinkPath).filter(_ < batchId)
+          .sorted.lastOption match {
+          case Some(prev) =>
+            packer.mergePacked(spark.read.parquet(s"$sinkPath/v=$prev"), batch, toLevel)
+          case None => packer.pack(batch, toLevel)
+        }
+        merged.write.mode("overwrite").parquet(s"$sinkPath/v=$batchId")
+        // vacuum versions older than the retention window
+        listPackVersions(spark, sinkPath).sorted.dropRight(keepVersions + 1)
+          .foreach { v =>
+            val p = new org.apache.hadoop.fs.Path(s"$sinkPath/v=$v")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          }
+      }
+    checkpointLocation.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
+  /** Latest packed state written by [[packUpsertEachBatch]]. */
+  def readPackedSink(spark: org.apache.spark.sql.SparkSession,
+                     sinkPath: String): DataFrame =
+    listPackVersions(spark, sinkPath).sorted.lastOption match {
+      case Some(v) => spark.read.parquet(s"$sinkPath/v=$v")
+      case None => throw new IllegalStateException(s"no packed versions under $sinkPath")
+    }
+
+  private def listPackVersions(spark: org.apache.spark.sql.SparkSession,
+                               sinkPath: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
   /** Custom sessionization with explicit per-user state
     * (`flatMapGroupsWithState`) — the reference has no streaming at all;
     * this is the Spark-native "custom state" path. Gap semantics match
