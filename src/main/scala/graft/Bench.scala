@@ -367,6 +367,21 @@ object Bench {
         ds.count()
         Prepared(() => packer.packAuto(ds, "image"),
           () => { ds.unpersist(); () })
+      // incremental pack merge: a 1% delta (new tiles for 2 of 200
+      // images) into the fully-packed `large` table. The untouched 99%
+      // must pass through the anti-join without repack cost — compare
+      // parity_pack_large, which pays the full explode+regroup+sort
+      case NmScalePackMerge =>
+        val packed = buildDataset(spark, "packed_large")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        packed.count()
+        val delta = buildDataset(spark, "large")
+          .filter(col("`image.image_id`") < 2)
+          .withColumn("image.tile.tile_id", col("`image.tile.tile_id`") + 16)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        delta.count()
+        Prepared(() => packer.mergePacked(packed, delta, "image"),
+          () => { packed.unpersist(); delta.unpersist(); () })
       case other =>
         throw new IllegalArgumentException(s"unknown scale scenario '$other'")
     }
@@ -380,12 +395,13 @@ object Bench {
   private[graft] val NmScaleSemDedup = "scale_semdedup"
   private[graft] val NmScaleSpans = "scale_repeated_spans"
   private[graft] val NmScaleDropSpans = "scale_drop_repeated_spans"
+  private[graft] val NmScalePackMerge = "scale_pack_merge"
   private[graft] val seqPackingShards = Seq(8, 64)
   private[graft] val knnQueryCounts = Seq(100, 1000)
   private[graft] val autoPackKeys = Seq("parent_dom_2k", "skewed")
   private[graft] val scaleScenarioNames: Seq[String] =
     Seq(NmScaleDedup, NmScaleHotBucket, NmScaleSemDedup, NmScaleSpans,
-      NmScaleDropSpans) ++
+      NmScaleDropSpans, NmScalePackMerge) ++
     seqPackingShards.map(s => s"scale_seq_packing_$s") ++
     knnQueryCounts.map(n => s"scale_knn_${n}q") ++
     autoPackKeys.map(k => s"auto_pack_$k")

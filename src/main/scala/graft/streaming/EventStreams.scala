@@ -102,9 +102,10 @@ object EventStreams {
     * chained aggregations, which a single streaming query cannot express —
     * so each micro-batch is packed as a batch DataFrame and written to the
     * sink. Entities whose rows span micro-batches produce one packed row
-    * per batch; exact cross-batch merging is the storage layer's job
-    * (an upsert/merge sink keyed on the root id). Single-level packs can
-    * instead run directly as a streaming aggregation (see StreamingSpec).
+    * per batch; for ONE exact packed table across batches use
+    * [[packUpsertEachBatch]] instead (mergePacked-based upsert sink).
+    * Single-level packs can also run directly as a streaming aggregation
+    * (see StreamingSpec).
     *
     * Replay-idempotent: each batch overwrites its own `batch_id=N`
     * partition directory, so a restarted/replayed micro-batch rewrites the
