@@ -945,7 +945,50 @@ object SparkEntry {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(round(sum(col("l_quantity")), 4)))
+        .agg(round(sum(col("l_quantity")), 4))),
+    // cube grouping sets: all four (flag × status) subtotal combinations
+    // in ONE Expand pass + single shuffle (rollup's full-lattice sibling)
+    "q_cube" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).alias("n"),
+          round(sum(col("l_quantity")), 4).alias("sum_qty"),
+          grouping_id().alias("gid"))),
+    // forward as-of join: each purchase attached to the user's NEXT click
+    // within 2h (post-purchase behavior) — same single-shuffle
+    // union+window, descending time. Oracle is an INDEPENDENT
+    // join-then-rank re-derivation, not DuckDB ASOF.
+    "q_asof_forward" -> ((s, dir) => {
+      val e0 = table(s, dir, "events")
+      val e = e0.withColumn("us", graft.streaming.EventStreams.eventMicros(e0))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us").alias("click_us"))
+        .agg(max(col("event_id")).alias("click_id"))
+      graft.ext.Temporal.asofJoin(purchases, clicks, Seq("user_id"),
+        "us", "click_us", Seq("click_id", "click_us"),
+        toleranceUs = Some(7200L * 1000000), direction = "forward")
+    }),
+    // fuzzy (edit-distance) join: SymSpell deletion-neighborhood blocking
+    // (provably total recall) + exact levenshtein verify ≡ the oracle's
+    // exhaustive cross join on the same bounded sets
+    "q_fuzzy_join" -> ((s, dir) => {
+      val p = table(s, dir, "part").filter(col("p_partkey") < 300)
+      val left = p.select(col("p_partkey").alias("lid"),
+        col("p_name").alias("ls"))
+      val right = p.select((col("p_partkey") + 1000000L).alias("rid"),
+        concat(lit("z"), expr("substring(p_name, 2, 1000000)")).alias("rs"))
+      graft.ext.Fuzzy.fuzzyJoin(left, right, "lid", "ls", "rid", "rs",
+        maxDist = 1)
+    }),
+    // weight-proportional sampling (Efraimidis–Spirakis A-Res key over
+    // the deterministic md5 unit): 30 docs per language, inclusion odds
+    // ∝ n_chars — the "sample a training mix by size/quality" primitive
+    "q_weighted_sample" -> ((s, dir) =>
+      Curation.weightedSample(table(s, dir, "documents"),
+        "lang", "doc_id", "n_chars", k = 30)
+        .withColumnRenamed("rank", "smp_rank"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1652,7 +1695,49 @@ object SparkEntry {
         """SELECT l_returnflag,
           | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F,
           | round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 4) AS O
-          |FROM lineitem GROUP BY l_returnflag""".stripMargin
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      "q_cube" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  round(sum(l_quantity), 4) AS sum_qty,
+          |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+          |       AS BIGINT) AS gid
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+      // independent join-then-rank re-derivation of the FORWARD as-of
+      // (deliberately a different algorithm than the Spark union+window)
+      "q_asof_forward" ->
+        """WITH p AS (
+          |  SELECT event_id, user_id, epoch_us(ts) AS us
+          |  FROM events WHERE event_type = 'purchase'),
+          |c AS (
+          |  SELECT user_id, epoch_us(ts) AS click_us, max(event_id) AS click_id
+          |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          |cand AS (
+          |  SELECT p.event_id, c.click_us, c.click_id,
+          |    row_number() OVER (PARTITION BY p.event_id
+          |                       ORDER BY c.click_us) AS rn
+          |  FROM p JOIN c ON p.user_id = c.user_id
+          |    AND c.click_us >= p.us AND c.click_us - p.us <= 7200000000)
+          |SELECT p.event_id, p.user_id, p.us, n.click_id, n.click_us
+          |FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) n
+          |  ON p.event_id = n.event_id""".stripMargin,
+      "q_fuzzy_join" ->
+        """WITH l AS (
+          |  SELECT p_partkey AS lid, p_name AS ls FROM part WHERE p_partkey < 300),
+          |r AS (
+          |  SELECT p_partkey + 1000000 AS rid, 'z' || substring(p_name, 2) AS rs
+          |  FROM part WHERE p_partkey < 300)
+          |SELECT lid, rid, ls, rs, CAST(levenshtein(ls, rs) AS INT) AS dist
+          |FROM l, r WHERE levenshtein(ls, rs) <= 1""".stripMargin,
+      "q_weighted_sample" ->
+        s"""WITH h AS (
+           |  SELECT lang, doc_id,
+           |    ln(${Curation.hashUnitSql("doc_id")}) / CAST(n_chars AS DOUBLE) AS key
+           |  FROM documents WHERE n_chars > 0)
+           |SELECT lang,
+           |  CAST(row_number() OVER (PARTITION BY lang
+           |       ORDER BY key DESC, doc_id) AS BIGINT) AS smp_rank,
+           |  doc_id
+           |FROM h QUALIFY smp_rank <= 30""".stripMargin
     )
   }
 }

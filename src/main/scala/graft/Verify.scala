@@ -62,7 +62,12 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated name-substring filter (builder-side
+    // focused runs, e.g. re-proving new queries at sf1.0 without the full
+    // sweep); the driver's 2-arg call keeps running everything
+    val (sfDir, outDir) = (args(0), args(1))
+    val filters = args.lift(2)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,8 +76,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    dumpQueries(spark, sfDir, outDir, SparkEntry.queries)
+    def selected(name: String): Boolean =
+      filters.isEmpty || filters.exists(name.contains)
+    dumpQueries(spark, sfDir, outDir,
+      SparkEntry.queries.filter { case (n, _) => selected(n) })
     val json = SparkEntry.oracleSql
+      .filter { case (n, _) => selected(n) }
       .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

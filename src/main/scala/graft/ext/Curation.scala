@@ -248,6 +248,41 @@ object Curation {
     }
   }
 
+  /**
+   * Weight-proportional sampling WITHOUT replacement (Efraimidis &
+   * Spirakis, "Weighted random sampling with a reservoir", IPL 2006 —
+   * the A-Res key): each row draws the deterministic uniform
+   * u = [[hashUnit]](id) and ranks by `ln(u) / w`, a monotone transform
+   * of u^(1/w); the k LARGEST keys win, giving inclusion odds
+   * proportional to weight. Deterministic and replay-stable like
+   * [[quotaSample]] (same md5 unit), and the heavy-weight analogue of
+   * its uniform draw — the canonical "sample a training mix by source
+   * quality/size" primitive.
+   *
+   * Rows with weight <= 0 or null never win. Bounded-heap top-k per
+   * stratum ([[graft.functions.TopKByScore]]) — map-side partial heaps,
+   * never a single-task window. Output: (strataCol, rank, idCol) with
+   * rank 1..k in descending-key order. Integral id columns only (the
+   * heap stores longs); pre-surrogate other id types as in quotaSample.
+   */
+  def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"weightedSample needs an integral id column, got $idType")
+    val w = col(weightCol).cast("double")
+    val key = log(hashUnit(col(idCol))) / w
+    val picked = df
+      .filter(w > 0) // null/zero/negative weight: excluded, never sampled
+      .groupBy(col(strataCol))
+      .agg(graft.functions.TopKByScore.topK(df.sparkSession,
+        key, col(idCol).cast("long"), k).alias("__top"))
+    picked.select(col(strataCol), posexplode(col("__top")))
+      .select(col(strataCol), (col("pos") + 1).cast("long").alias("rank"),
+        col("col.id").cast(idType).alias(idCol))
+  }
+
   // ----------------------------------------------- exact span dedup
 
   /**

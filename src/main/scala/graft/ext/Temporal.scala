@@ -46,8 +46,12 @@ object Temporal {
     * hash exchange on `keys`, per-key sort, zero joins. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, rightCols: Seq[String],
-               toleranceUs: Option[Long] = None): DataFrame = {
+               toleranceUs: Option[Long] = None,
+               direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    val fwd = direction == "forward"
     val clash = rightCols.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"rightCols collide with left columns: $clash")
     val leftCols = left.columns.toSeq
@@ -66,15 +70,22 @@ object Temporal {
         Seq(graft.ColName.topCol(rightTs).alias(ts), lit(0).alias(side),
           graft.ColName.topCol(rightTs).alias(rts)) ++
         rightCols.map(c => graft.ColName.topCol(c)): _*)
+    // backward: ascending time, running-last right = LATEST rts <= ts.
+    // forward: DESCENDING time — preceding rows have rts >= ts and the
+    // most recently seen is the SMALLEST such, i.e. the next right.
+    // Ties: side asc keeps rights before lefts at equal ts either way
+    // (equal-ts rights match inclusively in both directions).
     val w = Window.partitionBy(keys.map(graft.ColName.topCol): _*)
-      .orderBy(col(ts).asc, col(side).asc)
+      .orderBy(if (fwd) col(ts).desc else col(ts).asc, col(side).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = l.unionByName(r.select(l.columns.map(graft.ColName.topCol): _*))
       .withColumns((rightCols :+ rts).map(c =>
         c -> last(graft.ColName.topCol(c), ignoreNulls = true).over(w)).toMap)
     val inTol = toleranceUs match {
       case None => col(rts).isNotNull
-      case Some(t) => col(rts).isNotNull && (col(ts) - col(rts) <= t)
+      case Some(t) =>
+        val gap = if (fwd) col(rts) - col(ts) else col(ts) - col(rts)
+        col(rts).isNotNull && (gap <= t)
     }
     carried.filter(col(side) === 1)
       .select(leftCols.map(graft.ColName.topCol) ++ rightCols.map(c =>

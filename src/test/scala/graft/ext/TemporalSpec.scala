@@ -49,6 +49,35 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     assert(noTol(20L) == 200L)
   }
 
+  test("asofJoin forward: earliest NEXT match, inclusive ties, tolerance") {
+    // rights per user 1: 200, 900; user 2: 400
+    val out = Temporal.asofJoin(leftDf, rightDf, Seq("user_id"),
+        "us", "r_us", Seq("r_id"), toleranceUs = Some(1000L),
+        direction = "forward")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out == Map(
+      10L -> -1L,  // left@1000: no right at or after 1000
+      11L -> 101L, // left@900: tie at 900 matches (inclusive)
+      12L -> 100L, // left@100: next right is 200, gap 100 <= tol
+      20L -> -1L,  // left@5000: rights are all before
+      30L -> -1L)) // user never clicked
+    // with a tight tolerance the 100-us-away match also nulls
+    val tight = Temporal.asofJoin(leftDf, rightDf, Seq("user_id"),
+        "us", "r_us", Seq("r_id"), toleranceUs = Some(50L),
+        direction = "forward")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(tight(12L) == -1L && tight(11L) == 101L)
+  }
+
+  test("asofJoin rejects an unknown direction") {
+    intercept[IllegalArgumentException] {
+      Temporal.asofJoin(leftDf, rightDf, Seq("user_id"),
+        "us", "r_us", Seq("r_id"), direction = "sideways")
+    }
+  }
+
   test("asofJoin plan: ONE keys exchange, zero join nodes") {
     val df = Temporal.asofJoin(leftDf.repartition(4), rightDf.repartition(4),
       Seq("user_id"), "us", "r_us", Seq("r_id"))
