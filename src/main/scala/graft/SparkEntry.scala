@@ -988,7 +988,13 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, dir) =>
       Curation.weightedSample(table(s, dir, "documents"),
         "lang", "doc_id", "n_chars", k = 30)
-        .withColumnRenamed("rank", "smp_rank"))
+        .withColumnRenamed("rank", "smp_rank")),
+    // RAG-style overlapping chunking: 64-token windows every 48 tokens
+    // (16-token overlap); chunk_text byte-compared against the oracle's
+    // independent list_slice re-derivation
+    "q_doc_chunks" -> ((s, dir) =>
+      Curation.chunkDocuments(table(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 64, overlapTokens = 16))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1737,7 +1743,25 @@ object SparkEntry {
            |  CAST(row_number() OVER (PARTITION BY lang
            |       ORDER BY key DESC, doc_id) AS BIGINT) AS smp_rank,
            |  doc_id
-           |FROM h QUALIFY smp_rank <= 30""".stripMargin
+           |FROM h QUALIFY smp_rank <= 30""".stripMargin,
+      // independent chunking re-derivation: same integer chunk-count
+      // formula, DuckDB list_slice (1-based inclusive ends)
+      "q_doc_chunks" ->
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+          |k AS (SELECT doc_id, toks, n,
+          |  CASE WHEN n <= 0 THEN 0
+          |       ELSE (greatest(n - 16, 1) + 47) // 48 END AS nch
+          |  FROM n),
+          |e AS (SELECT doc_id, toks, n, unnest(range(nch)) AS chunk_idx FROM k)
+          |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          |  array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+          |                             chunk_idx * 48 + 64), ' ') AS chunk_text,
+          |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_tokens
+          |FROM e""".stripMargin
     )
   }
 }

@@ -283,6 +283,50 @@ object Curation {
         col("col.id").cast(idType).alias(idCol))
   }
 
+  /**
+   * Overlapping fixed-size document chunking (the RAG / long-context
+   * training shape): split each document into `chunkTokens`-token windows
+   * starting every `chunkTokens - overlapTokens` tokens, so consecutive
+   * chunks share `overlapTokens` tokens of context. Output one row per
+   * chunk: (idCol, chunk_idx, chunk_text, n_tokens); empty/null documents
+   * produce ZERO rows.
+   *
+   * Chunk count: 0 for empty docs, else `ceil(max(n - overlap, 1) /
+   * stride)` — integer arithmetic, so the DuckDB oracle reproduces it
+   * bit-exactly. The final chunk may be short (the tail), never empty.
+   *
+   * Scale shape: zero shuffles — tokenize is staged ONCE per row (HOFs
+   * are interpreted; no codegen CSE), the chunk index explodes map-side,
+   * and each chunk slices the staged array. Output size ≈ input ×
+   * (1 + overlap/stride) — the inherent cost of overlap, nothing more.
+   */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val id = graft.ColName.topCol(idCol)
+    val staged = df
+      .select(id.alias(idCol), TextAnalysis.tokens(col(textCol)).alias("__toks"))
+      .select(col(graft.ColName.quote(idCol)), col("__toks"),
+        coalesce(size(col("__toks")), lit(0)).alias("__n"))
+      .withColumn("__nch",
+        when(col("__n") <= 0, lit(0)).otherwise(
+          expr(s"(greatest(__n - $overlapTokens, 1) + ${stride - 1}) div $stride")))
+    staged
+      .select(col(graft.ColName.quote(idCol)), col("__toks"), col("__n"),
+        posexplode(when(col("__nch") > 0,
+          sequence(lit(0), (col("__nch") - 1).cast("int")))
+          .otherwise(array().cast("array<int>"))))
+      .select(col(graft.ColName.quote(idCol)),
+        col("pos").cast("long").alias("chunk_idx"),
+        array_join(slice(col("__toks"), col("pos") * stride + 1,
+          lit(chunkTokens)), " ").alias("chunk_text"),
+        least(lit(chunkTokens), col("__n") - col("pos") * stride)
+          .cast("long").alias("n_tokens"))
+  }
+
   // ----------------------------------------------- exact span dedup
 
   /**
