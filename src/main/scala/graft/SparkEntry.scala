@@ -994,7 +994,43 @@ object SparkEntry {
     // independent list_slice re-derivation
     "q_doc_chunks" -> ((s, dir) =>
       Curation.chunkDocuments(table(s, dir, "documents"),
-        "doc_id", "text", chunkTokens = 64, overlapTokens = 16))
+        "doc_id", "text", chunkTokens = 64, overlapTokens = 16)),
+    // exact heavy hitters via the two-pass Misra–Gries sketch: hot-key
+    // detection over events.user_id with the sketch capacity (120) BELOW
+    // the distinct-user count — the MG eviction path does real work, and
+    // the exact second pass makes the output identical to a full
+    // GROUP BY ... HAVING (what the oracle runs). Scale story: pass 1's
+    // shuffle is capacity-bounded, pass 2's is candidate-bounded —
+    // neither scales with the distinct-key count.
+    "q_heavy_hitters" -> ((s, dir) =>
+      ext.HeavyHitters.exact(
+        table(s, dir, "events").select(
+          col("user_id").cast("string").alias("item")),
+        "item", capacity = 120)),
+    // BM25 ranked retrieval (k1=1.2, b=0.75) for a 3-term query over the
+    // documents corpus: staged tokenization, ONE corpus-stats pass joined
+    // back as a broadcast scalar, per-term tf off the token array (no
+    // explode), TakeOrdered top-20
+    "q_bm25" -> ((s, dir) =>
+      ext.Retrieval.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"), topK = 20)),
+    // bloom-pruned selective join: lineitems of high-value orders. The
+    // probe (lineitem) is filtered by a Bloom filter of the qualifying
+    // order keys BEFORE the join exchange — the explicit form of Spark's
+    // runtime row-level filtering; the join removes the false positives,
+    // so the aggregate ≡ the plain join's
+    "q_bloom_join" -> ((s, dir) => {
+      val probe = table(s, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "okey")
+      val build = table(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").alias("okey"), col("o_orderpriority"))
+      ext.Skew.bloomPrunedJoin(probe, build, Seq("okey"),
+          expectedItems = 1000000L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).alias("n_lines"),
+          sum(col("l_quantity")).alias("sum_qty"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1761,7 +1797,62 @@ object SparkEntry {
           |  array_to_string(list_slice(toks, chunk_idx * 48 + 1,
           |                             chunk_idx * 48 + 64), ' ') AS chunk_text,
           |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_tokens
-          |FROM e""".stripMargin
+          |FROM e""".stripMargin,
+      // the full GROUP BY ... HAVING the sketch path provably equals:
+      // threshold is exact integer arithmetic, n counts non-null items
+      "q_heavy_hitters" ->
+        """WITH src AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS item FROM events
+          |  WHERE user_id IS NOT NULL),
+          |n AS (SELECT count(*) AS n FROM src)
+          |SELECT item, count(*) AS cnt FROM src, n
+          |GROUP BY item, n.n HAVING count(*) * 121 > n.n""".stripMargin,
+      // independent BM25 re-derivation: same tokenization as q_vocab_topk,
+      // exact-integer corpus stats, +1-smoothed idf, terms summed in the
+      // query's order, round 6
+      "q_bm25" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(
+          |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |      x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |l AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+          |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+          |  sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+          |  sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df1,
+          |  sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df2
+          |  FROM l),
+          |scored AS (
+          |  SELECT doc_id,
+          |    ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5))
+          |      * len(list_filter(toks, x -> x = 'spark')) * 2.2
+          |      / (len(list_filter(toks, x -> x = 'spark'))
+          |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+          |                  / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+          |    + ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5))
+          |      * len(list_filter(toks, x -> x = 'join')) * 2.2
+          |      / (len(list_filter(toks, x -> x = 'join'))
+          |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+          |                  / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+          |    + ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5))
+          |      * len(list_filter(toks, x -> x = 'window')) * 2.2
+          |      / (len(list_filter(toks, x -> x = 'window'))
+          |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+          |                  / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+          |    AS score
+          |  FROM l, stats)
+          |SELECT doc_id, round(score, 6) AS score FROM scored
+          |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 20""".stripMargin,
+      // plain selective join + aggregate: the bloom prune must be
+      // invisible in the result (no false negatives; fp's removed by the
+      // join). sum_qty is a sum of integral doubles — exact, order-free
+      "q_bloom_join" ->
+        """SELECT o.o_orderpriority, count(*) AS n_lines,
+          |  sum(l.l_quantity) AS sum_qty
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |WHERE o.o_totalprice > 400000.0
+          |GROUP BY o.o_orderpriority""".stripMargin
     )
   }
 }

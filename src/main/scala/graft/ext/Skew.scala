@@ -24,6 +24,86 @@ object Skew {
 
   private val SaltCol = "__salt"
 
+  /** Registered wrapper around Spark's own `BloomFilterMightContain`
+    * runtime-filter expression (the engine applies it internally for
+    * `spark.sql.optimizer.runtime.bloomFilter`; there is no public
+    * Column API). First arg: serialized `util.sketch.BloomFilter`
+    * binary literal; second: the xxhash64 of the probe key. */
+  private def mightContain(spark: org.apache.spark.sql.SparkSession,
+                           bloomBytes: Array[Byte], value: Column): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)),
+      "scala_udf")
+    call_function("graft_bloom_might_contain", lit(bloomBytes), value)
+  }
+
+  /**
+   * Bloom-pruned inner equi-join: semantically EXACTLY
+   * `probe.join(build, keys, "inner")` (build columns clashing with
+   * probe's are prefixed `rightPrefix`), but the probe side is filtered
+   * by a Bloom filter of the build side's keys BEFORE the join's
+   * exchange.
+   *
+   * Why it matters at 100 TB: in a selective large-large join (fact
+   * table vs a filtered dimension that is too big — or too late, e.g.
+   * derived keys — for the optimizer's own runtime filter), the probe
+   * shuffle is the dominant cost, and most probe rows have no partner.
+   * The bloom predicate drops them AT THE SCAN (codegen'd, pushed below
+   * the exchange), so shuffle volume scales with the MATCHING rows, not
+   * the probe table. False positives only cost shuffle bytes — the join
+   * itself removes them, so the result is exact (no false negatives:
+   * both sides hash the key identically with xxhash64). This is the
+   * explicit, deterministic form of Spark's `InjectRuntimeFilter`.
+   *
+   * The filter is built by ONE partial-aggregatable pass over the build
+   * side (`stat.bloomFilter`) and ships as a bounded binary literal
+   * (~1.2 MB at 1M expected items / 1% fpp) — sized by `expectedItems`,
+   * NOT by the probe. Both multi-column keys and single keys hash
+   * through the same null-skipping xxhash64, and null keys can only add
+   * harmless false positives (the inner join rejects them anyway).
+   */
+  /** The probe-side predicate of [[bloomPrunedJoin]], reusable on its
+    * own (e.g. prune a corpus against a key set before an expensive
+    * transform without joining). Builds the Bloom filter of
+    * `build`'s `buildKeys` in one partial-aggregatable pass and returns
+    * a codegen'd `might_contain` Column over `probe`'s `probeKeys`.
+    * GUARANTEED no false negatives (both sides hash with the same
+    * xxhash64); false positives bounded by `fpp`. */
+  def bloomKeyFilter(build: DataFrame, buildKeys: Seq[String],
+                     expectedItems: Long, fpp: Double = 0.01)
+                    (probe: DataFrame, probeKeys: Seq[String]): Column = {
+    require(buildKeys.nonEmpty && probeKeys.size == buildKeys.size,
+      "bloomKeyFilter: probeKeys must match buildKeys arity")
+    require(expectedItems > 0, s"expectedItems must be > 0, got $expectedItems")
+    val q = (n: String) => graft.ColName.quote(n)
+    // sentinel row: stat.bloomFilter NPEs on a zero-row build side (its
+    // aggregate evals to null). One extra hash value can only add a
+    // ~2^-64 false positive — never a false negative — so correctness
+    // is untouched and the empty-build case degrades gracefully.
+    val hashes = build.select(
+        xxhash64(buildKeys.map(k => build(q(k))): _*).alias("__h"))
+      .union(build.sparkSession.range(1).select(lit(Long.MinValue).alias("__h")))
+    val bf = hashes.stat.bloomFilter(col("__h"), expectedItems + 1, fpp)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    mightContain(probe.sparkSession, out.toByteArray,
+      xxhash64(probeKeys.map(k => probe(q(k))): _*))
+  }
+
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                      expectedItems: Long, fpp: Double = 0.01,
+                      rightPrefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "bloomPrunedJoin needs at least one key column")
+    val pruned = probe.filter(
+      bloomKeyFilter(build, keys, expectedItems, fpp)(probe, keys))
+    val clash = build.columns.filterNot(keys.contains).filter(probe.columns.contains)
+    val rRenamed = clash.foldLeft(build)((df, c) =>
+      df.withColumnRenamed(c, rightPrefix + c))
+    pruned.join(rRenamed, keys, "inner")
+  }
+
   /** Inner equi-join of `left` and `right` on `keys`, salted across
     * `buckets` reducers per key. Result is EXACTLY `left.join(right,
     * keys, "inner")` (row multiset; output columns = left's then right's

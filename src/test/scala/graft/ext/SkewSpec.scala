@@ -54,4 +54,61 @@ class SkewSpec extends SparkSpec {
     val b = Skew.saltedJoin(leftDf, rightDf, Seq("k"), buckets = 4)
     assertSameRows(a, b)
   }
+
+  // ---- bloomPrunedJoin ----
+
+  test("bloomPrunedJoin ≡ plain inner join (dup right keys, no-match keys, clash prefix)") {
+    val plain = leftDf.join(rightDf.withColumnRenamed("lv", "r_lv"), Seq("k"), "inner")
+    val pruned = Skew.bloomPrunedJoin(leftDf, rightDf, Seq("k"), expectedItems = 16)
+    assertSameRows(pruned, plain)
+  }
+
+  test("bloomPrunedJoin: null keys on either side behave like the plain join") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ls = StructType(Seq(StructField("k", LongType), StructField("lv", LongType)))
+    val rs = StructType(Seq(StructField("k", LongType), StructField("rv", StringType)))
+    val l = spark.createDataFrame(Seq(
+      Row(1L, 10L), Row(null, 11L), Row(2L, 12L)).asJava, ls)
+    val r = spark.createDataFrame(Seq(
+      Row(1L, "one"), Row(null, "nil"), Row(3L, "three")).asJava, rs)
+    val plain = l.join(r, Seq("k"), "inner")
+    assertSameRows(Skew.bloomPrunedJoin(l, r, Seq("k"), expectedItems = 8), plain)
+  }
+
+  test("bloomKeyFilter prunes non-matching probe rows (no false negatives, bounded fp)") {
+    import org.apache.spark.sql.functions._
+    val probe = spark.range(0, 2000).select(col("id").alias("k"))
+    val build = spark.range(0, 20).select(col("id").alias("k")) // keys 0..19
+    val pred = Skew.bloomKeyFilter(build, Seq("k"), expectedItems = 32,
+      fpp = 0.01)(probe, Seq("k"))
+    val kept = probe.filter(pred).count()
+    assert(kept >= 20L, s"false negative: kept $kept < 20 matching rows")
+    // 1980 non-matching rows at 1% fpp → expect ~20 extras; 10x slack
+    assert(kept <= 20L + 200L, s"pruning ineffective: kept $kept of 2000")
+  }
+
+  test("bloomPrunedJoin plan: might_contain filter sits below the join") {
+    import org.apache.spark.sql.functions._
+    // range-backed inputs: a LocalRelation probe would let the optimizer
+    // constant-fold the literal-bloom filter at plan time (correct, but
+    // invisible); Range keeps the runtime shape a real scan would have
+    val probe = spark.range(0, 1000).select(col("id").alias("k"),
+      (col("id") * 2).alias("lv"))
+    val build = spark.range(0, 10).select(col("id").alias("k"),
+      col("id").cast("string").alias("rv"))
+    val df = Skew.bloomPrunedJoin(probe, build, Seq("k"), expectedItems = 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom filter missing from plan:\n$plan")
+    // the filter must sit on the probe scan side, BEFORE the join
+    val joinIdx = plan.indexOf("Join")
+    val mcIdx = plan.indexOf("might_contain")
+    assert(joinIdx >= 0 && mcIdx > joinIdx,
+      s"might_contain not below the join:\n$plan")
+  }
+
+  test("bloomPrunedJoin: empty build side yields empty result") {
+    val empty = rightDf.filter(org.apache.spark.sql.functions.lit(false))
+    assert(Skew.bloomPrunedJoin(leftDf, empty, Seq("k"), expectedItems = 1).count() == 0L)
+  }
 }
