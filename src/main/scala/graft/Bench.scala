@@ -382,6 +382,41 @@ object Bench {
         delta.count()
         Prepared(() => packer.mergePacked(packed, delta, "image"),
           () => { packed.unpersist(); delta.unpersist(); () })
+      // selective large-large join, bloom-pruned vs plain, same aggregate.
+      // Auto-broadcast is disabled for BOTH (at sf0.1 the 6k-row build
+      // side would broadcast and hide the probe shuffle this scenario
+      // exists to measure — the 100 TB shape is a build side too big or
+      // too late for broadcast). The bloom variant's timed thunk INCLUDES
+      // the filter-construction pass — the comparison is end-to-end.
+      case n @ (NmScaleJoinPlain | NmScaleJoinBloom) =>
+        val conf = spark.conf
+        val prevB = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        val prevA = conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        Prepared(() => {
+          val probe = spark.read.parquet(s"$sfDir/lineitem.parquet")
+            .withColumnRenamed("l_orderkey", "okey")
+          val build = spark.read.parquet(s"$sfDir/orders.parquet")
+            .filter(col("o_totalprice") > 480000.0)
+            .select(col("o_orderkey").alias("okey"), col("o_orderpriority"))
+          val joined =
+            if (n == NmScaleJoinBloom)
+              graft.ext.Skew.bloomPrunedJoin(probe, build, Seq("okey"),
+                expectedItems = 100000L)
+            else probe.join(build, Seq("okey"), "inner")
+          joined.groupBy("o_orderpriority")
+            .agg(count(lit(1)).alias("n_lines"), sum("l_quantity").alias("sum_qty"))
+        }, () => {
+          conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+          prevA match {
+            case Some(v) =>
+              conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+            case None =>
+              conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          }
+          ()
+        })
       case other =>
         throw new IllegalArgumentException(s"unknown scale scenario '$other'")
     }
@@ -396,12 +431,14 @@ object Bench {
   private[graft] val NmScaleSpans = "scale_repeated_spans"
   private[graft] val NmScaleDropSpans = "scale_drop_repeated_spans"
   private[graft] val NmScalePackMerge = "scale_pack_merge"
+  private[graft] val NmScaleJoinPlain = "scale_selective_join_plain"
+  private[graft] val NmScaleJoinBloom = "scale_selective_join_bloom"
   private[graft] val seqPackingShards = Seq(8, 64)
   private[graft] val knnQueryCounts = Seq(100, 1000)
   private[graft] val autoPackKeys = Seq("parent_dom_2k", "skewed")
   private[graft] val scaleScenarioNames: Seq[String] =
     Seq(NmScaleDedup, NmScaleHotBucket, NmScaleSemDedup, NmScaleSpans,
-      NmScaleDropSpans, NmScalePackMerge) ++
+      NmScaleDropSpans, NmScalePackMerge, NmScaleJoinPlain, NmScaleJoinBloom) ++
     seqPackingShards.map(s => s"scale_seq_packing_$s") ++
     knnQueryCounts.map(n => s"scale_knn_${n}q") ++
     autoPackKeys.map(k => s"auto_pack_$k")
