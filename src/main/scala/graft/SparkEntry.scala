@@ -1030,7 +1030,18 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).alias("n_lines"),
           sum(col("l_quantity")).alias("sum_qty"))
-    })
+    }),
+    // PMI collocation mining: one map-side bigram explode reduces to pair
+    // counts; every later join/agg is vocabulary-bounded. Exact-integer
+    // counts, ln only in the final projection (round 6)
+    "q_pmi_bigrams" -> ((s, dir) =>
+      ext.LangModel.pmiBigrams(table(s, dir, "documents"),
+        "doc_id", "text", minCount = 20L)),
+    // self-trained bigram-LM perplexity filter (the model-free KenLM
+    // stand-in): add-one smoothing, per-doc mean NLL, round 4 (the
+    // per-doc float sum is engine-order-dependent at ~1e-12)
+    "q_lm_perplexity" -> ((s, dir) =>
+      ext.LangModel.bigramNll(table(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1852,7 +1863,46 @@ object SparkEntry {
           |  sum(l.l_quantity) AS sum_qty
           |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
           |WHERE o.o_totalprice > 400000.0
-          |GROUP BY o.o_orderpriority""".stripMargin
+          |GROUP BY o.o_orderpriority""".stripMargin,
+      // independent PMI re-derivation: same tokenization, bigrams via a
+      // 1-based range unnest, all counts off the one bigram table
+      "q_pmi_bigrams" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(
+          |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |    x -> len(x) > 0) AS t
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+          |  FROM toks, unnest(range(1, len(t))) AS u(i)),
+          |pairs AS (SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY 1, 2),
+          |firsts AS (SELECT w1, sum(cnt) AS c1 FROM pairs GROUP BY 1),
+          |seconds AS (SELECT w2, sum(cnt) AS c2 FROM pairs GROUP BY 1),
+          |total AS (SELECT sum(cnt) AS n FROM pairs)
+          |SELECT p.w1, p.w2, p.cnt,
+          |  round(ln(CAST(p.cnt AS DOUBLE) * n / (CAST(c1 AS DOUBLE) * c2)), 6) AS pmi
+          |FROM pairs p JOIN firsts USING (w1) JOIN seconds USING (w2)
+          |CROSS JOIN total WHERE p.cnt >= 20""".stripMargin,
+      // independent bigram-LM re-derivation: add-one smoothing, V =
+      // distinct first elements, per-(doc,bigram) multiplicity k
+      "q_lm_perplexity" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(
+          |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |    x -> len(x) > 0) AS t
+          |  FROM documents),
+          |bg AS (
+          |  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+          |  FROM toks, unnest(range(1, len(t))) AS u(i)),
+          |lm AS (SELECT w1, w2, count(*) AS c_ab FROM bg GROUP BY 1, 2),
+          |firsts AS (SELECT w1, sum(c_ab) AS c_a FROM lm GROUP BY 1),
+          |vocab AS (SELECT count(DISTINCT w1) AS v FROM lm),
+          |dp AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3)
+          |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+          |  round(sum(-k * ln((CAST(c_ab AS DOUBLE) + 1.0)
+          |                    / (CAST(c_a AS DOUBLE) + v))) / sum(k), 4) AS avg_nll
+          |FROM dp JOIN lm USING (w1, w2) JOIN firsts USING (w1)
+          |CROSS JOIN vocab GROUP BY doc_id""".stripMargin
     )
   }
 }
