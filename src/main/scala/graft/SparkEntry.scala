@@ -1041,7 +1041,22 @@ object SparkEntry {
     // stand-in): add-one smoothing, per-doc mean NLL, round 4 (the
     // per-doc float sum is engine-order-dependent at ~1e-12)
     "q_lm_perplexity" -> ((s, dir) =>
-      ext.LangModel.bigramNll(table(s, dir, "documents"), "doc_id", "text"))
+      ext.LangModel.bigramNll(table(s, dir, "documents"), "doc_id", "text")),
+    // small-file compaction roundtrip: shred orders into 48 tiny files,
+    // bin-pack to byte-derived ~3-file output, read back — content must
+    // be exactly the source (the oracle reads the ORIGINAL table)
+    "q_compact_roundtrip" -> ((s, dir) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val shredded = s"$tmp/graft_compact_in"
+      val out = s"$tmp/graft_compact_out"
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .repartition(48).write.mode("overwrite").parquet(shredded)
+      val (bytes, _) = ext.Layout.dirStats(s, shredded)
+      ext.Layout.compactFiles(s, shredded, out, targetBytes = bytes / 3 + 1)
+      s.read.parquet(out)
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1902,7 +1917,10 @@ object SparkEntry {
           |  round(sum(-k * ln((CAST(c_ab AS DOUBLE) + 1.0)
           |                    / (CAST(c_a AS DOUBLE) + v))) / sum(k), 4) AS avg_nll
           |FROM dp JOIN lm USING (w1, w2) JOIN firsts USING (w1)
-          |CROSS JOIN vocab GROUP BY doc_id""".stripMargin
+          |CROSS JOIN vocab GROUP BY doc_id""".stripMargin,
+      "q_compact_roundtrip" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+          |FROM orders""".stripMargin
     )
   }
 }

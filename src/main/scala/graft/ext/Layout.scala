@@ -88,4 +88,55 @@ object Layout {
     * touches — the quantity z-ordering minimizes for box predicates. */
   def filesTouched(df: DataFrame, predicate: Column): Long =
     df.filter(predicate).select(input_file_name()).distinct().count()
+
+  /** Total bytes and file count of the parquet data files under `path`
+    * (recursive driver-side listing — bounded by the FILE count, which
+    * is exactly what compaction exists to shrink). */
+  def dirStats(spark: org.apache.spark.sql.SparkSession,
+               path: String): (Long, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var bytes = 0L; var n = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        bytes += f.getLen; n += 1
+      }
+    }
+    (bytes, n)
+  }
+
+  /**
+   * Small-file compaction: rewrite the parquet directory at `inPath` to
+   * `outPath` as ~`targetBytes`-sized files. THE operational fix for the
+   * classic small-files problem (a streaming sink or over-parallel write
+   * leaving thousands of KB-scale files whose per-file open/footer cost
+   * dominates scans and floods the driver's split enumeration).
+   *
+   * File count = ceil(inputBytes / targetBytes), derived from the REAL
+   * input byte size, not a row-count guess — compression ratios carry
+   * over since the data is the same. The rewrite is ONE round-robin
+   * repartition — a shuffle, but the cheap kind (no keys, no sort, no
+   * skew, perfectly even output sizes). `coalesce` is deliberately NOT
+   * used: it would fuse upstream scan parallelism down to the output
+   * file count, serializing the read of the very many-file input being
+   * fixed. Row content is preserved exactly; physical order is not
+   * (compaction is order-agnostic — compose with [[zorderWrite]] when
+   * clustering matters).
+   *
+   * Returns (files before, files after).
+   */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession,
+                   inPath: String, outPath: String,
+                   targetBytes: Long = 128L << 20): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val (bytes, nIn) = dirStats(spark, inPath)
+    val nOut = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    (nIn, nOut)
+  }
 }

@@ -46,4 +46,33 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     // content parity through the layout
     assert(sp.read.parquet(zPath).count() == 20000)
   }
+
+  test("compactFiles bin-packs a shredded directory to the byte-derived count") {
+    val sp = spark
+    val src = sp.range(50000).select(col("id"),
+      (col("id") % 7).alias("grp"), (col("id") * 3).alias("v"))
+    val shredded = "target/tmp/layout_shredded"
+    val compacted = "target/tmp/layout_compacted"
+    src.repartition(64).write.mode("overwrite").parquet(shredded)
+    val (before, _) = Layout.dirStats(sp, shredded)
+    val (nIn, nOut) = Layout.compactFiles(sp, shredded, compacted,
+      targetBytes = (before / 3) + 1)
+    assert(nIn == 64, s"expected 64 shredded input files, saw $nIn")
+    assert(nOut == 3, s"expected ceil(bytes/target)=3 output files, got $nOut")
+    val (_, outFiles) = Layout.dirStats(sp, compacted)
+    assert(outFiles == 3, s"wrote $outFiles files, planned 3")
+    // content preserved exactly (order-agnostic)
+    assertSameRows(sp.read.parquet(compacted), src)
+  }
+
+  test("compactFiles on an already-compact input is a size-preserving no-op shape") {
+    val sp = spark
+    val src = sp.range(1000).toDF("id")
+    val one = "target/tmp/layout_one"
+    val out = "target/tmp/layout_one_out"
+    src.repartition(1).write.mode("overwrite").parquet(one)
+    val (nIn, nOut) = Layout.compactFiles(sp, one, out, targetBytes = 1L << 30)
+    assert(nIn == 1 && nOut == 1)
+    assertSameRows(sp.read.parquet(out), src)
+  }
 }
