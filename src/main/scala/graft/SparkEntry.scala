@@ -1056,7 +1056,27 @@ object SparkEntry {
       val (bytes, _) = ext.Layout.dirStats(s, shredded)
       ext.Layout.compactFiles(s, shredded, out, targetBytes = bytes / 3 + 1)
       s.read.parquet(out)
-    })
+    }),
+    // fixed-width histogram: one partial-aggregatable groupBy over a
+    // codegen'd bucket expression — shuffle carries ≤ buckets rows per
+    // partition. (110000-0)/20 = 5500 exactly, so the bucket arithmetic
+    // is bit-identical across engines
+    "q_histogram" -> ((s, dir) =>
+      ext.Profile.histogram(table(s, dir, "lineitem"), "l_extendedprice",
+        lo = 0.0, hi = 110000.0, buckets = 20)),
+    // multi-column profile: ONE aggregation (no per-column subplans, no
+    // join — plan-test-locked), map-side unpivot of the single row
+    "q_profile" -> ((s, dir) =>
+      ext.Profile.columnProfile(table(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice"))),
+    // sketch accuracy gates: HLL++ distinct and approx-median next to
+    // their exact counterparts. The within-bound booleans are computed
+    // Spark-side (the oracle restates them as literal true and exactly
+    // recomputes the exact columns — the LSH/IVF strategy-equivalence
+    // idiom)
+    "q_sketch_accuracy" -> ((s, dir) =>
+      ext.Profile.sketchAccuracy(table(s, dir, "lineitem"),
+        "l_extendedprice", rsd = 0.05, accuracy = 1000))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1920,7 +1940,46 @@ object SparkEntry {
           |CROSS JOIN vocab GROUP BY doc_id""".stripMargin,
       "q_compact_roundtrip" ->
         """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
-          |FROM orders""".stripMargin
+          |FROM orders""".stripMargin,
+      // same bucket arithmetic, same closed top edge, same exclusions
+      "q_histogram" ->
+        """WITH b AS (
+          |  SELECT least(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+          |                     / 5500.0), 19) AS bucket
+          |  FROM lineitem
+          |  WHERE l_extendedprice IS NOT NULL
+          |    AND l_extendedprice >= 0.0 AND l_extendedprice <= 110000.0)
+          |SELECT CAST(bucket AS BIGINT) AS bucket,
+          |  round(0.0 + bucket * 5500.0, 6) AS bucket_lo,
+          |  round(0.0 + (bucket + 1) * 5500.0, 6) AS bucket_hi,
+          |  count(*) AS cnt
+          |FROM b GROUP BY bucket""".stripMargin,
+      "q_profile" ->
+        """SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+          |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          |  count(DISTINCT o_orderkey) AS n_distinct,
+          |  CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+          |  CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM orders
+          |UNION ALL
+          |SELECT 'o_orderstatus', count(*),
+          |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |  count(DISTINCT o_orderstatus),
+          |  CAST(min(o_orderstatus) AS VARCHAR),
+          |  CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+          |UNION ALL
+          |SELECT 'o_totalprice', count(*),
+          |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          |  count(DISTINCT o_totalprice),
+          |  CAST(min(o_totalprice) AS VARCHAR),
+          |  CAST(max(o_totalprice) AS VARCHAR) FROM orders""".stripMargin,
+      // exact columns recomputed exactly; the Spark-side bound booleans
+      // restated as literal true (strategy-equivalence)
+      "q_sketch_accuracy" ->
+        """SELECT count(DISTINCT l_extendedprice) AS exact_distinct,
+          |  true AS distinct_within_4rsd,
+          |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+          |  true AS p50_rank_within_bound
+          |FROM lineitem""".stripMargin
     )
   }
 }

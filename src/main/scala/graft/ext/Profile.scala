@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * One-pass data profiling at corpus scale — the "look before you train"
+ * operators a 100 TB pipeline runs constantly: fixed-width histograms,
+ * multi-column summary profiles, and accuracy gates for the approximate
+ * sketches (HyperLogLog++ distinct counts, KLL-style approximate
+ * quantiles) that replace their exact counterparts once exact becomes
+ * unaffordable.
+ *
+ * Scale shapes: histogram = one partial-aggregatable groupBy over a
+ * codegen'd bucket expression (shuffle carries ≤ `buckets` partial
+ * rows per partition); columnProfile = ONE aggregation producing a
+ * single row, unpivoted map-side; sketchAccuracy = the approx and exact
+ * aggregates side by side in one pass each.
+ */
+object Profile {
+
+  /**
+   * Fixed-width histogram of numeric column `c` over [lo, hi]: bucket i
+   * covers [lo + i·w, lo + (i+1)·w) with w = (hi−lo)/buckets; values
+   * exactly equal to `hi` land in the last bucket (closed top edge, the
+   * width_bucket convention). Rows outside [lo, hi] and nulls are
+   * excluded. Empty buckets are absent. Output: (bucket, bucket_lo,
+   * bucket_hi, cnt) — edges recomputed from the bucket index so the
+   * output is self-describing.
+   */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi]")
+    val v = graft.ColName.topCol(c).cast("double")
+    val w = (hi - lo) / buckets
+    val bucket = least(floor((v - lit(lo)) / lit(w)), lit(buckets - 1L))
+      .cast("long")
+    df.filter(v.isNotNull && v >= lo && v <= hi)
+      .groupBy(bucket.alias("bucket"))
+      .agg(count(lit(1)).alias("cnt"))
+      .select(col("bucket"),
+        round(lit(lo) + col("bucket") * w, 6).alias("bucket_lo"),
+        round(lit(lo) + (col("bucket") + 1) * w, 6).alias("bucket_hi"),
+        col("cnt"))
+  }
+
+  /**
+   * Long-format summary profile of `cols`: one row per column with
+   * (column, n_rows, n_null, n_distinct, min_val, max_val) — min/max
+   * cast to string so heterogeneous column types share one schema.
+   * ONE aggregation computes every metric (Spark plans the multi-column
+   * distinct counts via a single Expand); the row→long unpivot is
+   * map-side over the single result row.
+   */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val q = (n: String) => graft.ColName.topCol(n)
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).alias(s"__n_$c"),
+        sum(when(q(c).isNull, 1L).otherwise(0L)).alias(s"__nul_$c"),
+        count_distinct(q(c)).alias(s"__nd_$c"),
+        min(q(c)).cast("string").alias(s"__mn_$c"),
+        max(q(c)).cast("string").alias(s"__mx_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      struct(lit(c).alias("column"), col(s"`__n_$c`").alias("n_rows"),
+        col(s"`__nul_$c`").alias("n_null"), col(s"`__nd_$c`").alias("n_distinct"),
+        col(s"`__mn_$c`").alias("min_val"), col(s"`__mx_$c`").alias("max_val")))
+    row.select(explode(array(stacked: _*)).alias("p")).select("p.*")
+  }
+
+  /**
+   * Accuracy gate for the approximate sketches: runs HyperLogLog++
+   * (`approx_count_distinct` at `rsd`) and the approximate median
+   * (`percentile_approx` at `accuracy`) next to their exact
+   * counterparts and reports both values plus within-bound booleans.
+   *
+   *  - distinct: |approx − exact| / exact ≤ 4·rsd (HLL++ rsd is one
+   *    standard deviation; 4σ makes the gate deterministic in practice);
+   *  - median: percentile_approx's contract is a RANK guarantee — the
+   *    returned value's rank is within n/accuracy of n/2 — so the gate
+   *    recomputes the approx value's actual rank and checks that window
+   *    (±1 for interpolation slack), NOT a value distance.
+   *
+   * The within-bound booleans are computed Spark-side; a DuckDB oracle
+   * can restate them as literal `true` and exactly recompute the exact
+   * columns (the strategy-equivalence idiom used by the LSH/IVF gates).
+   */
+  def sketchAccuracy(df: DataFrame, c: String, rsd: Double = 0.05,
+                     accuracy: Int = 1000): DataFrame = {
+    val v = graft.ColName.topCol(c)
+    val stats = df.agg(
+      count_distinct(v).alias("exact_distinct"),
+      approx_count_distinct(v, rsd).alias("approx_distinct"),
+      expr(s"percentile(${graft.ColName.quote(c)}, 0.5)").alias("exact_p50"),
+      expr(s"percentile_approx(${graft.ColName.quote(c)}, 0.5, $accuracy)")
+        .alias("approx_p50"),
+      count(v).alias("n"))
+    // the approx value's true rank RANGE: with ties the value occupies
+    // ranks (count(< v), count(<= v)] — the guarantee holds iff that
+    // range intersects the target window, not iff a single rank does
+    val rankOfApprox = df.crossJoin(broadcast(stats.select("approx_p50")))
+      .agg(sum(when(v <= col("approx_p50"), 1L).otherwise(0L)).alias("rank_le"),
+        sum(when(v < col("approx_p50"), 1L).otherwise(0L)).alias("rank_lt"))
+    stats.crossJoin(broadcast(rankOfApprox))
+      .select(
+        col("exact_distinct"),
+        (abs(col("approx_distinct") - col("exact_distinct")).cast("double")
+          / col("exact_distinct") <= 4 * rsd).alias("distinct_within_4rsd"),
+        round(col("exact_p50"), 4).alias("exact_p50"),
+        (col("rank_le") >= col("n") / 2 - col("n") / accuracy - 1 &&
+         col("rank_lt") <= col("n") / 2 + col("n") / accuracy + 1)
+          .alias("p50_rank_within_bound"))
+  }
+}

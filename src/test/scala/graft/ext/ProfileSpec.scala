@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("histogram: bucket edges, closed top edge, out-of-range and null exclusion") {
+    val df = Seq(Some(0.0), Some(0.5), Some(1.0), Some(2.5), Some(9.9),
+      Some(10.0), Some(-0.1), Some(10.1), None)
+      .toDF("v")
+    val h = Profile.histogram(df, "v", lo = 0.0, hi = 10.0, buckets = 4)
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    // buckets of width 2.5: [0,2.5)->{0,0.5,1.0}, [2.5,5)->{2.5},
+    // [7.5,10]->{9.9,10.0 (closed top)}; -0.1/10.1/null excluded
+    assert(h == Seq((0L, 0.0, 2.5, 3L), (1L, 2.5, 5.0, 1L), (3L, 7.5, 10.0, 2L)))
+  }
+
+  test("histogram matches a groupBy re-derivation on a bigger frame") {
+    val df = spark.range(10000).select((col("id") % 97).cast("double").alias("v"))
+    val h = Profile.histogram(df, "v", 0.0, 97.0, 10)
+      .as[(Long, Double, Double, Long)].collect().map(r => r._1 -> r._4).toMap
+    val want = (0L until 10000L).map(_ % 97)
+      .groupBy(v => math.min(math.floor(v / 9.7).toLong, 9L))
+      .view.mapValues(_.size.toLong).toMap
+    assert(h == want)
+  }
+
+  test("columnProfile: one row per column with exact stats") {
+    val df = Seq((1L, Some("a"), 1.5), (2L, Some("b"), 2.5),
+      (3L, None, 1.5), (4L, Some("a"), 0.5)).toDF("id", "s", "v")
+    val p = Profile.columnProfile(df, Seq("id", "s", "v"))
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(p("id") == ("id", 4L, 0L, 4L, "1", "4"))
+    assert(p("s") == ("s", 4L, 1L, 2L, "a", "b"))
+    assert(p("v") == ("v", 4L, 0L, 3L, "0.5", "2.5"))
+  }
+
+  test("columnProfile stays a single aggregation (one result row unpivoted)") {
+    val df = spark.range(100).select(col("id"), (col("id") % 3).alias("g"))
+    val plan = Profile.columnProfile(df, Seq("id", "g"))
+      .queryExecution.executedPlan.toString
+    // multi-column distinct counts plan via Expand in ONE aggregate chain;
+    // no join of per-column subplans
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
+  test("sketchAccuracy: gates hold and exact columns are exact") {
+    val df = spark.range(20000).select(
+      ((col("id") * 7919) % 5000).cast("double").alias("v"))
+    val r = Profile.sketchAccuracy(df, "v", rsd = 0.05, accuracy = 1000)
+      .as[(Long, Boolean, Double, Boolean)].collect()(0)
+    assert(r._1 == 5000L) // exact distinct
+    assert(r._2, "HLL outside 4*rsd")
+    assert(r._4, "approx median rank outside contract window")
+  }
+
+  test("sketchAccuracy: constant column (total ties) stays within the rank window") {
+    val df = spark.range(1000).select(lit(7.0).alias("v"))
+    val r = Profile.sketchAccuracy(df, "v").as[(Long, Boolean, Double, Boolean)]
+      .collect()(0)
+    assert(r._1 == 1L && r._2 && r._3 == 7.0 && r._4)
+  }
+}
