@@ -1076,7 +1076,13 @@ object SparkEntry {
     // idiom)
     "q_sketch_accuracy" -> ((s, dir) =>
       ext.Profile.sketchAccuracy(table(s, dir, "lineitem"),
-        "l_extendedprice", rsd = 0.05, accuracy = 1000))
+        "l_extendedprice", rsd = 0.05, accuracy = 1000)),
+    // robust per-group outlier stats: median + MAD (three
+    // partial-aggregatable passes, no Window) — the anomaly gate that
+    // doesn't move when the anomalies get extreme
+    "q_mad_outliers" -> ((s, dir) =>
+      ext.Profile.madOutliers(table(s, dir, "lineitem"),
+        "l_returnflag", "l_extendedprice", k = 3.0))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1979,7 +1985,23 @@ object SparkEntry {
           |  true AS distinct_within_4rsd,
           |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
           |  true AS p50_rank_within_bound
-          |FROM lineitem""".stripMargin
+          |FROM lineitem""".stripMargin,
+      // same median/MAD/threshold re-derivation; the threshold compare
+      // uses the UNROUNDED stats on both sides
+      "q_mad_outliers" ->
+        """WITH r AS (
+          |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+          |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+          |med AS (SELECT g, quantile_cont(v, 0.5) AS m FROM r GROUP BY g),
+          |mad AS (
+          |  SELECT r.g, quantile_cont(abs(r.v - med.m), 0.5) AS d
+          |  FROM r JOIN med USING (g) GROUP BY r.g)
+          |SELECT r.g AS l_returnflag, round(med.m, 4) AS med,
+          |  round(mad.d, 4) AS mad, count(*) AS n,
+          |  CAST(sum(CASE WHEN abs(r.v - med.m) > 3.0 * 1.4826 * mad.d
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          |FROM r JOIN med USING (g) JOIN mad USING (g)
+          |GROUP BY r.g, med.m, mad.d""".stripMargin
     )
   }
 }

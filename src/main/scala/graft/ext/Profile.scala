@@ -88,6 +88,44 @@ object Profile {
    * can restate them as literal `true` and exactly recompute the exact
    * columns (the strategy-equivalence idiom used by the LSH/IVF gates).
    */
+  /**
+   * Robust outlier statistics per group: median and MAD (median absolute
+   * deviation) of `valueCol`, plus the count of rows beyond
+   * `k · MAD · 1.4826` of the median (1.4826 = the consistency constant
+   * that makes MAD estimate σ under normality — the standard robust
+   * z-score). Median/MAD don't move when the outliers themselves get
+   * extreme, unlike mean/stddev — the point of using them for corpus
+   * anomaly gates (absurd doc lengths, corrupt numeric fields).
+   *
+   * Scale shape: three passes — grouped median, grouped MAD, outlier
+   * count — each a partial-aggregatable `percentile`/sum aggregation
+   * (no global sort, no Window), bridged by broadcasts of the per-group
+   * stats; groups are assumed low-cardinality relative to rows (the
+   * profiling norm). A mostly-constant group has MAD 0 — any nonzero
+   * deviation flags, matching the formula. Output: (groupCol, med, mad,
+   * n, n_outliers), med/mad rounded 4 dp.
+   */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val g = graft.ColName.topCol(groupCol)
+    val v = graft.ColName.topCol(valueCol).cast("double")
+    val rows = df.filter(v.isNotNull).select(g.alias("__g"), v.alias("__v"))
+    val med = rows.groupBy("__g")
+      .agg(expr("percentile(__v, 0.5)").alias("__med"))
+    val mad = rows.join(broadcast(med), "__g")
+      .groupBy("__g")
+      .agg(first(col("__med")).alias("__med"),
+        expr("percentile(abs(__v - __med), 0.5)").alias("__mad"),
+        count(lit(1)).alias("n"))
+    rows.join(broadcast(mad), "__g")
+      .groupBy(col("__g").alias(groupCol))
+      .agg(round(first(col("__med")), 4).alias("med"),
+        round(first(col("__mad")), 4).alias("mad"),
+        first(col("n")).alias("n"),
+        sum(when(abs(col("__v") - col("__med")) >
+          lit(k * 1.4826) * col("__mad"), 1L).otherwise(0L)).alias("n_outliers"))
+  }
+
   def sketchAccuracy(df: DataFrame, c: String, rsd: Double = 0.05,
                      accuracy: Int = 1000): DataFrame = {
     val v = graft.ColName.topCol(c)

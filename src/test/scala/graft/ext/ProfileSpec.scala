@@ -58,6 +58,30 @@ class ProfileSpec extends SparkSpec {
     assert(r._4, "approx median rank outside contract window")
   }
 
+  test("madOutliers: hand-computed median/MAD and planted outlier") {
+    // group a: values 1..7 plus outlier 1000 → med 4.5, deviations
+    // {3.5,2.5,1.5,0.5,0.5,1.5,2.5,995.5} → mad 2.0; threshold
+    // 3*1.4826*2.0 = 8.8956 → only 1000 flags
+    // group b: constant 5 with one 6 → med 5, mad 0 → the 6 flags
+    val df = ((1 to 7).map(i => ("a", i.toDouble)) :+ ("a", 1000.0)) ++
+      Seq.fill(9)(("b", 5.0)) :+ ("b", 6.0)
+    val r = Profile.madOutliers(df.toDF("g", "v"), "g", "v", k = 3.0)
+      .as[(String, Double, Double, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r("a") == ("a", 4.5, 2.0, 8L, 1L))
+    assert(r("b") == ("b", 5.0, 0.0, 10L, 1L))
+  }
+
+  test("madOutliers is robust: moving the outlier further changes nothing but itself") {
+    val base = (1 to 99).map(i => ("g", i.toDouble))
+    val near = (base :+ ("g", 500.0)).toDF("g", "v")
+    val far = (base :+ ("g", 5000000.0)).toDF("g", "v")
+    val a = Profile.madOutliers(near, "g", "v").as[(String, Double, Double, Long, Long)].collect()(0)
+    val b = Profile.madOutliers(far, "g", "v").as[(String, Double, Double, Long, Long)].collect()(0)
+    // med, mad, n, n_outliers all identical — mean/stddev would have moved
+    assert(a == b)
+    assert(a._5 == 1L)
+  }
+
   test("sketchAccuracy: constant column (total ties) stays within the rank window") {
     val df = spark.range(1000).select(lit(7.0).alias("v"))
     val r = Profile.sketchAccuracy(df, "v").as[(Long, Boolean, Double, Boolean)]
