@@ -1082,7 +1082,23 @@ object SparkEntry {
     // doesn't move when the anomalies get extreme
     "q_mad_outliers" -> ((s, dir) =>
       ext.Profile.madOutliers(table(s, dir, "lineitem"),
-        "l_returnflag", "l_extendedprice", k = 3.0))
+        "l_returnflag", "l_extendedprice", k = 3.0)),
+    // incremental dedup: delta batch (doc_id 60..99) against an
+    // already-deduped corpus (survivors of doc_id < 60) WITHOUT
+    // regenerating corpus-corpus pairs. 128 one-row bands = total LSH
+    // recall on this corpus, so the oracle recomputes the exact
+    // semantics: full survivors of corpus ∪ delta, restricted to delta
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val corpusAll = docs.filter(col("doc_id") < 60)
+      val corpusIds = Dedup.nearDupSurvivors(corpusAll, "text", "doc_id",
+        threshold = 0.08, shingleN = 2, numHashes = 128, bands = 128)
+      val corpus = corpusAll.join(corpusIds, Seq("doc_id"), "left_semi")
+      val delta = docs.filter(col("doc_id") >= 60 && col("doc_id") < 100)
+      Dedup.incrementalNearDup(corpus, delta, "text", "doc_id",
+        threshold = 0.08, shingleN = 2, numHashes = 128, bands = 128)
+        .select("doc_id")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2001,7 +2017,54 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN abs(r.v - med.m) > 3.0 * 1.4826 * mad.d
           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM r JOIN med USING (g) JOIN mad USING (g)
-          |GROUP BY r.g, med.m, mad.d""".stripMargin
+          |GROUP BY r.g, med.m, mad.d""".stripMargin,
+      // full-recompute semantics the incremental path must equal: dedup
+      // doc_id < 60 (recursive CTE #1), union the survivors with the
+      // delta, dedup again (recursive CTE #2), keep the delta survivors
+      "q_dedup_incremental" ->
+        """WITH RECURSIVE tok AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE doc_id < 100),
+          |sh AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
+          |         ELSE list_distinct(list_transform(range(1, len(toks)),
+          |                i -> toks[i] || ' ' || toks[i+1])) END AS sh
+          |  FROM tok),
+          |p0 AS (
+          |  SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a, sh b
+          |  WHERE a.doc_id < b.doc_id AND a.doc_id < 60 AND b.doc_id < 60
+          |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.08),
+          |s0 AS (SELECT ia AS a, ib AS b FROM p0 UNION SELECT ib, ia FROM p0),
+          |c0(node, comp) AS (
+          |  SELECT a, a FROM s0
+          |  UNION
+          |  SELECT s.b, c.comp FROM c0 c JOIN s0 s ON s.a = c.node),
+          |l0 AS (SELECT node, min(comp) AS comp FROM c0 GROUP BY node),
+          |surv0 AS (
+          |  SELECT doc_id FROM tok WHERE doc_id < 60
+          |    AND doc_id NOT IN (SELECT node FROM l0 WHERE node != comp)),
+          |pool AS (
+          |  SELECT doc_id FROM surv0
+          |  UNION ALL SELECT doc_id FROM tok WHERE doc_id >= 60),
+          |p1 AS (
+          |  SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a, sh b
+          |  WHERE a.doc_id < b.doc_id
+          |    AND a.doc_id IN (SELECT doc_id FROM pool)
+          |    AND b.doc_id IN (SELECT doc_id FROM pool)
+          |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.08),
+          |s1 AS (SELECT ia AS a, ib AS b FROM p1 UNION SELECT ib, ia FROM p1),
+          |c1(node, comp) AS (
+          |  SELECT a, a FROM s1
+          |  UNION
+          |  SELECT s.b, c.comp FROM c1 c JOIN s1 s ON s.a = c.node),
+          |l1 AS (SELECT node, min(comp) AS comp FROM c1 GROUP BY node)
+          |SELECT doc_id FROM tok WHERE doc_id >= 60
+          |  AND doc_id NOT IN (SELECT node FROM l1 WHERE node != comp)""".stripMargin
     )
   }
 }

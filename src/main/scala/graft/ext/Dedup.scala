@@ -395,6 +395,93 @@ object Dedup {
     singletons.union(keepFromClusters)
   }
 
+  /**
+   * Incremental near-dup dedup: which docs of a NEW `delta` batch
+   * survive against an already-deduped `corpus` — the daily-crawl shape,
+   * where re-running all-pairs dedup over the whole corpus for every
+   * arriving batch is the cost being avoided.
+   *
+   * Exactly equivalent to `nearDupSurvivors(corpus ∪ delta) ∩ delta`
+   * under the stated precondition (corpus deduped at the same threshold,
+   * every corpus id < every delta id — validated with one cheap agg),
+   * but does strictly less work: corpus–corpus candidate pairs are
+   * NEVER generated or verified (the corpus being deduped makes them
+   * irrelevant to which delta docs survive: a mixed component always
+   * keeps its corpus docs, and corpus-side edges cannot change which
+   * delta doc is the component's minimum delta id... they CAN merge two
+   * delta sub-components through a corpus doc — which is why
+   * corpus–delta pairs ARE kept and fed to the same connected-components
+   * clustering). Scale math: per batch, band-bucket join cost is
+   * O(|delta| × bucket occupancy), not O(|corpus|²).
+   *
+   * Output: the delta rows' ids to APPEND (survivors). A delta doc
+   * survives iff its component (over verified corpus–delta and
+   * delta–delta pairs) contains no corpus doc and it is the minimum
+   * delta id in it; pairless delta docs survive as singletons.
+   */
+  def incrementalNearDup(corpus: DataFrame, delta: DataFrame,
+                         textCol: String, idCol: String, threshold: Double,
+                         shingleN: Int = 3, numHashes: Int = 32,
+                         bands: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    val sp = delta.sparkSession
+    val bound = corpus.agg(max(col(idCol))).collect()(0)
+    val deltaMin = delta.agg(min(col(idCol))).collect()(0)
+    if (!bound.isNullAt(0) && !deltaMin.isNullAt(0))
+      require(bound.getLong(0) < deltaMin.getLong(0),
+        s"incrementalNearDup needs corpus ids < delta ids " +
+          s"(corpus max ${bound.getLong(0)} >= delta min ${deltaMin.getLong(0)})")
+    require(bands >= 1 && numHashes >= bands,
+      s"need numHashes >= bands >= 1, got numHashes=$numHashes bands=$bands")
+    val rowsPerBand = numHashes / bands
+
+    def banded(df: DataFrame) = {
+      val sh = shingleFrame(df, textCol, idCol, shingleN)
+      val sig = sh.select(col(idCol),
+        graft.functions.MinHashSignature.signature(sp, col("__sh"), numHashes)
+          .alias("__sig"))
+        .repartition(col(idCol))
+      (sh, sig.select(col(idCol), posexplode(
+        bandKeys(col("__sig"), bands, rowsPerBand))
+        .as(Seq("__band", "__bucket"))))
+    }
+    val (cSh, cBanded) = banded(corpus)
+    val (dSh, dBanded) = banded(delta)
+    // hot-bucket guard over the UNION — a boilerplate bucket is hot
+    // regardless of which side its rows came from
+    val all = dropHotBuckets(
+      cBanded.withColumn("__c", lit(true))
+        .unionByName(dBanded.withColumn("__c", lit(false))),
+      Seq("__band", "__bucket"), maxBucketSize)
+    // candidates: LEFT side is anything, RIGHT side is delta-only; the
+    // (corpus side) OR (id order) filter keeps each pair once and skips
+    // corpus-corpus pairs entirely
+    val l = all.select(col("__band"), col("__bucket"),
+      col(idCol).alias("id_a"), col("__c").alias("c_a"))
+    val r = all.filter(!col("__c")).select(col("__band"), col("__bucket"),
+      col(idCol).alias("id_b"))
+    val cands = l.join(r, Seq("__band", "__bucket"))
+      .filter(col("c_a") || col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sh = cSh.unionByName(dSh)
+    val verified = cands
+      .join(sh.select(col(idCol).alias("id_a"), col("__sh").alias("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).alias("id_b"), col("__sh").alias("sh_b")), Seq("id_b"))
+      .filter(graft.functions.JaccardSim.jaccard(sp, col("sh_a"), col("sh_b"))
+        >= threshold)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(verified, "id_a", "id_b")
+    // min-label components + the id precondition make the survivor rule
+    // one filter: a delta doc survives iff its label is ITSELF (any
+    // corpus doc or smaller delta id in the component would be a
+    // smaller label)
+    val keep = comps.filter(col("id") === col("comp"))
+      .join(delta.select(col(idCol)), col("id") === col(idCol), "left_semi")
+      .select(col("id").alias(idCol))
+    val singletons = delta.select(col(idCol))
+      .join(comps.select(col("id").alias(idCol)), Seq(idCol), "left_anti")
+    singletons.union(keep)
+  }
+
   // ----------------------------------------------------------- simhash
 
   /** Per-doc 64-bit SimHash over whitespace tokens (custom Catalyst

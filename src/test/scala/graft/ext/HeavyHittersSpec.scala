@@ -95,6 +95,33 @@ class HeavyHittersSpec extends SparkSpec {
     assert(hh("the") == 120L)
   }
 
+  test("MG sketch works as a STREAMING aggregation (incremental merge across batches)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the mergeable-summaries property is exactly what complete-mode
+    // streaming aggregation exercises: each micro-batch's partials merge
+    // into the running buffer
+    val mem = MemoryStream[String]
+    val q = mem.toDF().toDF("item")
+      .agg(MisraGriesSketch.sketch(spark, col("item"), 4).alias("sk"))
+      .writeStream.format("memory").queryName("mg_out")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Seq.fill(30)("hot") ++ (1 to 10).map(i => s"x$i"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(25)("hot") ++ (11 to 20).map(i => s"x$i"): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val sk = spark.table("mg_out")
+      .select(explode(col("sk")).alias("e"))
+      .select("e.item", "e.lb").as[(String, Long)].collect().toMap
+    // 55 of 75 total items are "hot" — far above n/(4+1)=15, so the MG
+    // guarantee holds across the incremental merges
+    assert(sk.contains("hot"), s"hot item lost across batches: $sk")
+    assert(sk("hot") >= 75L / 5 + 1, s"lb ${sk("hot")} below guarantee floor")
+    assert(sk.size <= 4)
+  }
+
   test("sketch aggregate is partial-aggregatable (no extra shuffle beyond the agg)") {
     val df = corpus(8)
     val plan = df.agg(MisraGriesSketch.sketch(spark, col("item"), 10).alias("sk"))
