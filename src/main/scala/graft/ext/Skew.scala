@@ -39,31 +39,6 @@ object Skew {
     call_function("graft_bloom_might_contain", lit(bloomBytes), value)
   }
 
-  /**
-   * Bloom-pruned inner equi-join: semantically EXACTLY
-   * `probe.join(build, keys, "inner")` (build columns clashing with
-   * probe's are prefixed `rightPrefix`), but the probe side is filtered
-   * by a Bloom filter of the build side's keys BEFORE the join's
-   * exchange.
-   *
-   * Why it matters at 100 TB: in a selective large-large join (fact
-   * table vs a filtered dimension that is too big — or too late, e.g.
-   * derived keys — for the optimizer's own runtime filter), the probe
-   * shuffle is the dominant cost, and most probe rows have no partner.
-   * The bloom predicate drops them AT THE SCAN (codegen'd, pushed below
-   * the exchange), so shuffle volume scales with the MATCHING rows, not
-   * the probe table. False positives only cost shuffle bytes — the join
-   * itself removes them, so the result is exact (no false negatives:
-   * both sides hash the key identically with xxhash64). This is the
-   * explicit, deterministic form of Spark's `InjectRuntimeFilter`.
-   *
-   * The filter is built by ONE partial-aggregatable pass over the build
-   * side (`stat.bloomFilter`) and ships as a bounded binary literal
-   * (~1.2 MB at 1M expected items / 1% fpp) — sized by `expectedItems`,
-   * NOT by the probe. Both multi-column keys and single keys hash
-   * through the same null-skipping xxhash64, and null keys can only add
-   * harmless false positives (the inner join rejects them anyway).
-   */
   /** The probe-side predicate of [[bloomPrunedJoin]], reusable on its
     * own (e.g. prune a corpus against a key set before an expensive
     * transform without joining). Builds the Bloom filter of
@@ -92,6 +67,31 @@ object Skew {
       xxhash64(probeKeys.map(k => probe(q(k))): _*))
   }
 
+  /**
+   * Bloom-pruned inner equi-join: semantically EXACTLY
+   * `probe.join(build, keys, "inner")` (build columns clashing with
+   * probe's are prefixed `rightPrefix`), but the probe side is filtered
+   * by a Bloom filter of the build side's keys BEFORE the join's
+   * exchange.
+   *
+   * Why it matters at 100 TB: in a selective large-large join (fact
+   * table vs a filtered dimension that is too big — or too late, e.g.
+   * derived keys — for the optimizer's own runtime filter), the probe
+   * shuffle is the dominant cost, and most probe rows have no partner.
+   * The bloom predicate drops them AT THE SCAN (codegen'd, pushed below
+   * the exchange), so shuffle volume scales with the MATCHING rows, not
+   * the probe table. False positives only cost shuffle bytes — the join
+   * itself removes them, so the result is exact (no false negatives:
+   * both sides hash the key identically with xxhash64). This is the
+   * explicit, deterministic form of Spark's `InjectRuntimeFilter`.
+   *
+   * The filter is built by ONE partial-aggregatable pass over the build
+   * side (`stat.bloomFilter`) and ships as a bounded binary literal
+   * (~1.2 MB at 1M expected items / 1% fpp) — sized by `expectedItems`,
+   * NOT by the probe. Both multi-column keys and single keys hash
+   * through the same null-skipping xxhash64, and null keys can only add
+   * harmless false positives (the inner join rejects them anyway).
+   */
   def bloomPrunedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
                       expectedItems: Long, fpp: Double = 0.01,
                       rightPrefix: String = "r_"): DataFrame = {

@@ -8,11 +8,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * with the injector — no imperative register call. */
 class ExtensionsSpec extends SparkSpec {
 
-  test("injector declares all five graft functions") {
+  test("injector declares all six graft functions") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; names are stable
     assert(GraftExtensions.injected.map(_._1.funcName).sorted ==
-      Seq("dot_product", "jaccard_sim", "minhash_sig", "simhash64", "top_k_by_score"))
+      Seq("dot_product", "jaccard_sim", "minhash_sig", "misra_gries",
+        "simhash64", "top_k_by_score"))
   }
 
   test("wrong-arity SQL calls fail with the function name and expected count") {
@@ -21,7 +22,8 @@ class ExtensionsSpec extends SparkSpec {
         ("dot_product", 2, "dot_product(array(1.0D))"),
         ("jaccard_sim", 2, "jaccard_sim(array('a'), array('b'), array('c'))"),
         ("minhash_sig", 2, "minhash_sig(array('a'))"),
-        ("top_k_by_score", 3, "top_k_by_score(1.0D, 1L)"))) {
+        ("top_k_by_score", 3, "top_k_by_score(1.0D, 1L)"),
+        ("misra_gries", 2, "misra_gries('a')"))) {
       val builder = GraftExtensions.injected.find(_._1.funcName == name).get._3
       val parsed = spark.sessionState.sqlParser.parseExpression(sample)
       val args = parsed.children // the parsed call's argument expressions
@@ -62,6 +64,12 @@ class ExtensionsSpec extends SparkSpec {
             org.apache.spark.sql.functions.lit("beta"))))
         .collect()(0).getLong(0)
       assert(row.getLong(0) == viaApi)
+      // the MG sketch aggregate resolves in pure SQL too
+      val mg = s2.sql(
+        """SELECT misra_gries(x, 2) AS sk
+          |FROM VALUES ('a'), ('a'), ('a'), ('b'), ('c') t(x)""".stripMargin)
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      assert(mg.head.getString(0) == "a", s"hot item not first: $mg")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
