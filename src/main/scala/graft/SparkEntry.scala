@@ -930,14 +930,17 @@ object SparkEntry {
           round(sum(col("l_quantity")), 4).alias("sum_qty"))
     }),
     // reshaping: wide → long (unpivot is a zero-shuffle Expand over the
-    // aggregated frame)
+    // aggregated frame). Both measures are EXACT-valued doubles (integral
+    // quantity sum, row count): at sf1.0 a float price sum reaches 1e11
+    // where the double ulp exceeds 4-dp rounding — engine sum order
+    // could flip the rounded value
     "q_unpivot" -> ((s, dir) => {
       val agg = table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(round(sum(col("l_quantity")), 4).alias("sum_qty"),
-          round(sum(col("l_extendedprice")), 4).alias("sum_price"))
+          count(lit(1)).cast("double").alias("n_lines"))
       agg.unpivot(Array(col("l_returnflag")),
-        Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        Array(col("sum_qty"), col("n_lines")), "metric", "value")
     }),
     // reshaping: long → wide with an EXPLICIT pivot domain (no extra
     // distinct-values job — the two-pass form Spark warns about at scale)
@@ -1796,11 +1799,11 @@ object SparkEntry {
       "q_unpivot" ->
         """WITH a AS (
           |  SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_qty,
-          |    round(sum(l_extendedprice), 4) AS sum_price
+          |    CAST(count(*) AS DOUBLE) AS n_lines
           |  FROM lineitem GROUP BY 1)
           |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
           |UNION ALL
-          |SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM a""".stripMargin,
+          |SELECT l_returnflag, 'n_lines' AS metric, n_lines AS value FROM a""".stripMargin,
       "q_pivot" ->
         """SELECT l_returnflag,
           | round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 4) AS F,
