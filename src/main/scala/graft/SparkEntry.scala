@@ -1101,7 +1101,12 @@ object SparkEntry {
       Dedup.incrementalNearDup(corpus, delta, "text", "doc_id",
         threshold = 0.08, shingleN = 2, numHashes = 128, bands = 128)
         .select("doc_id")
-    })
+    }),
+    // per-doc Shannon token entropy: explode → (doc, token) counts → one
+    // per-doc fold, all partial-aggregatable (the HOF alternative is
+    // O(len²) per doc)
+    "q_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(table(s, dir, "documents"), "doc_id", "text"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2067,7 +2072,20 @@ object SparkEntry {
           |  SELECT s.b, c.comp FROM c1 c JOIN s1 s ON s.a = c.node),
           |l1 AS (SELECT node, min(comp) AS comp FROM c1 GROUP BY node)
           |SELECT doc_id FROM tok WHERE doc_id >= 60
-          |  AND doc_id NOT IN (SELECT node FROM l1 WHERE node != comp)""".stripMargin
+          |  AND doc_id NOT IN (SELECT node FROM l1 WHERE node != comp)""".stripMargin,
+      // same identity: H = ln(n) − Σ c·ln(c) / n, exact-integer counts
+      "q_token_entropy" ->
+        """WITH t AS (
+          |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+          |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |    x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+          |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |  round(ln(CAST(sum(c) AS DOUBLE))
+          |        - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+          |          / CAST(sum(c) AS DOUBLE), 4) AS entropy
+          |FROM c GROUP BY doc_id""".stripMargin
     )
   }
 }

@@ -105,6 +105,35 @@ object TextAnalysis {
   def qualityScore(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
     qualityScoreOf(text, tokens(lower(text)), tokens(text), stopwords)
 
+  /**
+   * Per-document Shannon token entropy (nats): H = −Σ p_i · ln(p_i) over
+   * the doc's token distribution — the diversity signal the dup-fraction
+   * heuristics miss (a doc cycling 3 tokens has LOW entropy but may dodge
+   * fixed-n dup-gram thresholds). Returns (idCol, n_tokens, entropy·4dp);
+   * docs with no tokens are absent.
+   *
+   * Scale shape: one map-side explode reduces straight to (doc, token)
+   * counts, then ONE per-doc aggregation folds them into the entropy —
+   * both partial-aggregatable, shuffles carry counts, never token text
+   * beyond the first. Deliberately NOT a per-row HOF (counting each
+   * token's occurrences inside the array is O(len²) per doc — fine at 50
+   * tokens, quadratic pain at book-length documents).
+   */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol),
+        explode(tokens(normalized(col(textCol)))).alias("__t"))
+      .groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).alias("__c"))
+    counts.groupBy(col(idCol))
+      .agg(sum("__c").alias("n_tokens"),
+        round(
+          log(sum(col("__c")).cast("double"))
+            - sum(col("__c").cast("double") * log(col("__c").cast("double")))
+              / sum(col("__c")).cast("double"),
+          4).alias("entropy"))
+  }
+
   /** Language marker words for the n-gram/stopword language-ID heuristic. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "with"),

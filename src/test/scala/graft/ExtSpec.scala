@@ -569,6 +569,34 @@ class ExtSpec extends SparkSpec {
       TextAnalysis.langId(col("text")).alias("lang_pred"))
     assertSameRows(staged, naive)
   }
+
+  test("tokenEntropy: hand-computed distributions; empty docs absent") {
+    val sp = spark; import sp.implicits._
+    val d = Seq(
+      (1L, "a a a a"),           // single token: H = 0
+      (2L, "a b c d"),           // uniform over 4: H = ln(4)
+      (3L, "a a b"),             // H = ln(3) - (2 ln 2)/3
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((4L, 0.0)))
+    assert(got(2L) == ((4L, r4(math.log(4)))))
+    assert(got(3L) == ((3L, r4(math.log(3) - 2 * math.log(2) / 3))))
+  }
+
+  test("tokenEntropy: low-entropy cycler scores below a diverse doc of equal length") {
+    val sp = spark; import sp.implicits._
+    val d = Seq(
+      (1L, Seq.fill(20)("x y z").mkString(" ")),      // 3-token cycle
+      (2L, (1 to 60).map(i => s"w$i").mkString(" "))) // all distinct
+      .toDF("doc_id", "text")
+    val e = TextAnalysis.tokenEntropy(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(e(1L) < e(2L) / 2, s"cycler ${e(1L)} not well below diverse ${e(2L)}")
+  }
 }
 
 /** Shared-JVM counters for the codec init-once property test (local mode:
