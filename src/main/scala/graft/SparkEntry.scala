@@ -1106,8 +1106,68 @@ object SparkEntry {
     // per-doc fold, all partial-aggregatable (the HOF alternative is
     // O(len²) per doc)
     "q_token_entropy" -> ((s, dir) =>
-      TextAnalysis.tokenEntropy(table(s, dir, "documents"), "doc_id", "text"))
+      TextAnalysis.tokenEntropy(table(s, dir, "documents"), "doc_id", "text")),
+    // BPE merge training (8 merges) over the documents corpus: one
+    // corpus pass reduces to the word-frequency table; each iteration is
+    // a pair-count aggregation + map-side fold over that vocabulary-
+    // bounded table. The oracle replays ALL 8 iterations in DuckDB with
+    // chained CTEs over a delimiter-encoded symbol string (replace() is
+    // left-to-right non-overlapping — exactly the BPE merge rule)
+    "q_bpe_merges" -> ((s, dir) =>
+      ext.Bpe.trainMerges(table(s, dir, "documents"), "text", numMerges = 8)),
+    // per-user rolling features (lag / 3-event moving average / inter-event
+    // gap): windows PARTITIONED BY user — per-key state, no global sort;
+    // the event-feature shape every training pipeline derives. ts handled
+    // schema-adaptively (micros regardless of physical encoding)
+    "q_user_features" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val us = graft.streaming.EventStreams.eventMicros(e).alias("__us")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("__us"), col("event_id"))
+      e.select(col("event_id"), col("user_id"), col("value"), us)
+        .select(col("event_id"), col("user_id"),
+          lag(col("value"), 1).over(w).alias("prev_value"),
+          round(avg(col("value")).over(w.rowsBetween(-2, 0)), 6).alias("val_ma3"),
+          (col("__us") - lag(col("__us"), 1).over(w)).alias("us_since_prev"))
+    })
   )
+
+  /** DuckDB replay of the full BPE training loop: K chained CTE blocks,
+    * each re-deriving pair counts from the delimiter-encoded symbol
+    * strings and applying the winning merge via `replace` (left-to-right,
+    * non-overlapping — the BPE rule). Symbols are encoded
+    * `chr(1)·sym·chr(2)` so merges can never match across symbol
+    * boundaries or share separators between adjacent occurrences. */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val sep = "chr(2) || chr(1)"
+    val head =
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+        |    x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
+        |w0 AS MATERIALIZED (SELECT chr(1) || array_to_string(string_split(w, ''), """.stripMargin +
+        sep + ") || chr(2) AS s, f FROM wf)"
+    val steps = (1 to numMerges).map { k =>
+      s"""l$k AS (SELECT string_split(substr(s, 2, len(s) - 2), $sep) AS sym, f
+         |  FROM w${k - 1}),
+         |p$k AS (SELECT sym[CAST(i AS INT)] AS l, sym[CAST(i AS INT) + 1] AS r,
+         |    sum(f) AS cnt
+         |  FROM l$k, unnest(range(1, len(sym))) AS u(i) GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT replace(s,
+         |    chr(1) || (SELECT l FROM b$k) || chr(2) || chr(1)
+         |      || (SELECT r FROM b$k) || chr(2),
+         |    chr(1) || (SELECT l FROM b$k) || (SELECT r FROM b$k) || chr(2)) AS s,
+         |  f FROM w${k - 1})""".stripMargin
+    }
+    val finalSel = (1 to numMerges).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
+         |  CAST(cnt AS BIGINT) AS cnt FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (head +: steps).mkString(",\n") + "\n" + finalSel
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2085,7 +2145,19 @@ object SparkEntry {
           |  round(ln(CAST(sum(c) AS DOUBLE))
           |        - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
           |          / CAST(sum(c) AS DOUBLE), 4) AS entropy
-          |FROM c GROUP BY doc_id""".stripMargin
+          |FROM c GROUP BY doc_id""".stripMargin,
+      // same frame definitions; epoch_us mirrors the schema-adaptive
+      // micros; the (ts, event_id) order key makes every frame
+      // deterministic, so the float window math is bit-identical
+      "q_user_features" ->
+        """SELECT event_id, user_id,
+          |  lag(value) OVER w AS prev_value,
+          |  round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+          |    AS val_ma3,
+          |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS us_since_prev
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+      "q_bpe_merges" -> bpeOracleSql(8)
     )
   }
 }

@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Byte-pair-encoding merge training over a corpus — the tokenizer-
+ * training step of an LLM data pipeline, distributed the way BPE
+ * actually scales: after ONE corpus pass the working set is the WORD
+ * FREQUENCY table (vocabulary-bounded — millions of rows at web scale,
+ * never the corpus), and each of the K merge iterations is a pair-count
+ * aggregation plus a map-side symbol-array rewrite over that table.
+ *
+ * Semantics (classic Sennrich et al. BPE, deterministic):
+ *  - words = whitespace tokens of the normalized text, weighted by
+ *    corpus frequency; initial symbols = characters;
+ *  - each iteration counts adjacent symbol pairs weighted by word freq,
+ *    picks the (count DESC, left ASC, right ASC) maximum — the full
+ *    tie-break makes training reproducible — and merges that pair in
+ *    every word, left-to-right, non-overlapping;
+ *  - K rows out: (rank, left, right, cnt).
+ *
+ * Scale notes: the driver holds one (left, right, cnt) row per
+ * iteration (a `limit(1)` collect — bounded by construction); the word
+ * table is re-persisted each iteration and the previous one released,
+ * so lineage stays O(1) across K iterations instead of stacking K
+ * lambda rewrites.
+ */
+object Bpe {
+
+  /** Left-to-right, non-overlapping merge of adjacent (left, right) into
+    * one symbol — a single `aggregate` fold, no UDF. `get` (0-based,
+    * null-safe) reads the fold's last symbol; the size guard keeps the
+    * first element append-only. */
+  private[ext] def applyMerge(symbols: Column, left: String, right: String): Column =
+    aggregate(symbols,
+      array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 &&
+             get(acc, size(acc) - 1) === left && s === lit(right),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(left + right))))
+        .otherwise(concat(acc, array(s))))
+
+  /** (word, freq) → initial symbol table: one corpus pass, then chars. */
+  private def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(
+        TextAnalysis.normalized(col(textCol)))).alias("__w"))
+      .groupBy("__w").agg(count(lit(1)).alias("__f"))
+      // split("") edge: depending on regex semantics an empty tail/head
+      // element can appear — filter to non-empty symbols explicitly
+      .select(filter(split(col("__w"), ""), s => length(s) > 0).alias("__sym"),
+        col("__f"))
+
+  /**
+   * Train `numMerges` BPE merges. Returns a LOCAL DataFrame of
+   * (rank, left, right, cnt) — numMerges rows, built from the per-
+   * iteration driver collects. Stops early if the corpus runs out of
+   * repeatable pairs.
+   */
+  def trainMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    var words = wordTable(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    try {
+      var rank = 1
+      var exhausted = false
+      while (rank <= numMerges && !exhausted) {
+        val best = words
+          .select(col("__f"), explode(arrays_zip(
+            slice(col("__sym"), lit(1), greatest(size(col("__sym")) - 1, lit(0))),
+            slice(col("__sym"), lit(2), greatest(size(col("__sym")) - 1, lit(0)))
+          )).alias("__p"))
+          .groupBy(col("__p.0").alias("l"), col("__p.1").alias("r"))
+          .agg(sum(col("__f")).alias("cnt"))
+          .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          merges += ((rank, l, r, c))
+          val next = words
+            .select(applyMerge(col("__sym"), l, r).alias("__sym"), col("__f"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          words.unpersist()
+          words = next
+          rank += 1
+        }
+      }
+    } finally words.unpersist()
+    val rows = merges.map { case (k, l, r, c) => Row(k.toLong, l, r, c) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("rank", LongType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false))))
+  }
+
+  /** Independent sequential reference implementation (driver-side, plain
+    * Scala) — used by the spec's strategy-equivalence gate, NOT by the
+    * distributed path. */
+  private[ext] def referenceMerges(wordFreqs: Map[String, Long],
+                                   numMerges: Int): Seq[(Int, String, String, Long)] = {
+    var words: Map[Seq[String], Long] =
+      wordFreqs.groupMapReduce { case (w, _) => w.split("").toSeq }(_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (rank <- 1 to numMerges if out.size == rank - 1) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- words; p <- syms.zip(syms.drop(1)))
+        counts(p) = counts.getOrElse(p, 0L) + f
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((rank, l, r, c))
+        words = words.groupMapReduce { case (syms, _) =>
+          val acc = scala.collection.mutable.ArrayBuffer[String]()
+          for (s <- syms) {
+            if (acc.nonEmpty && acc.last == l && s == r)
+              acc(acc.size - 1) = l + r
+            else acc += s
+          }
+          acc.toSeq
+        }(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("applyMerge: left-to-right non-overlapping, incl. the aaaa case") {
+    val df = Seq(
+      Seq("a", "a", "a", "a"),
+      Seq("a", "a", "a"),
+      Seq("b", "a", "a", "b"),
+      Seq("a"), Seq[String]()).toDF("s")
+    val got = df.select(Bpe.applyMerge(col("s"), "a", "a").alias("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(
+      Seq("aa", "aa"), Seq("aa", "a"), Seq("b", "aa", "b"), Seq("a"), Seq()))
+  }
+
+  test("trainMerges: hand-computed merges on a tiny corpus") {
+    // "low low low lower newest newest": char pairs — 'l o' appears in
+    // low(x3)+lower = 4 … classic BPE walkthrough shape
+    val docs = Seq((1L, "low low low lower newest newest")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // pair counts: l-o 4 (3 low + lower), o-w 4, w-e 3 (lower + 2
+    // newest), n-e/e-w/e-s/s-t 2, e-r 1 → the 4-count tie between
+    // (l,o) and (o,w) breaks on left asc: (l,o) first
+    assert(merges.length == 3)
+    assert(merges.head == ((1L, "l", "o", 4L)),
+      s"first merge should be (l, o, 4) by tie-break: $merges")
+    // after lo: lo-w 4 — (lo, w) dominates round 2
+    assert(merges(1) == ((2L, "lo", "w", 4L)), merges.toString)
+    assert(merges.forall(_._4 > 0))
+  }
+
+  test("trainMerges ≡ independent sequential reference implementation") {
+    val docs = Seq(
+      (1L, "banana bandana analysis"),
+      (2L, "banana banana scan scan scan"),
+      (3L, "the theme there then")).toDF("doc_id", "text")
+    val dist = Bpe.trainMerges(docs, "text", 12)
+      .as[(Long, String, String, Long)].collect().toSeq
+      .map(r => (r._1.toInt, r._2, r._3, r._4))
+    val wordFreqs = docs.select(explode(TextAnalysis.tokens(
+        TextAnalysis.normalized(col("text")))).alias("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    val ref = Bpe.referenceMerges(wordFreqs, 12)
+    assert(dist == ref, s"\ndistributed: $dist\nreference:   $ref")
+  }
+
+  test("merged symbols participate in later merges (multi-char growth)") {
+    val docs = Seq((1L, Seq.fill(10)("abab").mkString(" "))).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // rank1: (a,b) 20; rank2: (ab,ab) 10 — the merged token re-pairs
+    assert(merges(0)._2 == "a" && merges(0)._3 == "b" && merges(0)._4 == 20L)
+    assert(merges(1)._2 == "ab" && merges(1)._3 == "ab" && merges(1)._4 == 10L)
+  }
+
+  test("early exhaustion: single-char vocabulary stops before numMerges") {
+    val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, "text", 5).collect()
+    assert(merges.isEmpty, s"no adjacent pairs exist, got ${merges.toSeq}")
+  }
+}
