@@ -1115,6 +1115,16 @@ object SparkEntry {
     // left-to-right non-overlapping — exactly the BPE merge rule)
     "q_bpe_merges" -> ((s, dir) =>
       ext.Bpe.trainMerges(table(s, dir, "documents"), "text", numMerges = 8)),
+    // the apply half: encode the corpus under the 8 trained merges —
+    // folds run on the distinct-word table only; the corpus pays one
+    // broadcast join + per-doc count. Oracle re-trains AND re-encodes
+    // independently in DuckDB off the same CTE chain
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val merges = ext.Bpe.trainMergesSeq(docs, "text", numMerges = 8)
+        .map(m => (m._2, m._3))
+      ext.Bpe.encodeCounts(docs, "doc_id", "text", merges)
+    }),
     // per-user rolling features (lag / 3-event moving average / inter-event
     // gap): windows PARTITIONED BY user — per-key state, no global sort;
     // the event-feature shape every training pipeline derives. ts handled
@@ -1138,16 +1148,19 @@ object SparkEntry {
     * non-overlapping — the BPE rule). Symbols are encoded
     * `chr(1)·sym·chr(2)` so merges can never match across symbol
     * boundaries or share separators between adjacent occurrences. */
-  private def bpeOracleSql(numMerges: Int): String = {
+  /** The shared CTE chain (toks/wf/w0..wK with b1..bK), carrying the
+    * word key `w` through every iteration so both the merge-table final
+    * select and the encode final select can hang off it. */
+  private def bpeCtes(numMerges: Int): String = {
     val sep = "chr(2) || chr(1)"
     val head =
       """WITH toks AS (
-        |  SELECT unnest(list_filter(regexp_split_to_array(
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
         |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
         |    x -> len(x) > 0)) AS w
         |  FROM documents),
         |wf AS (SELECT w, count(*) AS f FROM toks GROUP BY w),
-        |w0 AS MATERIALIZED (SELECT chr(1) || array_to_string(string_split(w, ''), """.stripMargin +
+        |w0 AS MATERIALIZED (SELECT w, chr(1) || array_to_string(string_split(w, ''), """.stripMargin +
         sep + ") || chr(2) AS s, f FROM wf)"
     val steps = (1 to numMerges).map { k =>
       s"""l$k AS (SELECT string_split(substr(s, 2, len(s) - 2), $sep) AS sym, f
@@ -1156,18 +1169,34 @@ object SparkEntry {
          |    sum(f) AS cnt
          |  FROM l$k, unnest(range(1, len(sym))) AS u(i) GROUP BY 1, 2),
          |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-         |w$k AS MATERIALIZED (SELECT replace(s,
+         |w$k AS MATERIALIZED (SELECT w, replace(s,
          |    chr(1) || (SELECT l FROM b$k) || chr(2) || chr(1)
          |      || (SELECT r FROM b$k) || chr(2),
          |    chr(1) || (SELECT l FROM b$k) || (SELECT r FROM b$k) || chr(2)) AS s,
          |  f FROM w${k - 1})""".stripMargin
     }
+    (head +: steps).mkString(",\n")
+  }
+
+  private def bpeOracleSql(numMerges: Int): String = {
     val finalSel = (1 to numMerges).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
          |  CAST(cnt AS BIGINT) AS cnt FROM b$k""".stripMargin
     }.mkString("\nUNION ALL\n")
-    (head +: steps).mkString(",\n") + "\n" + finalSel
+    bpeCtes(numMerges) + "\n" + finalSel
   }
+
+  /** Encode oracle: per-doc subword counts under the FINAL merged
+    * vocabulary — each corpus token joins its wK symbol string; the
+    * subword count is that string's symbol count. */
+  private def bpeEncodeOracleSql(numMerges: Int): String =
+    bpeCtes(numMerges) +
+      s"""
+         |SELECT t.doc_id, count(*) AS n_words,
+         |  CAST(sum(len(string_split(substr(s, 2, len(s) - 2),
+         |    chr(2) || chr(1)))) AS BIGINT) AS n_subwords
+         |FROM toks t JOIN w$numMerges USING (w)
+         |GROUP BY t.doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2157,7 +2186,8 @@ object SparkEntry {
           |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS us_since_prev
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
-      "q_bpe_merges" -> bpeOracleSql(8)
+      "q_bpe_merges" -> bpeOracleSql(8),
+      "q_bpe_encode" -> bpeEncodeOracleSql(8)
     )
   }
 }

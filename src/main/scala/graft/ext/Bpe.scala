@@ -59,8 +59,23 @@ object Bpe {
    * repeatable pairs.
    */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = df.sparkSession
+    val merges = trainMergesSeq(df, textCol, numMerges)
+    val rows = merges.map { case (k, l, r, c) => Row(k.toLong, l, r, c) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("rank", LongType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("cnt", LongType, nullable = false))))
+  }
+
+  /** [[trainMerges]] as a driver-side Seq (numMerges bounded), for
+    * feeding [[encodeCounts]]. */
+  def trainMergesSeq(df: DataFrame, textCol: String,
+                     numMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     var words = wordTable(df, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     words.count()
@@ -92,14 +107,33 @@ object Bpe {
         }
       }
     } finally words.unpersist()
-    val rows = merges.map { case (k, l, r, c) => Row(k.toLong, l, r, c) }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1),
-      StructType(Seq(
-        StructField("rank", LongType, nullable = false),
-        StructField("left", StringType, nullable = false),
-        StructField("right", StringType, nullable = false),
-        StructField("cnt", LongType, nullable = false))))
+    merges.toSeq
+  }
+
+  /**
+   * ENCODE under a trained merge list: per-document word and subword
+   * counts — the apply half of the tokenizer pipeline (train with
+   * [[trainMerges]], measure corpus token budgets with this).
+   *
+   * Scale path: the merge folds run over the DISTINCT-WORD table
+   * (vocabulary-bounded — K chained `aggregate` folds, map-side), and
+   * the corpus only pays a broadcast hash join of its exploded tokens
+   * against that word → subword-count map, then one per-doc partial-agg
+   * count. Docs with no tokens are absent.
+   */
+  def encodeCounts(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(
+        TextAnalysis.normalized(col(textCol)))).alias("__w"))
+    val words = toks.select("__w").distinct()
+    val chars = filter(split(col("__w"), ""), s => length(s) > 0)
+    val folded = merges.foldLeft(chars) { case (c, (l, r)) => applyMerge(c, l, r) }
+    val wordSub = words.select(col("__w"), size(folded).alias("__k"))
+    toks.join(broadcast(wordSub), "__w")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_words"),
+        sum(col("__k")).alias("n_subwords"))
   }
 
   /** Independent sequential reference implementation (driver-side, plain

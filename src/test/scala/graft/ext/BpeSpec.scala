@@ -60,6 +60,37 @@ class BpeSpec extends SparkSpec {
     assert(merges(1)._2 == "ab" && merges(1)._3 == "ab" && merges(1)._4 == 10L)
   }
 
+  test("encodeCounts: subword counts shrink as merges apply; hand-checked") {
+    val docs = Seq((1L, "low low lower"), (2L, "newest")).toDF("doc_id", "text")
+    // no merges: subwords = characters
+    val none = Bpe.encodeCounts(docs, "doc_id", "text", Seq.empty)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(none(1L) == ((3L, 11L))) // low(3)+low(3)+lower(5)
+    assert(none(2L) == ((1L, 6L)))
+    // after (l,o) and (lo,w): low = 1 symbol, lower = 3 (low,e,r)
+    val merged = Bpe.encodeCounts(docs, "doc_id", "text",
+        Seq(("l", "o"), ("lo", "w")))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(merged(1L) == ((3L, 5L)), s"got $merged") // 1+1+3
+    assert(merged(2L) == ((1L, 6L))) // untouched word
+  }
+
+  test("train + encode composes: corpus token budget decreases monotonically") {
+    val docs = Seq(
+      (1L, "banana banana bandana"),
+      (2L, "scan scan analysis")).toDF("doc_id", "text")
+    def total(k: Int): Long = {
+      val m =
+        if (k == 0) Seq.empty
+        else Bpe.trainMergesSeq(docs, "text", k).map(x => (x._2, x._3))
+      Bpe.encodeCounts(docs, "doc_id", "text", m)
+        .agg(sum("n_subwords")).as[Long].collect()(0)
+    }
+    val budgets = Seq(0, 2, 5).map(total)
+    assert(budgets(0) > budgets(1) && budgets(1) > budgets(2),
+      s"token budget not decreasing: $budgets")
+  }
+
   test("early exhaustion: single-char vocabulary stops before numMerges") {
     val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
     val merges = Bpe.trainMerges(docs, "text", 5).collect()
