@@ -1125,6 +1125,18 @@ object SparkEntry {
         .map(m => (m._2, m._3))
       ext.Bpe.encodeCounts(docs, "doc_id", "text", merges)
     }),
+    // exact triangle counting on the supplier co-occurrence graph
+    // (suppliers sharing an order): canonical a<b edges, two equi-joins,
+    // integer-exact — the classic distributed-join graph benchmark.
+    // l_orderkey < 15000 is the id-bounded oracle idiom: the synthetic
+    // uniform supplier assignment makes the FULL graph near-complete at
+    // big sf (every pair co-occurs → Σdeg² wedge blowup measures a
+    // degenerate clique, not triangle counting); the bound keeps a
+    // sparse, meaningful graph at every scale factor
+    "q_triangle_count" -> ((s, dir) =>
+      ext.Graph.triangleStats(ext.Graph.coOccurrenceEdges(
+        table(s, dir, "lineitem").filter(col("l_orderkey") < 15000),
+        "l_orderkey", "l_suppkey"))),
     // per-user rolling features (lag / 3-event moving average / inter-event
     // gap): windows PARTITIONED BY user — per-key state, no global sort;
     // the event-feature shape every training pipeline derives. ts handled
@@ -2187,7 +2199,23 @@ object SparkEntry {
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
       "q_bpe_merges" -> bpeOracleSql(8),
-      "q_bpe_encode" -> bpeEncodeOracleSql(8)
+      "q_bpe_encode" -> bpeEncodeOracleSql(8),
+      // identical graph derivation + triangle join, all exact integers
+      "q_triangle_count" ->
+        """WITH m AS (
+          |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS n FROM lineitem
+          |  WHERE l_orderkey < 15000),
+          |e AS MATERIALIZED (
+          |  SELECT DISTINCT a.n AS a, b.n AS b
+          |  FROM m a JOIN m b ON a.g = b.g AND a.n < b.n),
+          |nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+          |tri AS (
+          |  SELECT count(*) AS c
+          |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+          |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+          |SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+          |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+          |  CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles""".stripMargin
     )
   }
 }

@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over relational co-occurrence graphs — the
+ * entity-graph shapes a data pipeline derives from its fact tables
+ * (suppliers co-serving an order, users co-editing a doc): degree
+ * statistics and EXACT triangle counting.
+ *
+ * Triangle counting is the classic distributed-join benchmark: with
+ * edges canonicalized `a < b`, triangles are exactly the matches of
+ * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c — two equi-joins, integer-
+ * exact, no iteration. Scale notes: the wedge join (e ⋈ e on the
+ * middle vertex) is the quadratic step — its fan-out is Σ_v deg(v)²,
+ * so the canonical a<b orientation matters (it bounds each wedge list
+ * by the HIGHER-degree endpoint's out-neighbors, the standard
+ * degree-ordering trick that keeps hub vertices from exploding), and
+ * the closing edge joins as a semi-join-shaped probe.
+ */
+object Graph {
+
+  /** Distinct undirected co-occurrence edges (a < b) between values of
+    * `nodeCol` sharing a `groupCol` value. The pair fan-out is map-side
+    * (self-join within groups), reduced by `distinct` before anything
+    * downstream — bounded by groups × k² for k co-members, the
+    * relational-graph norm. */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, nodeCol: String): DataFrame = {
+    val q = (n: String) => graft.ColName.topCol(n)
+    val l = df.select(q(groupCol).alias("__g"), q(nodeCol).alias("a")).distinct()
+    val r = df.select(q(groupCol).alias("__g"), q(nodeCol).alias("b")).distinct()
+    l.join(r, "__g").filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact triangle count plus node/edge counts, one row. Edges must be
+    * canonical (a < b, distinct) — [[coOccurrenceEdges]] output. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e1 = edges.select(col("a").alias("x"), col("b").alias("y"))
+    val e2 = edges.select(col("a").alias("y"), col("b").alias("z"))
+    val e3 = edges.select(col("a").alias("x"), col("b").alias("z"))
+    val wedges = e1.join(e2, "y") // x < y < z by construction
+    val triangles = wedges.join(e3, Seq("x", "z"))
+    val nNodes = edges.select(col("a").alias("n"))
+      .union(edges.select(col("b").alias("n"))).distinct().count()
+    val nEdges = edges.count()
+    val nTri = triangles.count()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nNodes, nEdges, nTri)).toDF("n_nodes", "n_edges", "n_triangles")
+  }
+
+  /** Per-node degree table (undirected, canonical edges in). */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(col("a").alias("node"))
+      .union(edges.select(col("b").alias("node")))
+      .groupBy("node").agg(count(lit(1)).alias("degree"))
+}

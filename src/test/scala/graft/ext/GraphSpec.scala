@@ -1,0 +1,52 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("coOccurrenceEdges: distinct canonical pairs within groups") {
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), // group 1: 3 nodes → 3 edges
+      (2L, 10L), (2L, 20L),            // duplicates edge (10,20)
+      (2L, 10L),                       // duplicate row: no self-edge
+      (3L, 40L)).toDF("g", "n")        // singleton: no edges
+    val e = Graph.coOccurrenceEdges(df, "g", "n")
+      .as[(Long, Long)].collect().toSet
+    assert(e == Set((10L, 20L), (10L, 30L), (20L, 30L)))
+  }
+
+  test("triangleStats: K4 has 4 triangles; adding a pendant edge changes none") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val s = Graph.triangleStats(k4).as[(Long, Long, Long)].collect()(0)
+    assert(s == ((4L, 6L, 4L)))
+    val pendant = k4.union(Seq((4L, 9L)).toDF("a", "b"))
+    val s2 = Graph.triangleStats(pendant).as[(Long, Long, Long)].collect()(0)
+    assert(s2 == ((5L, 7L, 4L)))
+  }
+
+  test("triangleStats matches the brute-force definition on a random graph") {
+    // deterministic pseudo-random graph on 20 nodes
+    val pairs = for {
+      a <- 1L to 20L; b <- (a + 1) to 20L
+      if java.util.Objects.hash(a, b) % 3 == 0
+    } yield (a, b)
+    val edges = pairs.toDF("a", "b")
+    val got = Graph.triangleStats(edges).as[(Long, Long, Long)].collect()(0)._3
+    val es = pairs.toSet
+    val want = (for {
+      a <- 1L to 20L; b <- (a + 1) to 20L; c <- (b + 1) to 20L
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield 1).size.toLong
+    assert(got == want, s"triangles $got != brute-force $want")
+  }
+
+  test("degrees: undirected degree per node") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val d = Graph.degrees(e).as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+  }
+}
