@@ -1137,6 +1137,13 @@ object SparkEntry {
       ext.Graph.triangleStats(ext.Graph.coOccurrenceEdges(
         table(s, dir, "lineitem").filter(col("l_orderkey") < 15000),
         "l_orderkey", "l_suppkey"))),
+    // multi-hop BFS distances from supplier 1 on the same bounded graph:
+    // 3 rounds of join+min frontier relaxation, lineage cut per round
+    // (the oracle replays the same 3 relaxations as chained CTEs)
+    "q_hop_distances" -> ((s, dir) =>
+      ext.Graph.hopDistances(ext.Graph.coOccurrenceEdges(
+        table(s, dir, "lineitem").filter(col("l_orderkey") < 15000),
+        "l_orderkey", "l_suppkey"), seeds = Seq(1L), maxHops = 3)),
     // per-user rolling features (lag / 3-event moving average / inter-event
     // gap): windows PARTITIONED BY user — per-key state, no global sort;
     // the event-feature shape every training pipeline derives. ts handled
@@ -1209,6 +1216,32 @@ object SparkEntry {
          |    chr(2) || chr(1)))) AS BIGINT) AS n_subwords
          |FROM toks t JOIN w$numMerges USING (w)
          |GROUP BY t.doc_id""".stripMargin
+
+  /** DuckDB replay of the BFS frontier relaxation: the same bounded
+    * co-occurrence graph, then `maxHops` chained min-relax CTE rounds. */
+  private def hopOracleSql(maxHops: Int, seed: Long): String = {
+    val head =
+      s"""WITH m AS (
+         |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS n FROM lineitem
+         |  WHERE l_orderkey < 15000),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a.n AS a, b.n AS b
+         |  FROM m a JOIN m b ON a.g = b.g AND a.n < b.n),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+         |d0 AS (SELECT CAST($seed AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)""".stripMargin
+    val rounds = (1 to maxHops).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT s.dst AS node, d.dist + 1 AS dist
+         |    FROM d${k - 1} d JOIN sym s ON d.node = s.src)
+         |  GROUP BY node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d$maxHops"
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -2215,7 +2248,8 @@ object SparkEntry {
           |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
           |SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
           |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
-          |  CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles""".stripMargin
+          |  CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles""".stripMargin,
+      "q_hop_distances" -> hopOracleSql(maxHops = 3, seed = 1L)
     )
   }
 }

@@ -56,4 +56,47 @@ object Graph {
     edges.select(col("a").alias("node"))
       .union(edges.select(col("b").alias("node")))
       .groupBy("node").agg(count(lit(1)).alias("degree"))
+
+  /**
+   * Multi-source BFS hop distances, exact: for every node within
+   * `maxHops` undirected hops of a seed, the minimum hop count.
+   * Unreachable (or farther) nodes are absent. Output: (node, dist).
+   *
+   * Each of the maxHops rounds is one equi-join (current distances →
+   * neighbors at +1) plus a partial-aggregatable min — the standard
+   * iterative frontier relaxation; the distance table is re-persisted
+   * per round and the previous one released (O(1) lineage, like the
+   * connected-components loop). Distances only shrink, so re-relaxing
+   * already-settled nodes is harmless — no frontier bookkeeping needed
+   * at these hop counts.
+   */
+  def hopDistances(edges: DataFrame, seeds: Seq[Long], maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // eager localCheckpoint per round: each round references the
+    // previous distance table TWICE (relax source + union), so without
+    // a lineage cut the logical plan doubles every round and the
+    // analyzer cost goes exponential (the same hazard the connected-
+    // components loop guards against). Checkpoint blocks also make the
+    // cache releases below safe — no recompute chain survives.
+    val sym = edges.select(col("a").alias("src"), col("b").alias("dst"))
+      .union(edges.select(col("b").alias("src"), col("a").alias("dst")))
+      .localCheckpoint(true)
+    var dist = seeds.toDF("node").select(col("node"), lit(0L).alias("dist"))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      // string-qualified aliases: `dist` already derives from `sym`
+      // after round 1, so df(col) references would be an ambiguous
+      // self-join
+      val next = dist.alias("__d")
+        .join(sym.alias("__s"), col("__d.node") === col("__s.src"))
+        .select(col("__s.dst").alias("node"),
+          (col("__d.dist") + 1L).alias("dist"))
+      dist = dist.union(next)
+        .groupBy("node").agg(min("dist").alias("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

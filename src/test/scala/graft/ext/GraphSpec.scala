@@ -44,6 +44,45 @@ class GraphSpec extends SparkSpec {
     assert(got == want, s"triangles $got != brute-force $want")
   }
 
+  test("hopDistances: path graph, truncation, unreachable absent, multi-seed") {
+    // path 1-2-3-4-5, isolated edge 8-9
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L)).toDF("a", "b")
+    val d2 = Graph.hopDistances(e, Seq(1L), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4, 5, 8, 9 absent
+    val full = Graph.hopDistances(e, Seq(1L), maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(full == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+    // multi-source: min over seeds; seeds at both ends meet in the middle
+    val meet = Graph.hopDistances(e, Seq(1L, 5L), maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(meet == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("hopDistances ≡ brute-force BFS on a random graph") {
+    val pairs = (for {
+      a <- 1L to 15L; b <- (a + 1) to 15L
+      if java.util.Objects.hash(b, a) % 4 == 0
+    } yield (a, b)).toSeq
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def bfs(seed: Long): Map[Long, Long] = {
+      var dist = Map(seed -> 0L); var frontier = Set(seed)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .filterNot(dist.contains)
+        next.foreach(n => dist += n -> (dist(frontier.find(f =>
+          adj.getOrElse(f, Set.empty)(n)).get) + 1))
+        frontier = next
+      }
+      dist
+    }
+    val want = bfs(1L).filter(_._2 <= 4L)
+    val got = Graph.hopDistances(pairs.toDF("a", "b"), Seq(1L), maxHops = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
   test("degrees: undirected degree per node") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     val d = Graph.degrees(e).as[(Long, Long)].collect().toMap
