@@ -1144,6 +1144,13 @@ object SparkEntry {
       ext.Graph.hopDistances(ext.Graph.coOccurrenceEdges(
         table(s, dir, "lineitem").filter(col("l_orderkey") < 15000),
         "l_orderkey", "l_suppkey"), seeds = Seq(1L), maxHops = 3)),
+    // PageRank (5 power iterations, d=0.85) on the same bounded graph —
+    // the oracle replays the identical iterations as chained CTEs; 6-dp
+    // rounding absorbs the engines' neighbor-sum order difference
+    "q_pagerank" -> ((s, dir) =>
+      ext.Graph.pageRank(ext.Graph.coOccurrenceEdges(
+        table(s, dir, "lineitem").filter(col("l_orderkey") < 15000),
+        "l_orderkey", "l_suppkey"), iterations = 5, damping = 0.85)),
     // per-user rolling features (lag / 3-event moving average / inter-event
     // gap): windows PARTITIONED BY user — per-key state, no global sort;
     // the event-feature shape every training pipeline derives. ts handled
@@ -1241,6 +1248,41 @@ object SparkEntry {
     }
     (head +: rounds).mkString(",\n") +
       s"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d$maxHops"
+  }
+
+  /** DuckDB replay of the PageRank power iteration over the same
+    * bounded co-occurrence graph: identical arithmetic per round
+    * ((1.0 − d)/N teleport, r/deg contributions, left join so
+    * no-incoming nodes keep the teleport term). */
+  private def pageRankOracleSql(iterations: Int, damping: Double): String = {
+    val head =
+      s"""WITH m AS (
+         |  SELECT DISTINCT l_orderkey AS g, l_suppkey AS n FROM lineitem
+         |  WHERE l_orderkey < 15000),
+         |e AS MATERIALIZED (
+         |  SELECT DISTINCT a.n AS a, b.n AS b
+         |  FROM m a JOIN m b ON a.g = b.g AND a.n < b.n),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS MATERIALIZED (
+         |  SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |nodes AS MATERIALIZED (SELECT src AS node FROM deg),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)""".stripMargin
+    val rounds = (1 to iterations).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT nd.node,
+         |    (1.0 - $damping) / (SELECT n FROM nn)
+         |      + $damping * coalesce(c.in_sum, 0.0) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT s.dst AS node, sum(p.r / d.deg) AS in_sum
+         |    FROM r${k - 1} p JOIN deg d ON p.node = d.src
+         |                     JOIN sym s ON p.node = s.src
+         |    GROUP BY s.dst) c ON nd.node = c.node)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT node, round(r, 6) AS rank FROM r$iterations"
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2249,7 +2291,8 @@ object SparkEntry {
           |SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
           |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
           |  CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles""".stripMargin,
-      "q_hop_distances" -> hopOracleSql(maxHops = 3, seed = 1L)
+      "q_hop_distances" -> hopOracleSql(maxHops = 3, seed = 1L),
+      "q_pagerank" -> pageRankOracleSql(iterations = 5, damping = 0.85)
     )
   }
 }

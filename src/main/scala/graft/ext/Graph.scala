@@ -58,6 +58,55 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).alias("degree"))
 
   /**
+   * PageRank by power iteration over the undirected graph (each edge
+   * contributes both directions, so out-degree = degree):
+   * `r'(v) = (1−d)/N + d · Σ_{u~v} r(u)/deg(u)`, a fixed
+   * `iterations` rounds from the uniform start. Output:
+   * (node, rank·6dp).
+   *
+   * Scale shape: per round ONE equi-join (ranks ⋈ out-edges) feeding a
+   * partial-aggregatable sum per destination, then a left join back to
+   * the node list so isolated-from-incoming nodes keep the teleport
+   * term. Lineage is cut with an eager localCheckpoint per round —
+   * same hazard as [[hopDistances]]. Every node of a canonical edge
+   * list has degree ≥ 1, so there is no dangling-mass correction term.
+   *
+   * Determinism note: the per-node neighbor sum is a float sum (order
+   * differs across engines at ~1e-14 relative); 6-dp rounding on values
+   * of magnitude ≥ (1−d)/N leaves orders of magnitude of slack.
+   */
+  def pageRank(edges: DataFrame, iterations: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val spark = edges.sparkSession
+    val sym = edges.select(col("a").alias("src"), col("b").alias("dst"))
+      .union(edges.select(col("b").alias("src"), col("a").alias("dst")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).alias("deg"))
+      .localCheckpoint(true)
+    val nodes = deg.select(col("src").alias("node")).localCheckpoint(true)
+    val n = nodes.count()
+    val teleport = (1.0 - damping) / n
+    var rank = nodes.select(col("node"), lit(1.0 / n).alias("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contribs = rank.alias("__r")
+        .join(deg.alias("__g"), col("__r.node") === col("__g.src"))
+        .join(sym.alias("__s"), col("__r.node") === col("__s.src"))
+        .select(col("__s.dst").alias("node"),
+          (col("__r.r") / col("__g.deg")).alias("c"))
+        .groupBy("node").agg(sum("c").alias("in_sum"))
+      rank = nodes.alias("__n")
+        .join(contribs.alias("__c"), col("__n.node") === col("__c.node"), "left")
+        .select(col("__n.node").alias("node"),
+          (lit(teleport) + lit(damping) * coalesce(col("__c.in_sum"), lit(0.0)))
+            .alias("r"))
+        .localCheckpoint(true)
+    }
+    rank.select(col("node"), round(col("r"), 6).alias("rank"))
+  }
+
+  /**
    * Multi-source BFS hop distances, exact: for every node within
    * `maxHops` undirected hops of a seed, the minimum hop count.
    * Unreachable (or farther) nodes are absent. Output: (node, dist).

@@ -83,6 +83,43 @@ class GraphSpec extends SparkSpec {
     assert(got == want, s"\ngot:  $got\nwant: $want")
   }
 
+  test("pageRank: sums to 1, symmetric graph is uniform, hub outranks leaves") {
+    // star: hub 1 connected to 2..5
+    val star = (2L to 5L).map(x => (1L, x)).toDF("a", "b")
+    val pr = Graph.pageRank(star, iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-4, s"ranks don't sum to 1: $pr")
+    assert((2L to 5L).forall(x => pr(1L) > pr(x)), s"hub not top: $pr")
+    assert((3L to 5L).forall(x => math.abs(pr(2L) - pr(x)) < 1e-9))
+    // 4-cycle: perfect symmetry → exactly uniform at every iteration
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val u = Graph.pageRank(cycle, iterations = 3).as[(Long, Double)].collect()
+    u.foreach { case (_, r) => assert(math.abs(r - 0.25) < 1e-9, u.toSeq) }
+  }
+
+  test("pageRank matches a sequential reference on a random graph") {
+    val pairs = (for {
+      a <- 1L to 12L; b <- (a + 1) to 12L
+      if java.util.Objects.hash(a * 7 + b) % 3 == 0
+    } yield (a, b)).toSeq
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for (u <- nodes; v <- adj(u)) contrib(v) += r(u) / adj(u).size
+      r = nodes.map(v => v -> (0.15 / n + 0.85 * contrib(v))).toMap
+    }
+    val got = Graph.pageRank(pairs.toDF("a", "b"), iterations = 5)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == r.keySet)
+    got.foreach { case (v, x) =>
+      assert(math.abs(x - r(v)) < 1e-6, s"node $v: $x vs ${r(v)}") }
+  }
+
   test("degrees: undirected degree per node") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     val d = Graph.degrees(e).as[(Long, Long)].collect().toMap
