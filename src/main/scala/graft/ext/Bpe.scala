@@ -139,7 +139,7 @@ object Bpe {
   /** Independent sequential reference implementation (driver-side, plain
     * Scala) — used by the spec's strategy-equivalence gate, NOT by the
     * distributed path. */
-  private[ext] def referenceMerges(wordFreqs: Map[String, Long],
+  private[graft] def referenceMerges(wordFreqs: Map[String, Long],
                                    numMerges: Int): Seq[(Int, String, String, Long)] = {
     var words: Map[Seq[String], Long] =
       wordFreqs.groupMapReduce { case (w, _) => w.split("").toSeq }(_._2)(_ + _)

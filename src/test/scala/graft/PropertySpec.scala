@@ -178,4 +178,56 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("Misra-Gries two-pass heavy hitters ≡ exact GROUP BY under random " +
+       "skew, capacities, and partitionings") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new Random(9000 + seed)
+      // zipf-ish stream: item i drawn with weight 1/(i+1)
+      val nItems = 5 + rnd.nextInt(40)
+      val weights = (0 until nItems).map(i => 1.0 / (i + 1))
+      val total = weights.sum
+      val stream = (0 until 300 + rnd.nextInt(700)).map { _ =>
+        var u = rnd.nextDouble() * total; var i = 0
+        while (u > weights(i) && i < nItems - 1) { u -= weights(i); i += 1 }
+        f"it$i%03d"
+      }
+      val capacity = 2 + rnd.nextInt(12)
+      val parts = 1 + rnd.nextInt(15)
+      val df = stream.toDF("item").repartition(parts)
+      val got = graft.ext.HeavyHitters.exact(df, "item", capacity)
+        .as[(String, Long)].collect().toMap
+      val counts = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      val want = counts.filter { case (_, c) =>
+        c * (capacity + 1) > stream.size }.toMap
+      assert(got == want,
+        s"seed=$seed cap=$capacity parts=$parts\ngot:  $got\nwant: $want")
+    }
+  }
+
+  test("distributed BPE ≡ sequential reference under random corpora and " +
+       "partitionings") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new Random(7100 + seed)
+      val alphabet = "abcde"
+      val vocab = (0 until 4 + rnd.nextInt(8)).map { _ =>
+        (0 until 2 + rnd.nextInt(5)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val docs = (0 until 10 + rnd.nextInt(20)).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(8))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val parts = 1 + rnd.nextInt(9)
+      val df = docs.toDF("doc_id", "text").repartition(parts)
+      val k = 1 + rnd.nextInt(6)
+      val dist = graft.ext.Bpe.trainMergesSeq(df, "text", k)
+      val wordFreqs = docs.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ref = graft.ext.Bpe.referenceMerges(wordFreqs, k)
+      assert(dist == ref, s"seed=$seed k=$k parts=$parts\n$dist\n$ref")
+    }
+  }
 }
