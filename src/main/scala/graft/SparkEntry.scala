@@ -1107,6 +1107,23 @@ object SparkEntry {
     // O(len²) per doc)
     "q_token_entropy" -> ((s, dir) =>
       TextAnalysis.tokenEntropy(table(s, dir, "documents"), "doc_id", "text")),
+    // schema-drift union: two "daily dumps" with different column sets
+    // and a narrowed key type — unionEvolve null-fills, widens int →
+    // bigint via Catalyst's tightest-common-type, and stays a pure plan
+    // rewrite (casts + unionByName, no shuffle before the aggregate)
+    "q_union_evolve" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val day1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").cast("int").alias("okey"),
+          col("o_orderpriority"))
+      val day2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey").alias("okey"), col("o_totalprice"))
+      Structuring.unionEvolve(Seq(day1, day2))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).alias("n"), sum(col("okey")).alias("sum_key"),
+          sum(when(col("o_totalprice").isNotNull, 1L).otherwise(0L))
+            .alias("n_price"))
+    }),
     // BPE merge training (8 merges) over the documents corpus: one
     // corpus pass reduces to the word-frequency table; each iteration is
     // a pair-count aggregation + map-side fold over that vocabulary-
@@ -2292,7 +2309,26 @@ object SparkEntry {
           |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
           |  CAST((SELECT c FROM tri) AS BIGINT) AS n_triangles""".stripMargin,
       "q_hop_distances" -> hopOracleSql(maxHops = 3, seed = 1L),
-      "q_pagerank" -> pageRankOracleSql(iterations = 5, damping = 0.85)
+      "q_pagerank" -> pageRankOracleSql(iterations = 5, damping = 0.85),
+      // the evolved union restated explicitly: null-filled missing
+      // columns, key widened to bigint
+      "q_union_evolve" ->
+        """WITH day1 AS (
+          |  SELECT CAST(o_orderkey AS INT) AS okey, o_orderpriority
+          |  FROM orders WHERE o_orderkey % 2 = 0),
+          |day2 AS (
+          |  SELECT o_orderkey AS okey, o_totalprice
+          |  FROM orders WHERE o_orderkey % 2 = 1),
+          |u AS (
+          |  SELECT CAST(okey AS BIGINT) AS okey, o_orderpriority,
+          |    CAST(NULL AS DOUBLE) AS o_totalprice FROM day1
+          |  UNION ALL
+          |  SELECT okey, CAST(NULL AS VARCHAR), o_totalprice FROM day2)
+          |SELECT o_orderpriority, count(*) AS n,
+          |  CAST(sum(okey) AS BIGINT) AS sum_key,
+          |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END)
+          |       AS BIGINT) AS n_price
+          |FROM u GROUP BY o_orderpriority""".stripMargin
     )
   }
 }

@@ -35,6 +35,43 @@ object Structuring {
     df.select(cols: _*)
   }
 
+  /**
+   * Schema-drift union (Spark-only addition): union N frames BY NAME,
+   * filling columns a frame lacks with nulls and WIDENING shared
+   * columns to their tightest common type (int → bigint, float →
+   * double, …) via Catalyst's own `findTightestCommonType` — the shape
+   * of reading heterogeneous parquet dumps whose schema evolved across
+   * days. Column order follows first appearance across the inputs.
+   * Incompatible shared types (e.g. string vs array) throw with the
+   * column named. Purely a plan rewrite: casts + unionByName, no
+   * shuffles, no data pass beyond the union itself.
+   */
+  def unionEvolve(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionEvolve needs at least one frame")
+    val coercion = org.apache.spark.sql.catalyst.analysis.TypeCoercion
+    // merged (name → widened type), ordered by first appearance
+    val order = scala.collection.mutable.LinkedHashMap[String, DataType]()
+    for (df <- dfs; f <- df.schema.fields) {
+      order.get(f.name) match {
+        case None => order(f.name) = f.dataType
+        case Some(t) if t == f.dataType => ()
+        case Some(t) =>
+          order(f.name) = coercion.findTightestCommonType(t, f.dataType)
+            .getOrElse(throw new IllegalArgumentException(
+              s"unionEvolve: column '${f.name}' has incompatible types " +
+                s"${t.simpleString} vs ${f.dataType.simpleString}"))
+      }
+    }
+    val aligned = dfs.map { df =>
+      val have = df.schema.fieldNames.toSet
+      df.select(order.toSeq.map { case (n, t) =>
+        if (have(n)) ColName.topCol(n).cast(t).alias(n)
+        else org.apache.spark.sql.functions.lit(null).cast(t).alias(n)
+      }: _*)
+    }
+    aligned.reduce(_.unionByName(_))
+  }
+
   /** S3: recursively flatten ALL struct columns until none remain
     * (structuring_utils.py:49-58). Arrays are left intact (same as the
     * reference — only bare Structs unnest). */

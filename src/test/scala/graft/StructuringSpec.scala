@@ -132,4 +132,40 @@ class StructuringSpec extends AnyFunSuite with SparkSpec {
     val inner = m("l").asInstanceOf[Seq[Any]].head.asInstanceOf[Map[String, Any]]
     assert(inner("v") == "double")
   }
+
+  test("unionEvolve: missing columns null-filled, int widens to bigint") {
+    val sp = spark; import sp.implicits._
+    val day1 = Seq((1, "a"), (2, "b")).toDF("id", "name") // id: INT
+    val day2 = Seq((3L, 9.5), (4L, 8.5)).toDF("id", "score") // id: BIGINT, new col
+    val u = Structuring.unionEvolve(Seq(day1, day2))
+    assert(u.schema("id").dataType == LongType, u.schema.treeString)
+    assert(u.columns.toSeq == Seq("id", "name", "score")) // first-appearance order
+    val rows = u.as[(Long, Option[String], Option[Double])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, Some("a"), None), (2L, Some("b"), None),
+      (3L, None, Some(9.5)), (4L, None, Some(8.5))))
+  }
+
+  test("unionEvolve: incompatible shared types throw with the column named") {
+    val sp = spark; import sp.implicits._
+    val a = Seq(1).toDF("x")
+    val b = Seq("s").toDF("x")
+    val err = intercept[IllegalArgumentException](
+      Structuring.unionEvolve(Seq(a, b)))
+    assert(err.getMessage.contains("'x'"), err.getMessage)
+  }
+
+  test("unionEvolve: single frame is identity; three-way drift composes") {
+    val sp = spark; import sp.implicits._
+    val one = Seq((1L, "x")).toDF("id", "v")
+    assert(Structuring.unionEvolve(Seq(one)).collect().toSeq ==
+      one.collect().toSeq)
+    val f1 = Seq(1).toDF("a")
+    val f2 = Seq((2L, "y")).toDF("a", "b")
+    val f3 = Seq((3.0, true)).toDF("a", "c")
+    val u = Structuring.unionEvolve(Seq(f1, f2, f3))
+    assert(u.schema("a").dataType == DoubleType) // int → bigint → double
+    assert(u.columns.toSeq == Seq("a", "b", "c"))
+    assert(u.count() == 3)
+  }
 }
