@@ -1168,6 +1168,26 @@ object SparkEntry {
       ext.Graph.pageRank(ext.Graph.coOccurrenceEdges(
         table(s, dir, "lineitem").filter(col("l_orderkey") < 15000),
         "l_orderkey", "l_suppkey"), iterations = 5, damping = 0.85)),
+    // funnel conversion (view → click → purchase by FIRST-occurrence
+    // order per user): one conditional-min aggregation per user + one
+    // global roll-up — two partial-aggregatable passes, exact integers,
+    // no window, no self-join (the naive form is 3 self-joins)
+    "q_funnel" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      val us = graft.streaming.EventStreams.eventMicros(e)
+      val per = e.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", us)).alias("t_view"),
+        min(when(col("event_type") === "click", us)).alias("t_click"),
+        min(when(col("event_type") === "purchase", us)).alias("t_purchase"))
+      per.agg(
+        count(lit(1)).alias("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).alias("n_view"),
+        sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L))
+          .alias("n_view_click"),
+        sum(when(col("t_view") < col("t_click") &&
+                 col("t_click") < col("t_purchase"), 1L).otherwise(0L))
+          .alias("n_full_funnel"))
+    }),
     // per-user rolling features (lag / 3-event moving average / inter-event
     // gap): windows PARTITIONED BY user — per-key state, no global sort;
     // the event-feature shape every training pipeline derives. ts handled
@@ -2312,6 +2332,23 @@ object SparkEntry {
       "q_pagerank" -> pageRankOracleSql(iterations = 5, damping = 0.85),
       // the evolved union restated explicitly: null-filled missing
       // columns, key widened to bigint
+      // same conditional-min funnel; NULL comparisons fall out of the
+      // CASE the same way on both engines
+      "q_funnel" ->
+        """WITH per AS (
+          |  SELECT user_id,
+          |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+          |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+          |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+          |  FROM events GROUP BY user_id)
+          |SELECT count(*) AS n_users,
+          |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_view,
+          |  CAST(sum(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_view_click,
+          |  CAST(sum(CASE WHEN t_view < t_click AND t_click < t_purchase
+          |           THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+          |FROM per""".stripMargin,
       "q_union_evolve" ->
         """WITH day1 AS (
           |  SELECT CAST(o_orderkey AS INT) AS okey, o_orderpriority
