@@ -1060,6 +1060,16 @@ object SparkEntry {
       ext.Layout.compactFiles(s, shredded, out, targetBytes = bytes / 3 + 1)
       s.read.parquet(out)
     }),
+    // globally-sorted export roundtrip: range-partitioned + sorted files
+    // (no single-task global sort); content must be exactly the source
+    "q_sorted_export" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sorted_lineitem"
+      ext.Layout.sortedExport(
+        table(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"), col("l_quantity")),
+        Seq("l_extendedprice", "l_orderkey", "l_linenumber"), out, numFiles = 6)
+      s.read.parquet(out)
+    }),
     // fixed-width histogram: one partial-aggregatable groupBy over a
     // codegen'd bucket expression — shuffle carries ≤ buckets rows per
     // partition. (110000-0)/20 = 5500 exactly, so the bucket arithmetic
@@ -2184,6 +2194,9 @@ object SparkEntry {
       "q_compact_roundtrip" ->
         """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
           |FROM orders""".stripMargin,
+      "q_sorted_export" ->
+        """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+          |FROM lineitem""".stripMargin,
       // same bucket arithmetic, same closed top edge, same exclusions
       "q_histogram" ->
         """WITH b AS (

@@ -109,6 +109,25 @@ object Layout {
   }
 
   /**
+   * Globally-sorted export: write `df` as `numFiles` parquet files that
+   * are SORTED WITHIN each file AND RANGE-PARTITIONED ACROSS files —
+   * file i's keys all precede file i+1's. Readers get binary-search /
+   * merge-scan access and maximal min-max stat pruning on the sort key.
+   * This is `repartitionByRange` (a sampled-boundaries shuffle, NOT a
+   * single-task global sort) + `sortWithinPartitions` — the only
+   * scalable way to a totally ordered layout.
+   */
+  def sortedExport(df: DataFrame, sortCols: Seq[String], path: String,
+                   numFiles: Int): Unit = {
+    require(sortCols.nonEmpty, "sortedExport needs at least one sort column")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val keys = sortCols.map(graft.ColName.topCol)
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /**
    * Small-file compaction: rewrite the parquet directory at `inPath` to
    * `outPath` as ~`targetBytes`-sized files. THE operational fix for the
    * classic small-files problem (a streaming sink or over-parallel write

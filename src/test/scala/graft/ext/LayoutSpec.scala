@@ -65,6 +65,26 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assertSameRows(sp.read.parquet(compacted), src)
   }
 
+  test("sortedExport: files are internally sorted AND range-disjoint across files") {
+    val sp = spark
+    import org.apache.spark.sql.functions.{col, input_file_name, min => fmin, max => fmax}
+    val src = sp.range(20000).select(
+      ((col("id") * 7919) % 100003).alias("k"), col("id").alias("payload"))
+    val out = "target/tmp/layout_sorted"
+    Layout.sortedExport(src, Seq("k"), out, numFiles = 6)
+    val back = sp.read.parquet(out)
+    // content preserved
+    assertSameRows(back, src)
+    // per-file ranges must be pairwise disjoint (global order across files)
+    val ranges = back.groupBy(input_file_name().alias("f"))
+      .agg(fmin("k").alias("lo"), fmax("k").alias("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 2, s"expected multiple files, got ${ranges.length}")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 <= lo2, s"file ranges overlap: $hi1 > $lo2 in ${ranges.toSeq}")
+    }
+  }
+
   test("compactFiles on an already-compact input is a size-preserving no-op shape") {
     val sp = spark
     val src = sp.range(1000).toDF("id")
