@@ -1090,6 +1090,15 @@ object SparkEntry {
     "q_sketch_accuracy" -> ((s, dir) =>
       ext.Profile.sketchAccuracy(table(s, dir, "lineitem"),
         "l_extendedprice", rsd = 0.05, accuracy = 1000)),
+    // count-min point-frequency estimates for probe keys: the sketch's
+    // one-sided no-undercount guarantee is a theorem, so `undercount`
+    // is an oracle-checkable constant 0 while exact_cnt is genuinely
+    // recomputed; overcount magnitude is spec-gated (ProfileSpec)
+    "q_count_min" -> ((s, dir) =>
+      ext.Profile.countMinEstimates(
+        table(s, dir, "events").select(col("user_id").cast("string").alias("item")),
+        "item", probes = Seq("1", "7", "42", "149", "no_such_user"),
+        eps = 0.001)),
     // robust per-group outlier stats: median + MAD (three
     // partial-aggregatable passes, no Window) — the anomaly gate that
     // doesn't move when the anomalies get extreme
@@ -2236,6 +2245,17 @@ object SparkEntry {
           |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
           |  true AS p50_rank_within_bound
           |FROM lineitem""".stripMargin,
+      // exact counts recomputed; undercount restated as the provable 0
+      "q_count_min" ->
+        """WITH probes(item) AS (
+          |  VALUES ('1'), ('7'), ('42'), ('149'), ('no_such_user')),
+          |e AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+          |x AS (
+          |  SELECT item, count(*) AS c FROM e
+          |  WHERE item IN (SELECT item FROM probes) GROUP BY item)
+          |SELECT p.item, CAST(coalesce(x.c, 0) AS BIGINT) AS exact_cnt,
+          |  CAST(0 AS BIGINT) AS undercount
+          |FROM probes p LEFT JOIN x USING (item)""".stripMargin,
       // same median/MAD/threshold re-derivation; the threshold compare
       // uses the UNROUNDED stats on both sides
       "q_mad_outliers" ->

@@ -110,6 +110,53 @@ object Profile {
   }
 
   /**
+   * Count-min sketch frequency estimates for a probe set of items,
+   * next to their exact counts: the point-query sketch that answers
+   * "how often does THIS key occur" from O(width·depth) memory however
+   * large the stream (Cormode–Muthukrishnan; Spark's own
+   * `stat.countMinSketch` — a distributed partial-aggregatable build).
+   *
+   * The defining one-sided guarantee — the estimate can only
+   * OVERcount, never undercount — is a THEOREM, so the per-item
+   * `undercount` column (max(exact − estimate, 0)) is provably 0 and a
+   * DuckDB oracle can restate it as the literal 0 while genuinely
+   * recomputing `exact_cnt` (the strategy-equivalence idiom; the raw
+   * estimate depends on the sketch's internal hashing and is not
+   * cross-engine derivable). The overcount magnitude (≤ eps·n at
+   * confidence `conf` per probe) is spec-gated on seeded data. Exact
+   * counts come from one IN-filtered partial-agg count — probe-bounded,
+   * never vocabulary-sized. Output: (item, exact_cnt, undercount).
+   */
+  def countMinEstimates(df: DataFrame, c: String, probes: Seq[String],
+                        eps: Double = 0.001, conf: Double = 0.99,
+                        seed: Int = 42): DataFrame = {
+    require(probes.nonEmpty, "countMinEstimates needs at least one probe item")
+    val v = graft.ColName.topCol(c)
+    val cms = df.stat.countMinSketch(v, eps, conf, seed)
+    val est = probes.map(p => p -> cms.estimateCount(p)).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exact = df.filter(v.isInCollection(probes))
+      .groupBy(v.alias("item")).agg(count(lit(1)).alias("exact_cnt"))
+    val probeDf = probes.map(p => (p, est(p))).toDF("item", "__est")
+    probeDf.join(exact, Seq("item"), "left")
+      .select(col("item"),
+        coalesce(col("exact_cnt"), lit(0L)).alias("exact_cnt"),
+        greatest(coalesce(col("exact_cnt"), lit(0L)) - col("__est"), lit(0L))
+          .alias("undercount"))
+  }
+
+  /** The raw estimates (item → count) for callers that want them — the
+    * sketch is built once per call; bounded by the probe list. */
+  def countMinRaw(df: DataFrame, c: String, probes: Seq[String],
+                  eps: Double = 0.001, conf: Double = 0.99,
+                  seed: Int = 42): Map[String, Long] = {
+    val v = graft.ColName.topCol(c)
+    val cms = df.stat.countMinSketch(v, eps, conf, seed)
+    probes.map(p => p -> cms.estimateCount(p)).toMap
+  }
+
+  /**
    * Accuracy gate for the approximate sketches: runs HyperLogLog++
    * (`approx_count_distinct` at `rsd`) and the approximate median
    * (`percentile_approx` at `accuracy`) next to their exact

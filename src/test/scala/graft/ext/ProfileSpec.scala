@@ -82,6 +82,26 @@ class ProfileSpec extends SparkSpec {
     assert(a._5 == 1L)
   }
 
+  test("countMin: never undercounts, overcount within eps*n, absent probe = 0") {
+    val stream = (Seq.fill(500)("hot") ++ (1 to 2000).map(i => s"u${i % 400}"))
+    val df = stream.toDF("item").repartition(7)
+    val probes = Seq("hot", "u1", "u399", "ghost")
+    val r = Profile.countMinEstimates(df, "item", probes, eps = 0.01)
+      .as[(String, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(r.keySet == probes.toSet)
+    probes.foreach { p =>
+      assert(r(p)._1 == exact.getOrElse(p, 0L), s"$p exact wrong")
+      assert(r(p)._2 == 0L, s"$p undercounted by ${r(p)._2}")
+    }
+    // overcount bound at eps=0.01: est - exact <= eps * n (2500 * 0.01 = 25)
+    val est = Profile.countMinRaw(df, "item", probes, eps = 0.01)
+    probes.foreach { p =>
+      val over = est(p) - exact.getOrElse(p, 0L)
+      assert(over >= 0 && over <= 25L, s"$p overcount $over outside eps*n")
+    }
+  }
+
   test("sketchAccuracy: constant column (total ties) stays within the rank window") {
     val df = spark.range(1000).select(lit(7.0).alias("v"))
     val r = Profile.sketchAccuracy(df, "v").as[(Long, Boolean, Double, Boolean)]
