@@ -12,9 +12,18 @@ import org.apache.spark.storage.StorageLevel
   *  - every query is fully materialized through the `noop` sink so all
   *    columns are computed — a `count()` would let Catalyst prune the
   *    projections away and time a hollowed-out plan;
-  *  - best-of-N (default 2) per query after one warmup query, mirroring
-  *    the reference's `--warmup 1 --repeat 3` median protocol
-  *    (reference benchmarks/harness.py);
+  *  - best-of-N per query, mirroring the reference's `--warmup 1
+  *    --repeat 3` protocol (reference benchmarks/harness.py). TWO
+  *    PROFILES (SPARK_GRAFT_PROFILE): "driver" (default) fits the
+  *    grading driver's time window — q_* in-process at REPEAT=1,
+  *    parity/scale forked with one child warmup, and a hard wall-clock
+  *    budget (SPARK_GRAFT_BUDGET_SEC, default 1320 s) that SKIPS
+  *    remaining entries rather than time out (BENCH_r06.json was rc=124
+  *    with no parsed data — a partial capture always beats that);
+  *    "full" is the definitive local capture (REPEAT=3, two warmups,
+  *    no budget) used to refresh BENCH_REFERENCE.json. The artifact
+  *    file is re-written after every entry, so even an external kill
+  *    leaves parseable partial data;
   *  - parity data generation is persisted and counted BEFORE timing, like
   *    the reference which excludes generation from timings
   *    (benchmarks/README.md:113);
@@ -225,7 +234,8 @@ object Bench {
     * The child's heap is unpinned (no -Xms) and bounded by [[rerunHeapMb]]
     * so parent + child always fit the sandbox. */
   private[graft] def runIsolated(names: Seq[String], cpus: String,
-                                 repeat: Int): Map[String, Double] = {
+                                 repeat: Int,
+                                 budgetSecLeft: Double = 0.0): Map[String, Double] = {
     val out = java.io.File.createTempFile("graft_bench_rerun", ".json")
     try {
       val javaBin = s"${System.getProperty("java.home")}/bin/java"
@@ -242,6 +252,12 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_FORK", "0")
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.environment().put("SPARK_GRAFT_REPEAT", repeat.toString)
+      // hand the child what remains of the PARENT's wall-clock budget
+      // (less a 30 s shutdown reserve) — its own profile default would
+      // otherwise let it run past the driver's window
+      if (budgetSecLeft > 0)
+        pb.environment().put("SPARK_GRAFT_BUDGET_SEC",
+          math.max(60.0, budgetSecLeft - 30.0).toString)
       pb.redirectErrorStream(true)
       val proc = pb.start()
       // drain to EOF — a full pipe buffer would block the child's writes
@@ -444,9 +460,34 @@ object Bench {
     autoPackKeys.map(k => s"auto_pack_$k")
 
   def main(args: Array[String]): Unit = {
+    val startNs = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
+    // PROFILES (round 7 — BENCH_r06.json was rc=124/parsed:null: the
+    // fork-everything REPEAT=3 capture cannot finish inside the driver's
+    // window, so the DEFAULT must):
+    //  - "driver" (default): q_* in-process at REPEAT=1 (flagged entries
+    //    still recover a clean value via the isolated re-run), parity and
+    //    scale scenarios forked with ONE child warmup, and a hard
+    //    wall-clock budget (SPARK_GRAFT_BUDGET_SEC, default 1320 s ≈ 22
+    //    min) after which remaining entries are SKIPPED (recorded in
+    //    "skipped") and the artifact still emits with rc=0 — a partial
+    //    parseable capture always beats a complete timed-out one.
+    //  - "full": the definitive local capture (REPEAT=3, two child
+    //    warmups, no budget) — use for BENCH_REFERENCE.json refreshes.
+    // SPARK_GRAFT_REPEAT / SPARK_GRAFT_BUDGET_SEC / SPARK_GRAFT_WARMUP
+    // override either profile's defaults.
+    val profile = sys.env.getOrElse("SPARK_GRAFT_PROFILE", "driver")
+    val fullProfile = profile == "full"
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt)
+      .getOrElse(if (fullProfile) 3 else 1)
+    val childWarmups = sys.env.get("SPARK_GRAFT_WARMUP").map(_.toInt)
+      .getOrElse(if (fullProfile) 2 else 1)
+    val budgetSec = sys.env.get("SPARK_GRAFT_BUDGET_SEC").map(_.toDouble)
+      .getOrElse(if (fullProfile) 0.0 else 1320.0)
+    def elapsedSec: Double = (System.nanoTime() - startNs) / 1e9
+    def budgetLeft: Double =
+      if (budgetSec <= 0) Double.MaxValue else budgetSec - elapsedSec
     // Optional comma-separated substring filter over entry names
     // (SPARK_GRAFT_ONLY="q_pack,scale_"): focused reruns for regression
     // attribution, and sf1.0 runs that skip the sf-independent synthetic
@@ -483,6 +524,33 @@ object Bench {
     // the artifact) — failed entries are OMITTED from "queries" and appear
     // here as name → message instead
     val errMsgs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // entries never run because the wall-clock budget ran out — recorded,
+    // not silently dropped (a skipped entry must be distinguishable from a
+    // removed one when diffing against BENCH_REFERENCE.json)
+    val skipped = scala.collection.mutable.ListBuffer.empty[String]
+    // results accumulated so far, for the incremental partial flush
+    val partialResults = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    def writeJson(path: String, json: String): Boolean = try {
+      val w = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
+      try w.println(json) finally w.close()
+      true
+    } catch { case _: Throwable => false }
+    // after every entry the artifact file is rewritten with everything
+    // measured so far ("partial":true) — a hard external kill mid-run
+    // still leaves a parseable capture on disk
+    def flushPartial(): Unit = {
+      val qs = partialResults.collect { case (k, v) if v >= 0 =>
+        s""""$k":$v""" }.mkString("{", ",", "}")
+      val fl = floorsLog.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+      writeJson(outPath,
+        s"""{"partial":true,"profile":"$profile","elapsed_sec":$elapsedSec,""" +
+          s""""n_queries":${partialResults.count(_._2 >= 0)},""" +
+          s""""skipped":${skipped.map(n => s""""$n"""").mkString("[", ",", "]")},""" +
+          s""""floors":$fl,"queries":$qs,"sf":"$sfDir"}""")
+      ()
+    }
     // every entry records its full run vector AND one floor sample taken
     // immediately after it — the per-entry ambient-load canary (a slow
     // entry beside a slow adjacent floor is load; beside a clean floor
@@ -492,15 +560,24 @@ object Bench {
         s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300))(f)
       runsLog(name) = runs
       floorsLog(name) = time(materialize(floorJob(spark)))
-      name -> (if (runs.exists(_ < 0)) -1.0 else runs.min)
+      val v = if (runs.exists(_ < 0)) -1.0 else runs.min
+      partialResults(name) = v
+      flushPartial()
+      name -> v
     }
 
     // floor-plan warmup: the first adjacent floor sample must measure
     // ambient load, not the floor job's own codegen
     try materialize(floorJob(spark)) catch { case _: Throwable => }
 
-    val queryTimes = SparkEntry.queries.toSeq.collect {
-      case (name, fn) if selected(name) => measured(name)(fn(spark, sfDir))
+    // per-entry budget reserve: an in-process q_* entry costs its own
+    // runtime plus GC + floor sample (~1 s overhead); 30 s of reserve
+    // keeps the heaviest single entry from blowing the deadline
+    val queryTimes = SparkEntry.queries.toSeq.flatMap {
+      case (name, fn) if selected(name) =>
+        if (budgetLeft < 30) { skipped += name; None }
+        else Some(measured(name)(fn(spark, sfDir)))
+      case _ => None
     }
 
     val rss = scala.collection.mutable.LinkedHashMap.empty[String, Long]
@@ -525,16 +602,24 @@ object Bench {
     // which is already a clean room).
     val forkMode = !sys.env.get("SPARK_GRAFT_FORK").contains("0")
     def runForkedAndRecord(name: String): (String, Double) = {
-      val r = BenchScenario.runForked(name, cpus, repeat, sfDir)
+      val r = BenchScenario.runForked(name, cpus, repeat, sfDir, childWarmups)
       rss(name) = r.rssMb
       if (r.runs.nonEmpty) runsLog(name) = r.runs
       if (r.floor > 0) floorsLog(name) = r.floor
       r.err.foreach(m => errMsgs(name) = m)
+      partialResults(name) = r.sec
+      flushPartial()
       name -> r.sec
     }
+    // a fork costs child-JVM + session startup + dataset build on top of
+    // the passes themselves — reserve 90 s before starting one
+    def forkBudgetOk(name: String): Boolean =
+      if (budgetLeft >= 90) true else { skipped += name; false }
     val activeParity = parityScenarios.filter(s => selected(s._1))
     val parityResults: Seq[(String, Double)] =
-      if (forkMode) activeParity.map(s => runForkedAndRecord(s._1))
+      if (forkMode) activeParity.collect {
+        case s if forkBudgetOk(s._1) => runForkedAndRecord(s._1)
+      }
       else {
         // iterate datasets in first-appearance order, persist each once
         val dsOrder = activeParity.map(_._2).distinct
@@ -547,7 +632,10 @@ object Bench {
           // (measured 5-13s vs 0.7s steady)
           if (dsKey == dsOrder.head)
             try materialize(defs.head._3(ds)) catch { case _: Throwable => }
-          val out = defs.map { case (name, _, fn) => scenario(name)(fn(ds)) }
+          val out = defs.flatMap { case (name, _, fn) =>
+            if (budgetLeft < 30) { skipped += name; None }
+            else Some(scenario(name)(fn(ds)))
+          }
           ds.unpersist()
           out
         }
@@ -556,15 +644,17 @@ object Bench {
     // non-parity scale/auto scenarios (definitions + rationale in
     // [[prepareScale]]): forked per scenario by default, like parity
     val scaleResults: Seq[(String, Double)] =
-      scaleScenarioNames.filter(selected).map { name =>
-        if (forkMode) runForkedAndRecord(name)
+      scaleScenarioNames.filter(selected).flatMap { name =>
+        if (forkMode) {
+          if (forkBudgetOk(name)) Some(runForkedAndRecord(name)) else None
+        } else if (budgetLeft < 30) { skipped += name; None }
         else {
           val p = try prepareScale(spark, name, sfDir) catch {
             case e: Throwable =>
               errMsgs(name) = s"prepare failed: ${e.getMessage}".take(300)
               Prepared(() => throw e, () => ())
           }
-          try scenario(name)(p.query()) finally p.cleanup()
+          try Some(scenario(name)(p.query())) finally p.cleanup()
         }
       }
 
@@ -619,8 +709,12 @@ object Bench {
       }
     var rerunFloor = -1.0
     var rerunFloorHot = false
+    // the re-run needs a floor probe + one shared-JVM child over the
+    // flagged list — below 180 s of remaining budget, skip it and say so
+    // (the raw in-process values stay in the artifact either way)
+    val rerunSkippedBudget = flagged.nonEmpty && rerunEnabled && budgetLeft < 180
     val isolated: Map[String, Double] =
-      if (flagged.isEmpty || !rerunEnabled) Map.empty
+      if (flagged.isEmpty || !rerunEnabled || rerunSkippedBudget) Map.empty
       else {
         System.err.println(s"[bench] ${flagged.size} entries exceed " +
           s"${flagFactor}x their committed reference — isolated re-run: " +
@@ -639,19 +733,21 @@ object Bench {
         def hot(f: Double): Boolean =
           refFloor > 0 && f > 0 && f > refFloor * 1.5 + 0.05
         rerunFloor = BenchScenario.runForked("__floor__", cpus,
-          math.max(repeat, 3), sfDir).sec
+          math.max(repeat, 3), sfDir, childWarmups).sec
         if (hot(rerunFloor)) {
           System.err.println(s"[bench] floor probe $rerunFloor s > 1.5x " +
             s"committed floor $refFloor s — waiting 30 s for the box to calm")
           Thread.sleep(30000)
           rerunFloor = BenchScenario.runForked("__floor__", cpus,
-            math.max(repeat, 3), sfDir).sec
+            math.max(repeat, 3), sfDir, childWarmups).sec
         }
         rerunFloorHot = hot(rerunFloor)
         if (rerunFloorHot)
           System.err.println(s"[bench] floor still hot ($rerunFloor s) — " +
             "re-run values will carry floor_hot annotations")
-        runIsolated(flagged, cpus, repeat)
+        // best-of-2 minimum in the clean room — a driver-profile
+        // REPEAT=1 parent still recovers a stable value for its flags
+        runIsolated(flagged, cpus, math.max(repeat, 2), budgetLeft)
       }
     // an entry's final value is its best observation across the in-process
     // runs and the isolated re-run — consistent with the best-of-N
@@ -700,7 +796,11 @@ object Bench {
     // "regression"; rerun_floor is the probe that decided it
     val floorHotJson = (if (rerunFloorHot) flagged else Nil)
       .map(n => s""""$n"""").mkString("[", ",", "]")
+    val skippedJson = skipped.map(n => s""""$n"""").mkString("[", ",", "]")
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""profile":"$profile","budget_sec":$budgetSec,""" +
+      s""""elapsed_sec":$elapsedSec,"skipped":$skippedJson,""" +
+      s""""rerun_skipped_budget":$rerunSkippedBudget,""" +
       s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
       s""""n_queries":${good.size},"scenario_rss_mb":$rssJson,""" +
       s""""flag_factor":$flagFactor,"reference":$refJson,""" +
@@ -713,15 +813,14 @@ object Bench {
     // truncated the tail, losing the total and ~15 timings); stdout gets
     // one SHORT line with the total and a pointer, total-first so even a
     // truncated capture keeps the headline number.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try {
-      val w = new java.io.PrintWriter(new java.io.File(outPath), "UTF-8")
-      try w.println(fullJson) finally w.close()
+    if (writeJson(outPath, fullJson)) {
       println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""profile":"$profile","elapsed_sec":$elapsedSec,""" +
+        s""""n_skipped":${skipped.size},""" +
         s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
         s""""n_queries":${good.size},"n_errors":${bad.size},""" +
         s""""full":"$outPath","sf":"$sfDir"}""")
-    } catch { case _: Throwable =>
+    } else {
       // file write failed (read-only cwd?) — fall back to the full line
       println(fullJson)
     }
@@ -767,10 +866,13 @@ object BenchScenario {
           Bench.Prepared(() => fn(ds), () => ())
         case None => Bench.prepareScale(spark, name, sfDir)
       }
-    // TWO untimed warmup passes: this JVM is JIT-cold (unlike the shared
-    // runner, which has dozens of prior queries behind it) — one pass
-    // leaves the first timed run 3-4x steady state (observed 9.1 s → 2.4 s)
-    for (_ <- 1 to 2)
+    // Untimed warmup passes — this JVM is JIT-cold (unlike the shared
+    // runner, which has dozens of prior queries behind it): one pass
+    // leaves the first timed run 3-4x steady state (observed 9.1 s → 2.4 s);
+    // the definitive "full" profile uses two, the driver profile one
+    // (SPARK_GRAFT_WARMUP, set by the parent).
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
+    for (_ <- 1 to warmups)
       try Bench.materializeDf(prepared.query())
       catch { case _: Throwable => }
     var errMsg = ""
@@ -805,7 +907,7 @@ object BenchScenario {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   private[graft] def runForked(name: String, cpus: String, repeat: Int,
-                               sfDir: String): ForkResult = {
+                               sfDir: String, warmups: Int = 2): ForkResult = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = addOpensArgs
     // Child heap honors SPARK_DRIVER_MEM (like build.sbt's javaOptions) so
@@ -822,6 +924,7 @@ object BenchScenario {
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
     pb.environment().put("SPARK_GRAFT_REPEAT", repeat.toString)
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+    pb.environment().put("SPARK_GRAFT_WARMUP", warmups.toString)
     pb.redirectErrorStream(true)
     val fail = ForkResult(-1.0, -1L, -1.0, Nil, None)
     try {

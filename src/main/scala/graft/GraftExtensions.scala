@@ -30,6 +30,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Idempotent imperative registration for the Column APIs: registers
+    * `name` only when the session does not already resolve it. Repeated
+    * Column-API calls previously re-registered unconditionally, and
+    * `createOrReplaceTempFunction` logs one `SimpleFunctionRegistry ...
+    * replaced` WARN per replacement — at bench scale (hundreds of calls)
+    * those warnings dominated the captured driver log. The check queries
+    * the live session registry itself, so a NEW session (even one reusing
+    * an old session's hashCode) still registers on first use — no caching
+    * keyed on session identity. */
+  private[graft] def ensureRegistered(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier(name)))
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+
   private def fn(name: String, arity: Int)(builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier(name),

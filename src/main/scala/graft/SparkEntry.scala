@@ -12,6 +12,18 @@ object Tpch {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Staging dir under java.io.tmpdir for roundtrip queries, suffixed with
+    * a token derived from the DATA dir: concurrent runs at different scale
+    * factors stage to disjoint paths (a fixed path lets one run's
+    * mode(overwrite) race another run's read, producing spurious row-count
+    * or hash mismatches), while the path population stays bounded at one
+    * per (tag, sf) — unlike appId suffixes, which accumulated forever with
+    * nothing to clean them up. */
+  def stagingDir(tag: String, dataDir: String): String = {
+    val tok = dataDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$tok"
+  }
+
   /** order(o_orderkey) → lineitem(l_linenumber), children ordered by line number. */
   val orderSpec: HierarchySpec = HierarchySpec(Seq(
     LevelSpec("order", Seq(NamedField("o_orderkey"))),
@@ -250,15 +262,14 @@ object SparkEntry {
     }),
     // P6: unpack_streaming — disk-to-disk staging around unpack. The
     // staging sink is parameterized off java.io.tmpdir (NOT the repo) and
-    // suffixed with the Spark applicationId so two concurrent driver runs
-    // on one machine stage to DISJOINT directories (an unsuffixed
-    // overwrite path could clobber a concurrent run's staging parquet);
+    // derived from the data dir ([[Tpch.stagingDir]]) so concurrent runs
+    // at different scale factors stage to DISJOINT directories while the
+    // path population stays bounded (appId suffixes accumulated forever);
     // the write is eager at query-construction time by design
     "q_unpack_streaming" -> ((s, dir) => {
       val p = orderPacker
       val packed = p.pack(flatOrderLines(s, dir), "lineitem")
-      val sink = s"${System.getProperty("java.io.tmpdir")}/" +
-        s"graft_q_unpack_streaming_${s.sparkContext.applicationId}"
+      val sink = stagingDir("q_unpack_streaming", dir)
       stripPrefixes(p.unpackStreaming(packed, "lineitem", Some(sink)))
     }),
     // P11: prepare_level_table — rename via column mapping + level prefixing
@@ -738,13 +749,15 @@ object SparkEntry {
     // writer+reader fidelity end-to-end. CSV is untyped on disk: the
     // re-read supplies an explicit schema (the 100 TB posture — schema
     // inference is a full extra pass over the data; never rely on it).
-    // FIXED staging path per table (not appId-suffixed): mode(overwrite)
-    // handles reruns, and per-application directories were accumulating
-    // across bench/correctness runs with nothing to clean them up. The
-    // write happens at query-CONSTRUCTION time (eager) — a harness-only
-    // pattern; library code stages through Packer's managed tmpdirs.
+    // Staging path derived from the data dir ([[Tpch.stagingDir]]):
+    // mode(overwrite) handles same-run reruns, concurrent runs at
+    // different scale factors cannot collide, and the path population
+    // stays bounded (the appId-suffixed alternative accumulated forever).
+    // The write happens at query-CONSTRUCTION time (eager) — a
+    // harness-only pattern; library code stages through Packer's managed
+    // tmpdirs.
     "q_csv_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+      val out = stagingDir("csv_nation", dir)
       table(s, dir, "nation").write.mode("overwrite")
         .option("header", "true").csv(out)
       s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
@@ -754,14 +767,14 @@ object SparkEntry {
     // re-read needs no schema — the roundtrip checks the ORC
     // writer+reader preserve types bit-exactly vs the parquet original
     "q_orc_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_customer"
+      val out = stagingDir("orc_customer", dir)
       table(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"))
         .write.mode("overwrite").orc(out)
       s.read.orc(out)
     }),
     "q_jsonl_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_supplier"
+      val out = stagingDir("jsonl_supplier", dir)
       table(s, dir, "supplier").write.mode("overwrite").json(out)
       // explicit schema: JSON-lines omits null fields and carries no types
       s.read.schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
@@ -781,7 +794,7 @@ object SparkEntry {
     // order). The pruning win itself is asserted in LayoutSpec (box
     // query touches <= half the files of a hash layout).
     "q_zorder_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_lineitem"
+      val out = stagingDir("zorder_lineitem", dir)
       graft.ext.Layout.zorderWrite(
         table(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_linenumber"),
@@ -1049,9 +1062,8 @@ object SparkEntry {
     // bin-pack to byte-derived ~3-file output, read back — content must
     // be exactly the source (the oracle reads the ORIGINAL table)
     "q_compact_roundtrip" -> ((s, dir) => {
-      val tmp = System.getProperty("java.io.tmpdir")
-      val shredded = s"$tmp/graft_compact_in"
-      val out = s"$tmp/graft_compact_out"
+      val shredded = stagingDir("compact_in", dir)
+      val out = stagingDir("compact_out", dir)
       table(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderpriority"))
@@ -1063,7 +1075,7 @@ object SparkEntry {
     // globally-sorted export roundtrip: range-partitioned + sorted files
     // (no single-task global sort); content must be exactly the source
     "q_sorted_export" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sorted_lineitem"
+      val out = stagingDir("sorted_lineitem", dir)
       ext.Layout.sortedExport(
         table(s, dir, "lineitem").select(col("l_orderkey"),
           col("l_linenumber"), col("l_extendedprice"), col("l_quantity")),
@@ -2235,8 +2247,8 @@ object SparkEntry {
           |SELECT 'o_totalprice', count(*),
           |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
           |  count(DISTINCT o_totalprice),
-          |  CAST(min(o_totalprice) AS VARCHAR),
-          |  CAST(max(o_totalprice) AS VARCHAR) FROM orders""".stripMargin,
+          |  printf('%.6f', min(o_totalprice)),
+          |  printf('%.6f', max(o_totalprice)) FROM orders""".stripMargin,
       // exact columns recomputed exactly; the Spark-side bound booleans
       // restated as literal true (strategy-equivalence)
       "q_sketch_accuracy" ->

@@ -466,7 +466,11 @@ object Dedup {
     val verified = cands
       .join(sh.select(col(idCol).alias("id_a"), col("__sh").alias("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).alias("id_b"), col("__sh").alias("sh_b")), Seq("id_b"))
-      .filter(graft.functions.JaccardSim.jaccard(sp, col("sh_a"), col("sh_b"))
+      // round to 6 dp BEFORE thresholding — the batch path
+      // ([[minhashNearDuplicates]]) and the DuckDB oracle both do, so a
+      // pair within 5e-7 of the threshold must classify identically here
+      // or the documented batch≡incremental equivalence breaks
+      .filter(round(graft.functions.JaccardSim.jaccard(sp, col("sh_a"), col("sh_b")), 6)
         >= threshold)
       .select("id_a", "id_b")
     val comps = connectedComponents(verified, "id_a", "id_b")

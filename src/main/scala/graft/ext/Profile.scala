@@ -56,12 +56,26 @@ object Profile {
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
     val q = (n: String) => graft.ColName.topCol(n)
+    // float/double min/max render via format_string("%.6f"), not
+    // cast("string"): Java Double.toString switches to scientific
+    // notation at |x| >= 1e7 ("1.0E7") while other engines print plain
+    // decimal — the fixed 6-dp form is engine-independent at every
+    // magnitude (DuckDB printf('%.6f', ...) matches it)
+    def asStr(dt: org.apache.spark.sql.types.DataType, e: Column): Column = dt match {
+      case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+        when(e.isNull, lit(null).cast("string"))
+          .otherwise(format_string("%.6f", e.cast("double")))
+      case _ => e.cast("string")
+    }
+    val dtypes = cols.map(c => c -> df.schema.fields
+      .find(_.name == c).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.StringType)).toMap
     val aggs = cols.flatMap { c =>
       Seq(count(lit(1)).alias(s"__n_$c"),
         sum(when(q(c).isNull, 1L).otherwise(0L)).alias(s"__nul_$c"),
         count_distinct(q(c)).alias(s"__nd_$c"),
-        min(q(c)).cast("string").alias(s"__mn_$c"),
-        max(q(c)).cast("string").alias(s"__mx_$c"))
+        asStr(dtypes(c), min(q(c))).alias(s"__mn_$c"),
+        asStr(dtypes(c), max(q(c))).alias(s"__mx_$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map(c =>

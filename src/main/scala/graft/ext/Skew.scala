@@ -31,11 +31,9 @@ object Skew {
     * binary literal; second: the xxhash64 of the probe key. */
   private def mightContain(spark: org.apache.spark.sql.SparkSession,
                            bloomBytes: Array[Byte], value: Column): Column = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_might_contain",
+    _root_.graft.GraftExtensions.ensureRegistered(spark, "graft_bloom_might_contain",
       exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        exprs(0), exprs(1)),
-      "scala_udf")
+        exprs(0), exprs(1)))
     call_function("graft_bloom_might_contain", lit(bloomBytes), value)
   }
 

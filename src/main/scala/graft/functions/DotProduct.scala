@@ -100,12 +100,12 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  /** Register dot_product in the session's function registry. Unconditional:
-    * createOrReplaceTempFunction is idempotent, and any caching keyed on
-    * session identity can wrongly skip a NEW session (hashCode reuse). */
+  /** Register dot_product in the session's function registry (idempotent —
+    * no-op when the session already resolves it; see
+    * [[GraftExtensions.ensureRegistered]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    _root_.graft.GraftExtensions.ensureRegistered(spark, "dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)))
 
   /** Column API: dot_product(a, b). */
   def dot(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {

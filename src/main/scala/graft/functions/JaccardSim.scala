@@ -68,12 +68,12 @@ object JaccardSim {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
-  /** Register jaccard_sim in the session's function registry. Unconditional:
-    * createOrReplaceTempFunction is idempotent, and any caching keyed on
-    * session identity can wrongly skip a NEW session (hashCode reuse). */
+  /** Register jaccard_sim in the session's function registry (idempotent —
+    * no-op when the session already resolves it; see
+    * [[GraftExtensions.ensureRegistered]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sim", exprs => JaccardSim(exprs(0), exprs(1)), "scala_udf")
+    _root_.graft.GraftExtensions.ensureRegistered(spark, "jaccard_sim",
+      exprs => JaccardSim(exprs(0), exprs(1)))
 
   def jaccard(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
     register(spark)

@@ -101,8 +101,8 @@ case class MinHashSignature(left: Expression, right: Expression)
 
 object MinHashSignature {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSignature(exprs(0), exprs(1)), "scala_udf")
+    _root_.graft.GraftExtensions.ensureRegistered(spark, "minhash_sig",
+      exprs => MinHashSignature(exprs(0), exprs(1)))
 
   /** Column API: fused k-slot minhash signature of a shingle array. */
   def signature(spark: org.apache.spark.sql.SparkSession,

@@ -163,8 +163,8 @@ case class MisraGriesSketch(
 
 object MisraGriesSketch {
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "misra_gries", exprs => MisraGriesSketch(exprs(0), exprs(1)), "scala_udf")
+    _root_.graft.GraftExtensions.ensureRegistered(spark, "misra_gries",
+      exprs => MisraGriesSketch(exprs(0), exprs(1)))
 
   /** Aggregate Column: array of (item, lb) structs, count-descending.
     * `lb` is a LOWER BOUND on the item's true count, within

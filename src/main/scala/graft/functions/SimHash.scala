@@ -89,12 +89,12 @@ case class SimHash(child: Expression) extends UnaryExpression {
 }
 
 object SimHash {
-  /** Register simhash64 in the session's function registry. Unconditional:
-    * createOrReplaceTempFunction is idempotent, and any caching keyed on
-    * session identity can wrongly skip a NEW session (hashCode reuse). */
+  /** Register simhash64 in the session's function registry (idempotent —
+    * no-op when the session already resolves it; see
+    * [[GraftExtensions.ensureRegistered]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash(exprs.head), "scala_udf")
+    _root_.graft.GraftExtensions.ensureRegistered(spark, "simhash64",
+      exprs => SimHash(exprs.head))
 
   /** Column API: simhash64(tokensArray). Requires [[register]] on the
     * session first (done by callers in [[graft.ext.Dedup]]). */

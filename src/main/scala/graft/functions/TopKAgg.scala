@@ -137,8 +137,8 @@ object TopKByScore {
   }
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "top_k_by_score", exprs => TopKByScore(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    _root_.graft.GraftExtensions.ensureRegistered(spark, "top_k_by_score",
+      exprs => TopKByScore(exprs(0), exprs(1), exprs(2)))
 
   /** Aggregate Column: array of the k best (id, score) structs, best first. */
   def topK(spark: org.apache.spark.sql.SparkSession,

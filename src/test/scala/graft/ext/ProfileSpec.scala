@@ -36,7 +36,16 @@ class ProfileSpec extends SparkSpec {
       .map(r => r._1 -> r).toMap
     assert(p("id") == ("id", 4L, 0L, 4L, "1", "4"))
     assert(p("s") == ("s", 4L, 1L, 2L, "a", "b"))
-    assert(p("v") == ("v", 4L, 0L, 3L, "0.5", "2.5"))
+    // doubles render as fixed 6-dp (engine-independent at every magnitude;
+    // Double.toString would flip to scientific notation at |x| >= 1e7)
+    assert(p("v") == ("v", 4L, 0L, 3L, "0.500000", "2.500000"))
+  }
+
+  test("columnProfile double min/max stay plain decimal above 1e7") {
+    val df = Seq(12345678.25, 1.0).toDF("v")
+    val p = Profile.columnProfile(df, Seq("v"))
+      .as[(String, Long, Long, Long, String, String)].collect().head
+    assert(p._5 == "1.000000" && p._6 == "12345678.250000")
   }
 
   test("columnProfile stays a single aggregation (one result row unpivoted)") {
