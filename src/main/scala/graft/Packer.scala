@@ -1026,6 +1026,50 @@ final class Packer(
     counts
   }
 
+  /** M10 as a QUERYABLE report (the enforcing in-pack audit throws on the
+    * first violation; reference: validate_aggregation_uniformity,
+    * hierarchical_packer.py:1719-1780 raises the same way): for the pack
+    * stage that folds `level` into its parent keys, count the groups in
+    * which each coarser-granularity column is NOT uniform. Null semantics
+    * match the in-pack audit exactly — nulls are ignored (min/max), a
+    * group violates iff min(c) is not null-safe-equal to max(c), so an
+    * all-null group is uniform and nulls alongside one distinct value are
+    * uniform.
+    *
+    * Returns one row per audited column: (column STRING, violating_groups
+    * BIGINT). Scale shape: groupBy(keys) with min/max partial aggregation
+    * (map-side combine, no Expand) followed by a 1-row global sum, then a
+    * driver-free unpivot of that single row — one shuffle total. */
+  def uniformityReport(df0: DataFrame, level: String): DataFrame = {
+    val (prepared, added) = prepareFrame(df0)
+    val meta = metas(spec.levelIndex(level))
+    require(meta.ancestorKeys.nonEmpty,
+      s"level '$level' is the root — uniformity is defined within parent groups")
+    val groupKeys = meta.ancestorKeys.filter(hasCol(prepared, _))
+    val excluded = groupKeys.toSet ++ added + RowIdCol
+    val audited = prepared.schema.fieldNames.toIndexedSeq.filter { c =>
+      !excluded.contains(c) && !(meta.prefix.nonEmpty && c.startsWith(meta.prefix))
+    }
+    require(audited.nonEmpty,
+      s"no coarser-granularity columns to audit at level '$level'")
+    val mmAggs = audited.zipWithIndex.flatMap { case (c, i) => Seq(
+      min(topCol(c)).alias(s"__mn_$i"), max(topCol(c)).alias(s"__mx_$i")) }
+    val perGroup = prepared.groupBy(groupKeys.map(topCol): _*)
+      .agg(mmAggs.head, mmAggs.tail: _*)
+    val vioAggs = audited.indices.map(i =>
+      sum(when(!(col(s"__mn_$i") <=> col(s"__mx_$i")), 1L).otherwise(0L))
+        .alias(s"__v_$i"))
+    val row = perGroup.agg(vioAggs.head, vioAggs.tail: _*)
+    // unpivot the 1-row violation vector to (column, violating_groups);
+    // sum over zero groups is null — an empty frame has no violations
+    val stacked = audited.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).alias("column"),
+        coalesce(col(s"__v_$i"), lit(0L)).alias("violating_groups")) }
+    row.select(explode(array(stacked: _*)).alias("__r"))
+      .select(col("__r.column").alias("column"),
+        col("__r.violating_groups").alias("violating_groups"))
+  }
+
   private def dropInternal(df: DataFrame): DataFrame =
     dropIfPresent(df, Seq(RowIdCol, SaltCol) ++
       df.schema.fieldNames.filter(_.startsWith(OrderTempPrefix)))

@@ -250,6 +250,70 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("key_column", "null_count")
     }),
+    // M10 as a report: per-column count of parent groups where a
+    // coarser-granularity column is NOT uniform. o_custkey is genuinely
+    // uniform per order; o_broken (= l_linenumber) varies within any
+    // multi-line order; o_sparse carries nulls beside ONE value per group,
+    // which the drop-nulls semantics must count as uniform.
+    "q_validate_uniformity" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      val flat = o.join(l, o("o_orderkey") === l("l_orderkey")).select(
+        o("o_orderkey").alias("order.o_orderkey"),
+        o("o_custkey").alias("order.o_custkey"),
+        l("l_linenumber").cast("long").alias("order.o_broken"),
+        when(l("l_linenumber") === 1, o("o_custkey"))
+          .otherwise(lit(null)).alias("order.o_sparse"),
+        l("l_orderkey").alias("order.lineitem.l_orderkey"),
+        l("l_linenumber").alias("order.lineitem.l_linenumber"),
+        l("l_quantity").alias("order.lineitem.l_quantity"))
+      orderPacker.uniformityReport(flat, "lineitem")
+    }),
+    // M11: extra-column policy — a plain column outside every hierarchy
+    // prefix is dropped under Drop and carried (first-per-group) under
+    // Preserve; the summary row per policy exposes rows, width and the
+    // extra column's group-level sum (null when dropped)
+    "q_extra_columns" -> ((s, dir) => {
+      val p = orderPacker
+      val flat = flatOrderLines(s, dir)
+        .withColumn("x_extra", ColName.topCol("order.o_custkey") % 7)
+      def summarize(policy: String, packed: DataFrame): DataFrame = {
+        val sumX =
+          if (packed.columns.contains("x_extra")) sum(col("x_extra"))
+          else lit(null).cast("long")
+        packed.agg(count(lit(1)).alias("n_orders"),
+            sumX.cast("long").alias("sum_extra"))
+          .select(lit(policy).alias("policy"), col("n_orders"),
+            lit(packed.columns.length.toLong).alias("n_cols"), col("sum_extra"))
+      }
+      summarize("drop", p.pack(flat, "lineitem", ExtraColumns.Drop))
+        .unionByName(summarize("preserve",
+          p.pack(flat, "lineitem", ExtraColumns.Preserve)))
+    }),
+    // M12: separator escaping — LEVEL names and one FIELD name contain the
+    // separator char; joined paths escape it ("ord\.h.line\.i.q\.ty"), the
+    // pack/unpack machinery round-trips through ColName's escape-aware
+    // split/quote everywhere, and the final select unescapes back to plain
+    // names for the oracle compare
+    "q_escaped_separator" -> ((s, dir) => {
+      val spec = HierarchySpec(Seq(
+        LevelSpec("ord.h", Seq(NamedField("o_orderkey"))),
+        LevelSpec("line.i", Seq(NamedField("l_linenumber")),
+          parentKeys = Seq("l_orderkey"),
+          orderBy = Seq(ColName.topCol("ord\\.h.line\\.i.l_linenumber")))))
+      val p = new Packer(spec)
+      val l = table(s, dir, "lineitem")
+      val flat = l.select(
+        l("l_orderkey").alias("ord\\.h.o_orderkey"),
+        l("l_orderkey").alias("ord\\.h.line\\.i.l_orderkey"),
+        l("l_linenumber").alias("ord\\.h.line\\.i.l_linenumber"),
+        l("l_quantity").alias("ord\\.h.line\\.i.q\\.ty"))
+      val back = p.unpack(p.pack(flat, "line.i"), "line.i")
+      back.select(
+        ColName.topCol("ord\\.h.o_orderkey").alias("o_orderkey"),
+        ColName.topCol("ord\\.h.line\\.i.l_linenumber").alias("l_linenumber"),
+        ColName.topCol("ord\\.h.line\\.i.q\\.ty").alias("qty_val"))
+    }),
     // S2: unnestRename — flatten exactly one struct level with dotted prefixes
     "q_unnest_rename" -> ((s, dir) => {
       val p = orderPacker
@@ -1485,6 +1549,41 @@ object SparkEntry {
           |    count(*) FILTER (WHERE l.l_linenumber IS NULL)
           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
           |) t""".stripMargin,
+      // count(DISTINCT c) ignores nulls like the report's min/max — the
+      // independent re-derivation of "violating iff >1 distinct non-null
+      // value within a parent group"
+      "q_validate_uniformity" ->
+        """WITH g AS (
+          |  SELECT o.o_orderkey,
+          |    count(DISTINCT o.o_custkey) AS nd_cust,
+          |    count(DISTINCT l.l_linenumber) AS nd_broken,
+          |    count(DISTINCT CASE WHEN l.l_linenumber = 1
+          |      THEN o.o_custkey END) AS nd_sparse
+          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          |  GROUP BY o.o_orderkey)
+          |SELECT 'order.o_custkey' AS "column",
+          |  CAST(count(*) FILTER (WHERE nd_cust > 1) AS BIGINT) AS violating_groups
+          |FROM g
+          |UNION ALL SELECT 'order.o_broken',
+          |  CAST(count(*) FILTER (WHERE nd_broken > 1) AS BIGINT) FROM g
+          |UNION ALL SELECT 'order.o_sparse',
+          |  CAST(count(*) FILTER (WHERE nd_sparse > 1) AS BIGINT) FROM g""".stripMargin,
+      // Drop loses x_extra (7 top-level cols, null sum); Preserve carries
+      // it per order (8 cols, sum of o_custkey % 7 over packed orders)
+      "q_extra_columns" ->
+        """WITH j AS (
+          |  SELECT DISTINCT o.o_orderkey, o.o_custkey
+          |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+          |SELECT 'drop' AS policy, CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(7 AS BIGINT) AS n_cols, CAST(NULL AS BIGINT) AS sum_extra
+          |FROM j
+          |UNION ALL
+          |SELECT 'preserve', CAST(count(*) AS BIGINT), CAST(8 AS BIGINT),
+          |  CAST(sum(o_custkey % 7) AS BIGINT) FROM j""".stripMargin,
+      // the escaped-separator roundtrip must reproduce lineitem exactly
+      "q_escaped_separator" ->
+        """SELECT l_orderkey AS o_orderkey, l_linenumber,
+          |  l_quantity AS qty_val FROM lineitem""".stripMargin,
       "q_unnest_rename" ->
         """SELECT o_orderkey, o_totalprice, count(*) AS n_items
           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey

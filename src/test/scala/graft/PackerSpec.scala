@@ -316,6 +316,42 @@ class PackerSpec extends SparkSpec {
     }
   }
 
+  test("uniformityReport counts violating groups per column, nulls ignored") {
+    import spark.implicits._
+    val spec = HierarchySpec(Seq(
+      LevelSpec("p", Seq(NamedField("id"))),
+      LevelSpec("c", Seq(NamedField("cid")), parentKeys = Seq("pid"))))
+    val df = Seq(
+      (1L, 10L, Option(5L), 1L), (1L, 10L, None, 2L),      // uniform; nulls-uniform
+      (2L, 20L, None, 3L), (2L, 21L, None, 4L),            // attr violates
+      (3L, 30L, Option(7L), 5L), (3L, 30L, Option(8L), 6L) // sparse violates
+    ).toDF("p.id", "p.attr", "p.sparse", "p.c.cid")
+    val rep = new Packer(spec).uniformityReport(df, "c")
+      .as[(String, Long)].collect().toMap
+    assert(rep == Map("p.attr" -> 1L, "p.sparse" -> 1L))
+    // the root level has no parent group to be uniform within
+    assertThrows[IllegalArgumentException] {
+      new Packer(spec).uniformityReport(df, "p")
+    }
+  }
+
+  test("separator-escaped level and field names pack/unpack losslessly") {
+    import spark.implicits._
+    val spec = HierarchySpec(Seq(
+      LevelSpec("ord.h", Seq(NamedField("k"))),
+      LevelSpec("line.i", Seq(NamedField("n")), parentKeys = Seq("pk"))))
+    val flat = Seq((1L, 1L, 1L, 2.0), (1L, 1L, 2L, 3.0), (2L, 2L, 1L, 4.0))
+      .toDF("ord\\.h.k", "ord\\.h.line\\.i.pk",
+        "ord\\.h.line\\.i.n", "ord\\.h.line\\.i.q\\.ty")
+    val p = new Packer(spec)
+    val packed = p.pack(flat, "line.i")
+    // the packed list column's name is the ESCAPED joined path
+    assert(packed.schema.fieldNames.contains("ord\\.h.line\\.i"))
+    val back = p.unpack(packed, "line.i")
+      .select(flat.schema.fieldNames.toIndexedSeq.map(ColName.topCol): _*)
+    assert(back.collect().map(_.toSeq).toSet == flat.collect().map(_.toSeq).toSet)
+  }
+
   test("validateOnPack on uniform data is invisible: equals the unvalidated " +
     "pack, audit columns stripped, multi-level and salted") {
     val df = apartmentDf(spark)
