@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr straight through instead of
+// routing them via sbt's logger: the logger prefixes every line with
+// "[info] "/"[error] ", which has kept the driver from parsing
+// Bench.scala's one-line JSON summary (BENCH_r03..r07 all rc=0 but
+// parsed:null). With StdoutOutput the summary prints as a clean
+// `{...}` line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -253,11 +253,12 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.environment().put("SPARK_GRAFT_REPEAT", repeat.toString)
       // hand the child what remains of the PARENT's wall-clock budget
-      // (less a 30 s shutdown reserve) — its own profile default would
-      // otherwise let it run past the driver's window
-      if (budgetSecLeft > 0)
+      // (less a 30 s shutdown reserve), clamped so the child can never be
+      // granted more than the parent actually has; an unbounded parent
+      // (full profile) omits the env var rather than exporting MaxValue
+      if (budgetSecLeft > 0 && budgetSecLeft < Double.MaxValue / 4)
         pb.environment().put("SPARK_GRAFT_BUDGET_SEC",
-          math.max(60.0, budgetSecLeft - 30.0).toString)
+          math.min(budgetSecLeft, math.max(30.0, budgetSecLeft - 30.0)).toString)
       pb.redirectErrorStream(true)
       val proc = pb.start()
       // drain to EOF — a full pipe buffer would block the child's writes
@@ -624,6 +625,14 @@ object Bench {
         // iterate datasets in first-appearance order, persist each once
         val dsOrder = activeParity.map(_._2).distinct
         dsOrder.flatMap { dsKey =>
+          // budget check BEFORE the dataset build: with the budget gone,
+          // building+persisting each remaining dataset (tens of seconds)
+          // just to skip its queries would overshoot the deadline the
+          // budget exists to protect
+          if (budgetLeft < 30) {
+            activeParity.filter(_._2 == dsKey).foreach(skipped += _._1)
+            Nil
+          } else {
           val ds = buildDataset(spark, dsKey).persist(StorageLevel.MEMORY_AND_DISK)
           ds.count()
           val defs = activeParity.filter(_._2 == dsKey)
@@ -638,6 +647,7 @@ object Bench {
           }
           ds.unpersist()
           out
+          }
         }
       }
 
@@ -811,15 +821,20 @@ object Bench {
       s""""queries":$qs,"sf":"$sfDir"}"""
     // Full metrics go to a FILE (lossless — round-2's stdout capture
     // truncated the tail, losing the total and ~15 timings); stdout gets
-    // one SHORT line with the total and a pointer, total-first so even a
-    // truncated capture keeps the headline number.
+    // one summary line carrying the per-query map (the driver parses
+    // this line), total-first so even a truncated capture keeps the
+    // headline number. The same line is mirrored to a fixed sibling
+    // file (BENCH_SUMMARY.json) so a parser that can't find it in the
+    // sbt-wrapped stdout still has a clean copy on disk.
+    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""profile":"$profile","elapsed_sec":$elapsedSec,""" +
+      s""""n_skipped":${skipped.size},""" +
+      s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
+      s""""n_queries":${good.size},"n_errors":${bad.size},""" +
+      s""""full":"$outPath","queries":$qs,"sf":"$sfDir"}"""
+    writeJson("BENCH_SUMMARY.json", summaryJson)
     if (writeJson(outPath, fullJson)) {
-      println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-        s""""profile":"$profile","elapsed_sec":$elapsedSec,""" +
-        s""""n_skipped":${skipped.size},""" +
-        s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
-        s""""n_queries":${good.size},"n_errors":${bad.size},""" +
-        s""""full":"$outPath","sf":"$sfDir"}""")
+      println(summaryJson)
     } else {
       // file write failed (read-only cwd?) — fall back to the full line
       println(fullJson)

@@ -30,21 +30,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Per-registry record of the names GRAFT itself registered, keyed
+    * weakly on the registry instance so dropped sessions don't leak.
+    * Guards [[ensureRegistered]]: a name is skipped only when *we*
+    * already put graft's builder in THIS registry — a user- or
+    * SQL-registered temp function with the same name is replaced, not
+    * silently allowed to shadow the Column API. */
+  private val registered =
+    new java.util.WeakHashMap[AnyRef, scala.collection.mutable.Set[String]]()
+
   /** Idempotent imperative registration for the Column APIs: registers
-    * `name` only when the session does not already resolve it. Repeated
-    * Column-API calls previously re-registered unconditionally, and
-    * `createOrReplaceTempFunction` logs one `SimpleFunctionRegistry ...
-    * replaced` WARN per replacement — at bench scale (hundreds of calls)
-    * those warnings dominated the captured driver log. The check queries
-    * the live session registry itself, so a NEW session (even one reusing
-    * an old session's hashCode) still registers on first use — no caching
-    * keyed on session identity. */
+    * `name` unless graft already registered it in this session's
+    * registry. Repeated Column-API calls previously re-registered
+    * unconditionally, and `createOrReplaceTempFunction` logs one
+    * `SimpleFunctionRegistry ... replaced` WARN per replacement — at
+    * bench scale (hundreds of calls) those warnings dominated the
+    * captured driver log. A bare functionExists check traded the spam
+    * for a shadowing hazard (any pre-existing same-name function,
+    * graft's or not, suppressed registration); tracking our own
+    * registrations per registry instance removes both. */
   private[graft] def ensureRegistered(
       spark: org.apache.spark.sql.SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier(name)))
+    val mine = registered.synchronized {
+      var s = registered.get(reg)
+      if (s == null) { s = scala.collection.mutable.Set.empty[String]; registered.put(reg, s) }
+      s
+    }
+    val needs = mine.synchronized { !mine.contains(name) }
+    if (needs) {
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      mine.synchronized { mine += name; () }
+    }
   }
 
   private def fn(name: String, arity: Int)(builder: Seq[Expression] => Expression)

@@ -1046,6 +1046,11 @@ final class Packer(
     require(meta.ancestorKeys.nonEmpty,
       s"level '$level' is the root — uniformity is defined within parent groups")
     val groupKeys = meta.ancestorKeys.filter(hasCol(prepared, _))
+    // all ancestor keys absent would degrade groupBy() to ONE global
+    // group and silently report whole-frame uniformity — error instead
+    require(groupKeys.nonEmpty,
+      s"none of the ancestor key columns ${meta.ancestorKeys.mkString("[", ", ", "]")} " +
+        s"exist in the frame — cannot audit uniformity at level '$level'")
     val excluded = groupKeys.toSet ++ added + RowIdCol
     val audited = prepared.schema.fieldNames.toIndexedSeq.filter { c =>
       !excluded.contains(c) && !(meta.prefix.nonEmpty && c.startsWith(meta.prefix))

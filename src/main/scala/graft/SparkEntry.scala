@@ -12,17 +12,58 @@ object Tpch {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Staging dirs created by THIS process, deleted best-effort at JVM
+    * exit (one shutdown hook, registered lazily). */
+  private val stagedPaths = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private lazy val stagingCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      stagedPaths.keySet().forEach { p =>
+        try {
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+            f.delete(); ()
+          }
+          rm(new java.io.File(p))
+        } catch { case _: Throwable => () }
+      }))
+    ()
+  }
+
   /** Staging dir under java.io.tmpdir for roundtrip queries, suffixed with
-    * a token derived from the DATA dir: concurrent runs at different scale
-    * factors stage to disjoint paths (a fixed path lets one run's
-    * mode(overwrite) race another run's read, producing spurious row-count
-    * or hash mismatches), while the path population stays bounded at one
-    * per (tag, sf) — unlike appId suffixes, which accumulated forever with
-    * nothing to clean them up. */
+    * a token derived from the DATA dir plus this JVM's pid: concurrent
+    * runs — at different scale factors OR the same one — stage to
+    * disjoint paths (a shared path lets one run's mode(overwrite) race
+    * another run's read, producing spurious row-count or hash
+    * mismatches). The pid component would accumulate paths across
+    * processes, so each JVM removes its own staging dirs in a shutdown
+    * hook; a hard-killed JVM leaves at most one generation behind in
+    * tmpdir. */
   def stagingDir(tag: String, dataDir: String): String = {
     val tok = dataDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_$tok"
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${tok}_p${ProcessHandle.current().pid()}"
+    stagingCleanupHook
+    stagedPaths.put(p, true)
+    p
   }
+
+  /** Deterministic synthetic crawl URLs for the url-dedup queries
+    * (documents has no url column; the DuckDB oracle derives the SAME
+    * strings in SQL). The synthesis plants every normalization hazard —
+    * mixed-case scheme, www. prefix, ports, trailing slash, fragments —
+    * and doc_id % 500 collides (source, path) so real dup groups exist
+    * at every sf. */
+  def crawlUrls(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        col("source"),
+        when(col("doc_id") % 2 === 0, lit(".com")).otherwise(lit(".org")),
+        when(col("doc_id") % 7 === 0, lit(":8080")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 500).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#sec-2")).otherwise(lit(""))
+      ).alias("url"))
 
   /** order(o_orderkey) → lineitem(l_linenumber), children ordered by line number. */
   val orderSpec: HierarchySpec = HierarchySpec(Seq(
@@ -490,6 +531,16 @@ object SparkEntry {
     // exact dedup: surviving doc ids (min id per normalized-text fingerprint)
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(table(s, dir, "documents"), "text", "doc_id").select("doc_id")),
+    // URL dedup over deterministically synthesized crawl URLs (documents
+    // has no url column; the oracle derives the SAME urls in SQL). The
+    // synthesis plants every normalization hazard: mixed-case scheme,
+    // www. prefix, ports, trailing slash, fragments — doc_id % 500
+    // collides (source, path) so real dup groups exist at every sf
+    "q_dedup_url" -> ((s, dir) =>
+      Dedup.urlDedup(crawlUrls(s, dir), "url", "doc_id")),
+    // per-registrable-domain crawl profile over the same synthetic urls
+    "q_url_domains" -> ((s, dir) =>
+      Dedup.domainStats(crawlUrls(s, dir), "url", "doc_id")),
     // end-to-end corpus curation: quality gate → exact dedup → corpus
     // stats. One pipeline chaining the text-analysis and dedup operators;
     // min/max (order-independent) rather than float sums keep the
@@ -713,6 +764,17 @@ object SparkEntry {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), 10, "vec_id", "embedding",
         nlist = 8, nprobe = 8, trainIters = 2)
     }),
+    // persisted-index serving path: build + save the IVF index to staging
+    // (centroids + cent_id-partitioned inverted file), reload it, and
+    // serve with nprobe = nlist — must EQUAL brute force, proving
+    // save/load round-trips centroids, vectors and norms exactly
+    "q_knn_ivf_persisted" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val idx = stagingDir("ivf_index", dir)
+      Similarity.saveIvf(e, "vec_id", "embedding", idx, nlist = 16, trainIters = 1)
+      Similarity.ivfTopKIndexed(Similarity.loadIvf(s, idx),
+        e.filter(col("vec_id") < 10), 10, "vec_id", "embedding", nprobe = 16)
+    }),
     // the APPROXIMATE path's quality gate: IVF probing 4/16 lists must
     // still recall the true nearest neighbor (brute-force top-1) within
     // its top-10 for every probe query on this corpus
@@ -920,6 +982,51 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).alias("n_pairs"),
           sum(col("r_us") - col("us")).alias("total_latency_us"))
+    }),
+    // the SAME interval join driven end-to-end as a stream-stream join:
+    // MemoryStream sides → intervalJoinStreams → memory sink, then the
+    // sink aggregated in batch to the identical (user_id, n_pairs,
+    // total_latency_us) frame — one oracle gates both execution modes.
+    // Each side is fed in TWO event-time-ordered batches so the join
+    // crosses a real microbatch boundary (state kept, matched, then
+    // watermark-evicted); time-ordering makes that safe: the 1 h
+    // watermark delay exceeds the 30 min band, so an evicted row can
+    // have no future in-band partner.
+    "q_interval_stream" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e0 = table(s, dir, "events")
+      val e = e0.withColumn("us", graft.streaming.EventStreams.eventMicros(e0))
+      def side(t: String): Array[(Long, Long)] = e
+        .filter(col("event_type") === t &&
+          col("user_id").isNotNull && col("us").isNotNull)
+        .select(col("user_id"), col("us")).orderBy(col("us"))
+        .as[(Long, Long)].collect()
+      val clicks = side("click")
+      val purchases = side("purchase")
+      val lMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val rMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val mk = (df: DataFrame) => df.select(col("_1").alias("user_id"),
+        timestamp_micros(col("_2")).alias("t"))
+      val joined = graft.ext.Temporal.intervalJoinStreams(
+        mk(lMem.toDF()), mk(rMem.toDF()), Seq("user_id"), "t", "t", 0L, 1800L)
+      val sink = "q_interval_stream_out_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        val (c1, c2) = clicks.splitAt(clicks.length / 2)
+        val (p1, p2) = purchases.splitAt(purchases.length / 2)
+        lMem.addData(c1.toIndexedSeq); rMem.addData(p1.toIndexedSeq)
+        q.processAllAvailable()
+        lMem.addData(c2.toIndexedSeq); rMem.addData(p2.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).groupBy(col("user_id"))
+        .agg(count(lit(1)).alias("n_pairs"),
+          sum(unix_micros(col("r_t")) - unix_micros(col("t")))
+            .alias("total_latency_us"))
     }),
     // streaming module, batch-checked: session_window aggregation (same
     // code path StreamingSpec drives through readStream with a watermark)
@@ -1465,6 +1572,35 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 10""".stripMargin
+    // click→purchase band-join aggregate — gates BOTH the batch
+    // intervalJoin (q_interval_join) and the stream-stream
+    // intervalJoinStreams run (q_interval_stream)
+    val intervalJoinSql =
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(*) AS n_pairs,
+        |  CAST(sum(p.us - c.us) AS BIGINT) AS total_latency_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.us >= c.us AND p.us <= c.us + 1800000000
+        |GROUP BY c.user_id""".stripMargin
+    // the synthetic crawl-URL CTE mirroring [[Tpch.crawlUrls]] exactly —
+    // shared by the url-dedup oracles
+    val crawlUrlsSql =
+      """u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        |    source ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+        |    '/docs/' || CAST(doc_id % 500 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '#sec-2' ELSE '' END) AS url
+        |  FROM documents)""".stripMargin
     // exact all-pairs embedding cosine: parameterized on the threshold so
     // the exact baseline (0.35) and the LSH path (0.9, total recall) share
     // one oracle body
@@ -1684,6 +1820,30 @@ object SparkEntry {
       "q_dedup_exact" ->
         """SELECT min(doc_id) AS doc_id FROM documents
           |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
+      "q_dedup_url" ->
+        s"""WITH $crawlUrlsSql,
+           |n AS (SELECT doc_id, url,
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(trim(url)),
+           |    '^[a-z][a-z0-9+.-]*://', ''), '#.*$$', ''), '^www\\.', ''), '/+$$', '') AS nu
+           |  FROM u)
+           |SELECT doc_id, url FROM n
+           |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY nu)""".stripMargin,
+      "q_url_domains" ->
+        s"""WITH $crawlUrlsSql,
+           |n AS (SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(trim(url)),
+           |    '^[a-z][a-z0-9+.-]*://', ''), '#.*$$', ''), '^www\\.', ''), '/+$$', '') AS nu
+           |  FROM u),
+           |h AS (SELECT doc_id, nu,
+           |  regexp_replace(regexp_extract(nu, '^([^/?]+)', 1), ':[0-9]+$$', '') AS host
+           |  FROM n),
+           |d AS (SELECT doc_id, nu,
+           |  CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) = '' THEN host
+           |       ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END AS domain
+           |  FROM h)
+           |SELECT domain, count(*) AS n_pages, count(DISTINCT nu) AS n_urls,
+           |  min(doc_id) AS min_doc_id
+           |FROM d GROUP BY domain""".stripMargin,
       "q_corpus_curation" ->
         """WITH t AS (
           |  SELECT doc_id, text,
@@ -1921,6 +2081,7 @@ object SparkEntry {
         "SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra",
       "q_knn_ivf" -> knnBruteSql,
       "q_knn_ivf_trained" -> knnBruteSql,
+      "q_knn_ivf_persisted" -> knnBruteSql,
       "q_knn_ivf_recall" ->
         """SELECT count(*) AS n_recalled, count(*) AS n_queries
           |FROM embeddings WHERE vec_id < 10""".stripMargin,
@@ -2050,18 +2211,9 @@ object SparkEntry {
           |  CASE WHEN p.us - c.click_us <= 7200000000 THEN c.click_us END AS click_us
           |FROM p ASOF LEFT JOIN c
           |  ON p.user_id = c.user_id AND p.us >= c.click_us""".stripMargin,
-      "q_interval_join" ->
-        """WITH c AS (
-          |  SELECT user_id, epoch_us(ts) AS us FROM events
-          |  WHERE event_type = 'click'),
-          |p AS (
-          |  SELECT user_id, epoch_us(ts) AS us FROM events
-          |  WHERE event_type = 'purchase')
-          |SELECT c.user_id, count(*) AS n_pairs,
-          |  CAST(sum(p.us - c.us) AS BIGINT) AS total_latency_us
-          |FROM c JOIN p ON c.user_id = p.user_id
-          |  AND p.us >= c.us AND p.us <= c.us + 1800000000
-          |GROUP BY c.user_id""".stripMargin,
+      "q_interval_join" -> intervalJoinSql,
+      // identical semantics, streaming execution — one oracle, two modes
+      "q_interval_stream" -> intervalJoinSql,
       "q_session_window" ->
         """WITH o AS (
           |  SELECT user_id, value, epoch_us(ts) AS us,

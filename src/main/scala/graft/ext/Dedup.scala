@@ -36,6 +36,61 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  // --------------------------------------------------------- url dedup
+
+  /** Canonical URL form for dedup identity: lowercase + trim, scheme
+    * stripped, one leading `www.` stripped, fragment stripped, trailing
+    * slashes stripped. Query strings and ports are KEPT — two URLs that
+    * differ there are different resources; callers wanting coarser
+    * identity can strip further before grouping. Pure codegen'd regexp
+    * ops — no UDF in the hot path. */
+  def normalizeUrl(u: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(lower(trim(u)), "^[a-z][a-z0-9+.-]*://", ""),
+          "#.*$", ""),
+        "^www\\.", ""),
+      "/+$", "")
+
+  /** Registrable domain of a URL, approximated as the last two dot-labels
+    * of the (normalized, port-stripped) host. A public-suffix list is
+    * deliberately not bundled, so `foo.co.uk` collapses to `co.uk` — the
+    * standard closed-environment simplification; swap in a PSL lookup via
+    * a broadcast map join if exactness matters. A dotless host returns
+    * itself. */
+  def registrableDomain(u: Column): Column = {
+    val host = regexp_replace(
+      regexp_extract(normalizeUrl(u), "^([^/?]+)", 1), ":[0-9]+$", "")
+    val dom = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(dom === "", host).otherwise(dom)
+  }
+
+  /** URL dedup: keep one row (minimal `idCol`) per [[normalizeUrl]]
+    * identity — the standard pretraining-crawl dedup signal alongside
+    * text fingerprints. Same shape (and scale behavior) as [[exact]]:
+    * one (norm_url → min id) aggregation with map-side combine, then a
+    * semi-join of winners back to rows. */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val winners = df.select(normalizeUrl(col(urlCol)).alias("__nu"), col(idCol))
+      .groupBy(col("__nu")).agg(min(col(idCol)).alias(idCol))
+      .select(col(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Per-registrable-domain crawl profile: page count, distinct
+    * normalized URLs, and the surviving (minimal) id — the groupBy feeding
+    * domain-level policies (caps, blocklists, sampling weights). ONE
+    * shuffle on the domain key; count_distinct of the normalized URL is
+    * partial-aggregated per map task. */
+  def domainStats(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(registrableDomain(col(urlCol)).alias("domain"),
+        normalizeUrl(col(urlCol)).alias("__nu"), col(idCol))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).alias("n_pages"),
+        countDistinct(col("__nu")).alias("n_urls"),
+        min(col(idCol)).alias("min_" + idCol))
+
   // ---------------------------------------------------------- shingles
 
   /** Word n-gram shingles (distinct), from normalized text.

@@ -211,6 +211,14 @@ object Similarity {
     val assigned = nearestCentroid(sp, corpus, idCol, vecCol, cents)
       .select(col(idCol).alias("vec_id"), col(vecCol).alias("__cv"),
         fastL2(sp, col(vecCol)).alias("__cn"), col("cent_id"))
+    probeRank(sp, cents, assigned, queries, k, idCol, vecCol, nprobe)
+  }
+
+  /** Probe-and-rank core shared by [[ivfTopK]] and [[ivfTopKIndexed]]:
+    * `assigned` is the inverted file as (vec_id, __cv, __cn, cent_id). */
+  private def probeRank(sp: org.apache.spark.sql.SparkSession, cents: DataFrame,
+                        assigned: DataFrame, queries: DataFrame, k: Int,
+                        idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     // queries probe their nprobe nearest centroids. A window is fine HERE:
     // each group is exactly nlist rows (bounded small), so no task ever
     // sorts more than nlist candidates — unlike the final ranking below.
@@ -221,13 +229,62 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cent_id").asc)))
       .filter(col("__rk") <= nprobe)
       .select(col("query_id"), col("__qv"), fastL2(sp, col("__qv")).alias("__qn"), col("cent_id"))
-    // exact ranking inside the probed lists only
-    val scored = assigned.join(probes, Seq("cent_id"))
+    // exact ranking inside the probed lists only; the probe side is
+    // |Q| x nprobe rows (queries are the small side by contract, as in
+    // bruteForceTopK) — broadcast it so the corpus side never shuffles,
+    // and a cent_id-partitioned on-disk index scan prunes to the probed
+    // lists via dynamic partition pruning
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         round(try_divide(fastDot(sp, col("__qv"), col("__cv")), col("__qn") * col("__cn")), 6)
           .alias("cosine"))
       .groupBy(col("query_id"), col("vec_id")).agg(max(col("cosine")).alias("cosine"))
     topKRank(scored, k)
+  }
+
+  /** A persisted IVF-flat index: `centroids` = (cent_id, cent_vec);
+    * `assignments` = the inverted file (vec_id, vec, norm, cent_id),
+    * cent_id-partitioned on disk so probing prunes to nprobe lists. */
+  final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
+
+  /**
+   * Build an IVF index once and persist it to `path` as two parquet
+   * datasets — `$path/centroids` and `$path/assignments` (the latter
+   * written `partitionBy("cent_id")`). A production retrieval loop
+   * trains/assigns once here, then serves queries via [[loadIvf]] +
+   * [[ivfTopKIndexed]] without re-reading the corpus: each query's
+   * probed lists map to cent_id partition directories, so the serving
+   * scan reads ~nprobe/nlist of the index, not all of it. The stored
+   * `norm` is the same double [[fastL2]] the in-memory path computes
+   * (parquet round-trips doubles exactly), so indexed results are
+   * bit-identical to [[ivfTopK]] with the same centroids.
+   */
+  def saveIvf(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+              nlist: Int = 16, trainIters: Int = 0): Unit = {
+    val sp = corpus.sparkSession
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    nearestCentroid(sp, corpus, idCol, vecCol, cents)
+      .select(col(idCol).alias("vec_id"), col(vecCol).alias("vec"),
+        fastL2(sp, col(vecCol)).alias("norm"), col("cent_id").cast("long"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/assignments")
+  }
+
+  /** Load an index written by [[saveIvf]]. cent_id is re-cast to long:
+    * partition-column type inference narrows small values to int. */
+  def loadIvf(sp: org.apache.spark.sql.SparkSession, path: String): IvfIndex = IvfIndex(
+    sp.read.parquet(s"$path/centroids"),
+    sp.read.parquet(s"$path/assignments")
+      .withColumn("cent_id", col("cent_id").cast("long")))
+
+  /** [[ivfTopK]] served from a persisted index — no corpus scan, no
+    * training; same null-candidate and tiebreak contract. */
+  def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, k: Int,
+                     idCol: String, vecCol: String, nprobe: Int = 4): DataFrame = {
+    val sp = queries.sparkSession
+    val assigned = index.assignments.select(col("vec_id"),
+      col("vec").alias("__cv"), col("norm").alias("__cn"), col("cent_id"))
+    probeRank(sp, index.centroids, assigned, queries, k, idCol, vecCol, nprobe)
   }
 }

@@ -107,13 +107,20 @@ object Temporal {
       if (keys.contains(c)) df
       else df.withColumnRenamed(c, rightPrefix + c))
     val rTs = if (keys.contains(rightTs)) rightTs else rightPrefix + rightTs
-    val cond = keys.map(k =>
-        left(graft.ColName.quote(k)) === renamed(graft.ColName.quote(k)))
-      .reduce(_ && _) &&
-      renamed(graft.ColName.quote(rTs)) >= left(graft.ColName.quote(leftTs)) + lowerUs &&
-      renamed(graft.ColName.quote(rTs)) <= left(graft.ColName.quote(leftTs)) + upperUs
-    keys.foldLeft(left.join(renamed, cond))((df, k) =>
-      df.drop(renamed(graft.ColName.quote(k))))
+    // alias both sides and resolve the condition through the aliases:
+    // when left and right are filters of the SAME base frame (a
+    // self-join), dataset-resolved columns can land on identical
+    // attribute IDs — Spark warns "trivially true equals predicate" and
+    // the resolution is only correct by luck. Alias-scoped names are
+    // unambiguous by construction.
+    val lA = left.alias("__ij_l")
+    val rA = renamed.alias("__ij_r")
+    def lc(n: String) = col(s"__ij_l.${graft.ColName.quote(n)}")
+    def rc(n: String) = col(s"__ij_r.${graft.ColName.quote(n)}")
+    val cond = keys.map(k => lc(k) === rc(k)).reduce(_ && _) &&
+      rc(rTs) >= lc(leftTs) + lowerUs &&
+      rc(rTs) <= lc(leftTs) + upperUs
+    keys.foldLeft(lA.join(rA, cond))((df, k) => df.drop(rc(k)))
   }
 
   /** SCD2 (slowly-changing-dimension type 2) interval builder: collapse a
@@ -170,13 +177,16 @@ object Temporal {
     val rw = rw0.columns.foldLeft(rw0)((df, c) =>
       if (keys.contains(c)) df else df.withColumnRenamed(c, rightPrefix + c))
     val rTime = rightPrefix + rightTime
-    val cond = keys.map(k =>
-        lw(graft.ColName.quote(k)) === rw(graft.ColName.quote(k))).reduce(_ && _) &&
-      rw(graft.ColName.quote(rTime)) >= lw(graft.ColName.quote(leftTime)) +
-        expr(s"INTERVAL $lowerSec SECOND") &&
-      rw(graft.ColName.quote(rTime)) <= lw(graft.ColName.quote(leftTime)) +
-        expr(s"INTERVAL $upperSec SECOND")
-    keys.foldLeft(lw.join(rw, cond))((df, k) =>
-      df.drop(rw(graft.ColName.quote(k))))
+    // alias-scoped resolution for the same self-join reason as
+    // [[intervalJoin]] — both streams are commonly selections of one
+    // source frame
+    val lA = lw.alias("__ijs_l")
+    val rA = rw.alias("__ijs_r")
+    def lc(n: String) = col(s"__ijs_l.${graft.ColName.quote(n)}")
+    def rc(n: String) = col(s"__ijs_r.${graft.ColName.quote(n)}")
+    val cond = keys.map(k => lc(k) === rc(k)).reduce(_ && _) &&
+      rc(rTime) >= lc(leftTime) + expr(s"INTERVAL $lowerSec SECOND") &&
+      rc(rTime) <= lc(leftTime) + expr(s"INTERVAL $upperSec SECOND")
+    keys.foldLeft(lA.join(rA, cond))((df, k) => df.drop(rc(k)))
   }
 }

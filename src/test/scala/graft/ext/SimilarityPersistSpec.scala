@@ -1,0 +1,55 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilarityPersistSpec extends AnyFunSuite with SparkSpec {
+
+  /** Deterministic synthetic corpus: dim-8 float vectors from sin(id*i). */
+  private def corpus = spark.range(0, 60).select(
+    col("id").alias("vec_id"),
+    transform(sequence(lit(1), lit(8)),
+      i => sin(col("id") * i).cast("float")).alias("embedding"))
+
+  test("saveIvf/loadIvf: indexed serving equals in-memory ivfTopK") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    try {
+      val c = corpus
+      Similarity.saveIvf(c, "vec_id", "embedding", dir, nlist = 4, trainIters = 1)
+      val idx = Similarity.loadIvf(spark, dir)
+      val q = c.filter(col("vec_id") < 5)
+      val inMem = Similarity.ivfTopK(c, q, 5, "vec_id", "embedding",
+        nlist = 4, nprobe = 2, trainIters = 1)
+      val served = Similarity.ivfTopKIndexed(idx, q, 5, "vec_id", "embedding", nprobe = 2)
+      assertSameRows(inMem, served)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("saveIvf lays the inverted file out partitioned by cent_id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
+    try {
+      Similarity.saveIvf(corpus, "vec_id", "embedding", dir, nlist = 4)
+      val parts = new java.io.File(s"$dir/assignments").listFiles()
+        .filter(_.getName.startsWith("cent_id="))
+      // probing nprobe lists scans only those partition dirs — the
+      // partition pruning the on-disk layout exists for
+      assert(parts.length > 1 && parts.length <= 4)
+      // and the loaded index round-trips every vector exactly once
+      val idx = Similarity.loadIvf(spark, dir)
+      assert(idx.assignments.count() == 60)
+      assert(idx.assignments.select("vec_id").distinct().count() == 60)
+      assert(idx.centroids.count() == 4)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+}

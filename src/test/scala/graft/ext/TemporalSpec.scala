@@ -135,6 +135,33 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("intervalJoin: shared-lineage sides (self-join) resolve unambiguously") {
+    // both sides filtered from ONE frame — the classic ambiguous-self-join
+    // hazard where dataset-resolved key columns land on the same attribute
+    // ID ("trivially true equals predicate"); alias-scoped resolution
+    // inside intervalJoin must keep the key equality REAL. range-backed so
+    // constant folding can't collapse the shared lineage away.
+    val base = spark.range(0, 20).select(
+      (col("id") % 3).alias("user_id"),
+      (col("id") * 100).alias("us"),
+      (col("id") % 2 === 0).alias("is_click"))
+    val clicks = base.filter(col("is_click")).select("user_id", "us")
+    val buys = base.filter(!col("is_click")).select("user_id", "us")
+    val out = Temporal.intervalJoin(clicks, buys, Seq("user_id"), "us", "us", 0L, 300L)
+      .select("user_id", "us", "r_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = (for {
+      c <- 0 until 20 if c % 2 == 0
+      b <- 0 until 20
+      if b % 2 == 1 && c % 3 == b % 3 &&
+        b * 100 >= c * 100 && b * 100 <= c * 100 + 300
+    } yield ((c % 3).toLong, c * 100L, b * 100L)).toSet
+    assert(out == exp)
+    // a cross-user pair within the band must NOT appear (the failure mode
+    // of a trivially-true key predicate)
+    assert(out.forall { case (u, l, r) => (l / 100) % 3 == u && (r / 100) % 3 == u })
+  }
+
   test("intervalJoinStreams: stream-stream band join matches batch") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
