@@ -660,6 +660,21 @@ object SparkEntry {
       Curation.quotaSample(d, "lang", "doc_id", k = 40)
         .withColumnRenamed("rank", "smp_rank")
     }),
+    // token-budget mixture sampling (the pretraining "data mixing" step):
+    // keep a deterministic hash-ordered prefix of each source until its
+    // char budget fills. Two-phase bucketed cut — the per-domain window
+    // lives only in the DuckDB oracle; the Spark side never sorts a whole
+    // domain in one task. Aggregated per source so the oracle compare is
+    // row-set stable at every sf (fixed budgets: sf0.001 keeps ~half of
+    // each source, sf1.0 keeps a small head — both regimes exact)
+    "q_mixture_sample" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Curation.mixtureSample(d, "source", "doc_id", "n_chars",
+        Map("src0" -> 12000L, "src1" -> 2500L), defaultBudget = 4000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(col("n_chars")).alias("kept_chars"))
+    }),
     // concat-and-chunk sequence packing: documents sharded by hash into 8
     // independent streams, concatenated in (shard, doc_id) order, split
     // every 512 tokens; each doc is tagged with the chunk its first token
@@ -788,6 +803,35 @@ object SparkEntry {
       bf1.join(ivf, Seq("query_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).alias("n_recalled"))
         .crossJoin(q.agg(count(lit(1)).alias("n_queries")))
+    }),
+    // product quantization, exactness regime: corpus of 16 vectors with
+    // ksub=16 untrained seeds makes every subvector its own centroid, so
+    // ADC reconstruction is exact and PQ top-k must EQUAL brute force
+    // (the nprobe=nlist idiom for the compressed-domain path)
+    "q_knn_pq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").filter(col("vec_id") < 16)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 10, "vec_id",
+        "embedding", dim = 64, m = 8, ksub = 16, trainIters = 0)
+    }),
+    // the compressed path's quality gate at REALISTIC parameters: m=16
+    // subspaces of 4 dims x 32 codes = 16 bytes/vector (16x compression),
+    // ADC shortlist of 80 re-ranked exactly to top-10 (the production
+    // shortlist+refine shape). The true nearest neighbor (brute-force
+    // top-1) must appear in the refined top-10 for >= 80% of probe
+    // queries; measured 10/10, 10/10, 9/10 at sf0.001/0.1/1.0
+    "q_knn_pq_recall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val bf1 = Similarity.bruteForceTopK(e, q, 1, "vec_id", "embedding")
+        .select(col("query_id"), col("vec_id"))
+      val pq = Similarity.pqTopKRefined(e, q, 10, "vec_id", "embedding",
+        dim = 64, m = 16, ksub = 32, trainIters = 2, refineFactor = 8)
+        .select(col("query_id"), col("vec_id"))
+      val recalled = bf1.join(pq, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).alias("__n_recalled"))
+      recalled.crossJoin(q.agg(count(lit(1)).alias("n_queries")))
+        .select(col("n_queries"),
+          (col("__n_recalled") * 10 >= col("n_queries") * 8).alias("recall_pass"))
     }),
     // exact embedding near-dup pairs over a bounded id range
     "q_embedding_neardup" -> ((s, dir) => {
@@ -1201,6 +1245,22 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       ext.Retrieval.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join", "window"), topK = 20)),
+    // hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+    // semantic (brute-force cosine, query vector 0) top-20 lists. The
+    // row_number window ranks a 20-row LIMIT result — bounded, never a
+    // corpus-sized window
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val bm = ext.Retrieval.bm25TopK(table(s, dir, "documents"), "doc_id",
+        "text", Seq("spark", "join", "window"), topK = 20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      val e = table(s, dir, "embeddings")
+      val ann = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+        20, "vec_id", "embedding")
+        .select(col("vec_id").alias("doc_id"), col("rank"))
+      ext.Retrieval.rrfFuse(Seq(bm, ann), "doc_id", "rank", topK = 15)
+    }),
     // bloom-pruned selective join: lineitems of high-value orders. The
     // probe (lineitem) is filtered by a Bloom filter of the qualifying
     // order keys BEFORE the join exchange — the explicit form of Spark's
@@ -2032,6 +2092,20 @@ object SparkEntry {
            |  CAST(row_number() OVER (PARTITION BY lang ORDER BY hu, doc_id) AS BIGINT) AS smp_rank,
            |  doc_id
            |FROM h QUALIFY smp_rank <= 40""".stripMargin,
+      // the windowed definition of the token-budget cut — the oracle may
+      // sort a whole domain in one pass at sf0.01; the Spark side's
+      // bucketed two-phase cut must reproduce it exactly (integral
+      // measures sum exactly in doubles, so fp order is irrelevant)
+      "q_mixture_sample" ->
+        s"""WITH t AS (SELECT doc_id, source, n_chars,
+           |  ${Curation.hashUnitSql("doc_id")} AS u FROM documents),
+           |c AS (SELECT *, coalesce(sum(CAST(n_chars AS DOUBLE)) OVER (
+           |  PARTITION BY source ORDER BY u, doc_id
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM t)
+           |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+           |FROM c
+           |WHERE cb < CASE source WHEN 'src0' THEN 12000.0 WHEN 'src1' THEN 2500.0 ELSE 4000.0 END
+           |GROUP BY source""".stripMargin,
       "q_seq_packing" ->
         s"""WITH t AS (
            |  SELECT doc_id,
@@ -2082,6 +2156,29 @@ object SparkEntry {
       "q_knn_ivf" -> knnBruteSql,
       "q_knn_ivf_trained" -> knnBruteSql,
       "q_knn_ivf_persisted" -> knnBruteSql,
+      // PQ exactness regime: brute-force SQL restricted to the 16-vector
+      // corpus (every subvector is its own centroid -> ADC is exact)
+      "q_knn_pq" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id < 16),
+          |scored AS (
+          |  SELECT query_id, vec_id,
+          |    round(
+          |      list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))),
+          |      6) AS cosine
+          |  FROM q, c WHERE query_id != vec_id),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+          |  FROM scored)
+          |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+          |FROM ranked WHERE rank <= 10""".stripMargin,
+      // thresholded recall gate (the q_semdedup_recall idiom): the oracle
+      // pins the query count and asserts the >=80%-recalled boolean
+      "q_knn_pq_recall" ->
+        """SELECT count(*) AS n_queries, true AS recall_pass
+          |FROM embeddings WHERE vec_id < 10""".stripMargin,
       "q_knn_ivf_recall" ->
         """SELECT count(*) AS n_recalled, count(*) AS n_queries
           |FROM embeddings WHERE vec_id < 10""".stripMargin,
@@ -2415,6 +2512,63 @@ object SparkEntry {
           |  FROM l, stats)
           |SELECT doc_id, round(score, 6) AS score FROM scored
           |ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 20""".stripMargin,
+      // RRF fusion of the BM25 top-20 (same scoring CTEs as q_bm25) and
+      // the cosine top-20 for query vector 0: score = sum 1/(60+rank)
+      "q_hybrid_rrf" ->
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(
+          |      trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |      x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |l AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+          |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl,
+          |  sum(CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END) AS df0,
+          |  sum(CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END) AS df1,
+          |  sum(CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END) AS df2
+          |  FROM l),
+          |bscored AS (
+          |  SELECT doc_id,
+          |    ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5))
+          |      * len(list_filter(toks, x -> x = 'spark')) * 2.2
+          |      / (len(list_filter(toks, x -> x = 'spark'))
+          |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+          |                  / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+          |    + ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5))
+          |      * len(list_filter(toks, x -> x = 'join')) * 2.2
+          |      / (len(list_filter(toks, x -> x = 'join'))
+          |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+          |                  / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+          |    + ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5))
+          |      * len(list_filter(toks, x -> x = 'window')) * 2.2
+          |      / (len(list_filter(toks, x -> x = 'window'))
+          |         + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+          |                  / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+          |    AS score
+          |  FROM l, stats),
+          |bmr AS (
+          |  SELECT doc_id,
+          |    CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS BIGINT) AS rank
+          |  FROM bscored QUALIFY rank <= 20),
+          |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id = 0),
+          |c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+          |ascored AS (
+          |  SELECT query_id, vec_id,
+          |    round(
+          |      list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))))),
+          |      6) AS cosine
+          |  FROM q, c WHERE query_id != vec_id),
+          |annr AS (
+          |  SELECT vec_id AS doc_id,
+          |    CAST(row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+          |  FROM ascored QUALIFY rank <= 20),
+          |u AS (SELECT doc_id, rank FROM bmr UNION ALL SELECT doc_id, rank FROM annr)
+          |SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+          |  count(*) AS n_lists
+          |FROM u GROUP BY doc_id
+          |ORDER BY rrf_score DESC, doc_id ASC LIMIT 15""".stripMargin,
       // plain selective join + aggregate: the bloom prune must be
       // invisible in the result (no false negatives; fp's removed by the
       // join). sum_qty is a sum of integral doubles — exact, order-free

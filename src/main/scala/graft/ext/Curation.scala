@@ -284,6 +284,91 @@ object Curation {
   }
 
   /**
+   * Token-budget mixture sampling — the pretraining "data mixing" step:
+   * given a per-domain budget in measure units (tokens, chars, bytes),
+   * keep a deterministic uniform-random prefix of each domain until its
+   * budget fills. A row is kept iff the summed measure of the rows BEFORE
+   * it (in `([[hashUnit]](id), id)` order within its domain) is strictly
+   * below the domain's budget — so the crossing row is kept, every domain
+   * with a positive budget and any rows keeps at least one row, and the
+   * selection is replay-stable across runs and engines.
+   *
+   * Semantically this is the windowed definition
+   * `sum(measure) OVER (PARTITION BY domain ORDER BY u, id
+   *  ROWS UNBOUNDED PRECEDING EXCLUDING CURRENT) < budget`
+   * — which is exactly how the DuckDB oracle states it — but a window
+   * partitioned by domain funnels EVERY row of a domain through one task
+   * (the 100 TB killer when one domain dominates the corpus, which is the
+   * normal case: web crawl >> everything else). Instead the cut point is
+   * found in two scalable phases, bit-identical to the window form:
+   *
+   *  1. bucket each row by `floor(u * buckets)` (a pure projection) and
+   *     aggregate per-(domain, bucket) measure sums — domains × buckets
+   *     rows, tiny; a prefix-sum window over THIS table costs nothing and
+   *     classifies each bucket as fully-kept (prefix through it < budget),
+   *     fully-dropped (prefix before it >= budget), or boundary;
+   *  2. rows in fully-kept buckets pass with no further work (a broadcast
+   *     join against the tiny classification table); only rows in each
+   *     domain's boundary bucket — an expected 1/buckets fraction — pay an
+   *     exact per-bucket prefix-sum window, seeded with the bucket's
+   *     prefix offset. Bucket order extends (u, id) order because the
+   *     bucket id is a monotone function of u, so fully-kept + boundary
+   *     winners reproduce the global window's row set exactly.
+   *
+   * Rows whose domain has no budget entry get `defaultBudget` (0 = drop
+   * unknown domains). Null/negative measures are rejected up front: a
+   * negative measure would make the prefix sum non-monotone and the
+   * bucket classification unsound.
+   */
+  def mixtureSample(df: DataFrame, domainCol: String, idCol: String,
+                    measureCol: String, budgets: Map[String, Long],
+                    defaultBudget: Long = 0L, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgets.foldLeft(lit(defaultBudget.toDouble)) {
+      case (acc, (k, b)) => when(col(domainCol) === k, lit(b.toDouble)).otherwise(acc)
+    }
+    val m = col(measureCol).cast("double")
+    val checkedM = when(m.isNotNull && m >= 0, m).otherwise(raise_error(concat(
+      lit("mixtureSample: null/negative measure for id "), col(idCol).cast("string"))))
+    val u = hashUnit(col(idCol))
+    // least(): u is in [0,1) but guard the ==1.0 edge anyway
+    val bucket = least(floor(u * buckets), lit(buckets - 1)).cast("int")
+    val rows = df.withColumn("__u", u).withColumn("__b", bucket)
+      .withColumn("__m", checkedM).withColumn("__budget", budget)
+      .filter(col("__budget") > 0)
+    // phase 1: per-(domain, bucket) sums; the window below runs over
+    // domains x buckets rows only (never over corpus rows)
+    val perBucket = rows.groupBy(col(domainCol), col("__b"))
+      .agg(sum(col("__m")).alias("__w"), first(col("__budget")).alias("__budget"))
+    val bw = Window.partitionBy(col(domainCol)).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val classified = perBucket
+      .withColumn("__cum_before", coalesce(sum(col("__w")).over(bw), lit(0.0)))
+      .select(col(domainCol), col("__b"), col("__cum_before"),
+        // fully kept: even the bucket's LAST row starts below budget for
+        // every non-negative measure split; boundary when the budget lands
+        // inside (or exactly on the end of) the bucket
+        (col("__cum_before") + col("__w") < col("__budget")).alias("__full"),
+        (col("__cum_before") >= col("__budget")).alias("__drop"))
+      .filter(!col("__drop"))
+    val tagged = rows.join(broadcast(classified), Seq(domainCol, "__b"))
+    val kept = tagged.filter(col("__full"))
+    // phase 2: the exact prefix sum, restricted to boundary buckets — the
+    // partition key includes the bucket, so a task sorts ~1/buckets of a
+    // domain, not the domain
+    val inBw = Window.partitionBy(col(domainCol), col("__b"))
+      .orderBy(col("__u"), col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = tagged.filter(!col("__full"))
+      .withColumn("__row_before",
+        col("__cum_before") + coalesce(sum(col("__m")).over(inBw), lit(0.0)))
+      .filter(col("__row_before") < col("__budget"))
+      .drop("__row_before")
+    kept.unionByName(boundary)
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /**
    * Overlapping fixed-size document chunking (the RAG / long-context
    * training shape): split each document into `chunkTokens`-token windows
    * starting every `chunkTokens - overlapTokens` tokens, so consecutive

@@ -76,4 +76,38 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(topK)
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009): fuse
+   * N ranked lists into one by `score(d) = Σ_lists 1/(rrfK + rank_d)` —
+   * the standard way to combine the lexical ([[bm25TopK]]) and semantic
+   * ([[Similarity.bruteForceTopK]]/ivf/pq) retrieval paths without score
+   * calibration, since only RANKS enter the formula.
+   *
+   * Input frames carry (idCol, rankCol) with rank 1-based; a document
+   * absent from a list simply contributes nothing for it (the standard
+   * RRF convention). Output: (idCol, rrf_score, n_lists) — the fused
+   * top-k by (score DESC, id ASC), score rounded to 6 decimals.
+   *
+   * Scale shape: the inputs are already top-k-bounded lists, so the
+   * union + groupBy shuffles N×k rows regardless of corpus size, and the
+   * final cut is `orderBy().limit()` → TakeOrderedAndProject (bounded
+   * heap, no global sort). Determinism note: with ≤2 lists the fp sum is
+   * order-free (double addition is commutative); beyond that the 6-dp
+   * rounding absorbs association drift for any realistic rrfK.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              topK: Int, rrfK: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val tagged = rankings.map(_.select(col(idCol),
+      col(rankCol).cast("long").alias("__rank")))
+    tagged.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(rrfK.toDouble) + col("__rank"))), 6)
+          .alias("rrf_score"),
+        count(lit(1)).alias("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(topK)
+  }
 }

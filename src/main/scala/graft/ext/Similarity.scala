@@ -287,4 +287,171 @@ object Similarity {
       col("vec").alias("__cv"), col("norm").alias("__cn"), col("cent_id"))
     probeRank(sp, index.centroids, assigned, queries, k, idCol, vecCol, nprobe)
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** A PQ codebook: `book(s)(j)` is the j-th centroid (dsub doubles) of
+    * subspace s. Driver-bounded by construction — m × ksub × (dim/m) =
+    * ksub × dim doubles (e.g. 16 × 64 = 8 KiB), broadcast into expressions
+    * as literals, never a distributed dataset. */
+  final case class PqCodebook(dim: Int, book: Array[Array[Array[Double]]]) {
+    def m: Int = book.length
+    def dsub: Int = dim / m
+    def ksub: Int = book.head.length
+  }
+
+  /** The m per-subspace nearest-centroid codes of `vec` as an
+    * `array<int>` — a pure projection over codebook literals: zero
+    * shuffles, zero lookups, so encoding a 100 TB corpus is one narrow
+    * scan. Distance ties pick the lowest code id (deterministic). */
+  private[ext] def pqCodes(vec: Column, cb: PqCodebook): Column = {
+    val checked = when(size(vec) === cb.dim, vec)
+      .otherwise(raise_error(lit(s"pq: embedding size != dim=${cb.dim}")))
+    array((0 until cb.m).map { s =>
+      val sub = slice(checked, s * cb.dsub + 1, cb.dsub)
+      val cents = array(cb.book(s).toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+      val init = struct(lit(-1).alias("bi"),
+        lit(Double.MaxValue).alias("bd"), lit(0).alias("i"))
+      aggregate(cents, init, (acc, cent) => {
+        val d = aggregate(
+          zip_with(sub, cent, (a, b) => {
+            val diff = a.cast("double") - b
+            diff * diff
+          }), lit(0.0), (x, y) => x + y)
+        struct(
+          when(d < acc.getField("bd"), acc.getField("i"))
+            .otherwise(acc.getField("bi")).alias("bi"),
+          when(d < acc.getField("bd"), d)
+            .otherwise(acc.getField("bd")).alias("bd"),
+          (acc.getField("i") + 1).alias("i"))
+      }, acc => acc.getField("bi"))
+    }: _*)
+  }
+
+  /**
+   * Train a PQ codebook: split the `dim`-dimensional space into `m`
+   * subspaces of dim/m and run `iters` Lloyd rounds per subspace — all
+   * subspaces in ONE aggregation job per round, never m separate jobs.
+   * Seeds are the subvectors of the ksub lowest-id corpus vectors (the
+   * [[trainCentroids]] convention — deterministic, no RNG state).
+   *
+   * Each round is: encode (map-side, codebook literals), posexplode to
+   * (position, value), aggregate means per (subspace, code, position) —
+   * at most m × ksub × dsub = ksub × dim result rows, collected to the
+   * driver to rebuild the literal codebook (bounded, like the hot-bucket
+   * list in [[Dedup]]). Empty cells keep their previous centroid.
+   */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int = 8, ksub: Int = 16, iters: Int = 1): PqCodebook = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val seedRows = corpus.orderBy(col(idCol).asc).limit(ksub)
+      .select(col(vecCol).cast("array<double>")).collect()
+    require(seedRows.nonEmpty, "pqTrain: empty corpus")
+    val k = math.min(ksub, seedRows.length)
+    var cb = PqCodebook(dim, Array.tabulate(m, k) { (s, j) =>
+      seedRows(j).getSeq[Double](0).slice(s * dsub, (s + 1) * dsub).toArray })
+    (0 until iters).foreach { _ =>
+      val sId = (col("__pos") / dsub).cast("int")
+      val cell = corpus
+        .select(col(idCol).alias("__id"), col(vecCol).alias("__v"),
+          pqCodes(col(vecCol), cb).alias("__codes"))
+        // fence: codes compute once per row, not once per exploded element
+        .repartition(col("__id"))
+        .select(col("__codes"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(sId.alias("s"), element_at(col("__codes"), sId + 1).alias("c"),
+          (col("__pos") % dsub).alias("p"))
+        .agg(avg(col("__x").cast("double")).alias("mean"))
+        .collect() // bounded: <= ksub x dim rows
+      val next = Array.tabulate(m, k)((s, j) => cb.book(s)(j).clone())
+      cell.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cb = PqCodebook(dim, next)
+    }
+    cb
+  }
+
+  /**
+   * PQ-ADC approximate top-k: corpus vectors are stored as m small codes
+   * (+ their true norm), queries score candidates with per-subspace
+   * lookup tables — `dot(q, x) ≈ Σ_s lut[s][code_s(x)]` where
+   * `lut[s][j] = dot(q_sub_s, centroid_j)`. The scan reads m ints + one
+   * double per candidate instead of dim floats (~dim·4/m× less IO — the
+   * whole point of PQ at 100 TB), the codebook and the LUT-bearing query
+   * side are broadcast, and ranking is the bounded-heap [[topKRank]].
+   *
+   * Exactness regime (the provable oracle gate): when every corpus
+   * subvector IS a codebook centroid (corpus size <= ksub with iters=0
+   * seeds, or duplicated vectors), reconstruction is exact and the result
+   * EQUALS [[bruteForceTopK]]. Otherwise approximate — gate with a recall
+   * check ([[ivfTopK]]'s q_knn_ivf_recall idiom).
+   *
+   * Same null/tiebreak contract as the other paths: zero-norm cosines go
+   * null and are dropped; ties rank by vec_id.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             idCol: String, vecCol: String, dim: Int,
+             m: Int = 8, ksub: Int = 16, trainIters: Int = 1): DataFrame = {
+    val sp = corpus.sparkSession
+    val cb = pqTrain(corpus, idCol, vecCol, dim, m, ksub, trainIters)
+    val enc = corpus
+      .select(col(idCol).alias("vec_id"), pqCodes(col(vecCol), cb).alias("__codes"),
+        fastL2(sp, col(vecCol)).alias("__cn"))
+      // fence: codes + norm compute once per corpus row, not once per
+      // (query x candidate) pair after the broadcast join
+      .repartition(col("vec_id"))
+    val luts = array((0 until cb.m).map { s =>
+      val qsub = slice(col(vecCol), s * cb.dsub + 1, cb.dsub)
+      val cents = array(cb.book(s).toIndexedSeq.map(c =>
+        array(c.toIndexedSeq.map(lit(_)): _*)): _*)
+      transform(cents, cent => aggregate(
+        zip_with(qsub, cent, (a, b) => a.cast("double") * b),
+        lit(0.0), (x, y) => x + y))
+    }: _*)
+    val q = queries.select(col(idCol).alias("query_id"), luts.alias("__lut"),
+      fastL2(sp, col(vecCol)).alias("__qn"))
+    val adc = aggregate(
+      zip_with(col("__codes"), col("__lut"),
+        (c, l) => element_at(l, c + 1)),
+      lit(0.0), (x, y) => x + y)
+    val scored = enc.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(try_divide(adc, col("__qn") * col("__cn")), 6).alias("cosine"))
+    topKRank(scored, k)
+  }
+
+  /**
+   * PQ with exact re-ranking — the standard production shape: the
+   * compressed ADC scan shortlists `k * refineFactor` candidates per
+   * query, then ONLY those rows are re-scored against their true vectors
+   * and cut to the exact top-k. Recall is the shortlist's (ADC errors
+   * inside the shortlist are repaired by the exact pass), so a modest
+   * refineFactor buys back most of the quantization loss.
+   *
+   * Scale shape: the shortlist is |Q| × k·refineFactor ids — broadcast to
+   * the corpus scan, so the refine pass reads full vectors for ONLY the
+   * shortlisted rows (with parquet row-group skipping on the id, a sliver
+   * of the corpus) and never shuffles the corpus.
+   */
+  def pqTopKRefined(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String, vecCol: String, dim: Int,
+                    m: Int = 8, ksub: Int = 16, trainIters: Int = 1,
+                    refineFactor: Int = 4): DataFrame = {
+    require(refineFactor >= 1, s"refineFactor must be >= 1, got $refineFactor")
+    val sp = corpus.sparkSession
+    val shortlist = pqTopK(corpus, queries, k * refineFactor, idCol, vecCol,
+      dim, m, ksub, trainIters).select(col("query_id"), col("vec_id"))
+    val cv = corpus.select(col(idCol).alias("vec_id"), col(vecCol).alias("__cv"),
+      fastL2(sp, col(vecCol)).alias("__cn"))
+    val qv = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"),
+      fastL2(sp, col(vecCol)).alias("__qn"))
+    val scored = cv.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(try_divide(fastDot(sp, col("__qv"), col("__cv")),
+          col("__qn") * col("__cn")), 6).alias("cosine"))
+    topKRank(scored, k)
+  }
 }

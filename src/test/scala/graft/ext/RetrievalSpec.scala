@@ -97,4 +97,38 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), 3)
     }
   }
+
+  test("rrfFuse: hand-computed fusion of two lists, absent docs included") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), "doc_id", "rank", topK = 10, rrfK = 60)
+      .as[(Long, Double, Long)].collect().toSeq
+    def r(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(
+      (20L, r(1.0 / 62 + 1.0 / 61), 2L), // both lists: must win
+      (10L, r(1.0 / 61), 1L),
+      (40L, r(1.0 / 62), 1L),
+      (30L, r(1.0 / 63), 1L))
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("rrfFuse: topK cut and id tiebreak at equal scores") {
+    val a = Seq((5L, 1L), (3L, 1L)).toDF("doc_id", "rank") // same rank in 2 frames
+    val got = Retrieval.rrfFuse(Seq(a), "doc_id", "rank", topK = 1)
+      .as[(Long, Double, Long)].collect()
+    assert(got.length == 1 && got(0)._1 == 3L) // equal score -> lowest id
+  }
+
+  test("rrfFuse plan shape: no Window, limit applied") {
+    // the final cut may plan as TakeOrderedAndProject or (under AQE with a
+    // result stage) as a sort whose limit applies at executeCollect — both
+    // are bounded since the INPUT is already N x k rows; what must never
+    // appear is a rank Window
+    val fused = Retrieval.rrfFuse(Seq(
+      (1L to 50L).map(i => (i, i)).toDF("doc_id", "rank"),
+      (1L to 50L).map(i => (i + 25L, i)).toDF("doc_id", "rank")),
+      "doc_id", "rank", 5)
+    assert(!fused.queryExecution.executedPlan.toString.contains("Window"))
+    assert(fused.collect().length == 5)
+  }
 }
