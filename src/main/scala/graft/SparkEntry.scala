@@ -675,6 +675,19 @@ object SparkEntry {
         .agg(count(lit(1)).alias("n_docs"),
           sum(col("n_chars")).alias("kept_chars"))
     }),
+    // deterministic train/val/test assignment: hashUnit-interval split
+    // with binary-exact fractions (0.75/0.125/0.125) so the cumulative
+    // bounds are bit-identical in any engine. Aggregated per split —
+    // membership is a pure per-row function of doc_id, stable under
+    // incremental ingestion
+    "q_hash_split" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Curation.hashSplit(d, "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).alias("n_docs"),
+          sum(col("n_chars")).alias("n_chars_total"))
+    }),
     // concat-and-chunk sequence packing: documents sharded by hash into 8
     // independent streams, concatenated in (shard, doc_id) order, split
     // every 512 tokens; each doc is tagged with the chunk its first token
@@ -682,6 +695,14 @@ object SparkEntry {
     "q_seq_packing" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       Curation.packSequences(d, "doc_id", "text", maxTokens = 512, numShards = 8)
+    }),
+    // corpus-level duplicated trigrams (the exact-substring-dedup
+    // diagnostic): per-doc distinct shingles explode into ONE
+    // partial-aggregatable groupBy — boilerplate spans cross the wire as
+    // partial counts, never per-occurrence rows
+    "q_crossdoc_ngrams" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.crossDocNgrams(d, "text", n = 3, minDocs = 2)
     }),
     // exact n-gram Jaccard pairs (correctness baseline for MinHash)
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -1036,6 +1057,46 @@ object SparkEntry {
     // watermark-evicted); time-ordering makes that safe: the 1 h
     // watermark delay exceeds the 30 min band, so an evicted row can
     // have no future in-band partner.
+    // streaming exact-dedup (dropDuplicatesWithinWatermark): a MemoryStream
+    // carrying the user_id<200 event slice PLUS injected duplicates —
+    // re-sent both in-batch and across batches — must reduce to exactly
+    // the batch DISTINCT set. The watermark delay (720h) exceeds the data
+    // span so no dedup state is evicted mid-test and the stream answer is
+    // deterministic; the oracle recomputes the aggregate from the raw
+    // parquet (original event_ids are unique, so distinct = original)
+    "q_stream_dedup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val e0 = table(s, dir, "events")
+      val rows: Array[(Long, Long, Long, Long)] = e0
+        .filter(col("user_id") < 200 && col("user_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          graft.streaming.EventStreams.eventMicros(e0),
+          floor(col("value") * 100).cast("long"))
+        .as[(Long, Long, Long, Long)].collect()
+      val dups = rows.filter(_._1 % 3 == 0)
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long, Long)]
+      val in = mem.toDF().select(col("_1").alias("event_id"),
+        col("_2").alias("user_id"),
+        timestamp_micros(col("_3")).alias("event_time"),
+        col("_4").alias("cents"))
+      val deduped = graft.streaming.EventStreams.dedupStream(
+        in, Seq("event_id"), "event_time", "720 hours")
+      val sink = "q_stream_dedup_out_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = deduped.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        mem.addData((rows ++ dups).toIndexedSeq)
+        q.processAllAvailable()
+        // cross-batch re-sends: state is still live under the watermark
+        mem.addData(dups.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).groupBy(col("user_id"))
+        .agg(count(lit(1)).alias("n_events"), sum(col("cents")).alias("sum_cents"))
+    }),
     "q_interval_stream" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import s.implicits._
@@ -1135,6 +1196,19 @@ object SparkEntry {
         .unionByName(base.filter(col("o_orderkey") % 101 === 0)
           .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
       graft.ext.Diff.tableDiff(base, newSnap, Seq("o_orderkey"))
+    }),
+    // CDC apply: orders reinterpreted as a per-customer change log
+    // (version = o_orderkey, tombstone when status 'F') collapsed to the
+    // current snapshot — ONE max(struct) shuffle, partial-aggregated
+    // map-side; keys whose latest op is a delete vanish
+    "q_cdc_apply" -> ((s, dir) => {
+      val log = table(s, dir, "orders").select(
+        col("o_custkey").alias("k"), col("o_orderkey").alias("version"),
+        when(col("o_orderstatus") === "F", "D").otherwise("U").alias("op"),
+        col("o_totalprice").alias("price"))
+      graft.ext.Diff.cdcApply(log, Seq("k"), "version", "op")
+        .select(col("k"), col("version").alias("last_version"), col("op"),
+          round(col("price"), 4).alias("price"))
     }),
     // SCD2 interval builder: event_type validity ranges per user from the
     // event log — two window passes over ONE exchange, no joins
@@ -1348,6 +1422,23 @@ object SparkEntry {
     "q_mad_outliers" -> ((s, dir) =>
       ext.Profile.madOutliers(table(s, dir, "lineitem"),
         "l_returnflag", "l_extendedprice", k = 3.0)),
+    // per-group winsorization: clip l_quantity to its group's [p05, p95]
+    // percentile band (tiny band table broadcast back — the corpus is
+    // never shuffled). Only order-free aggregates are compared: counts of
+    // clipped rows and the band edges via min/max of the clipped column
+    // (single interpolated values, not fp accumulations)
+    "q_winsorize" -> ((s, dir) => {
+      val clipped = ext.Profile.winsorize(table(s, dir, "lineitem"),
+        Seq("l_returnflag"), "l_quantity", pLo = 0.05, pHi = 0.95)
+      clipped.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).alias("n"),
+          sum(when(col("l_quantity") < col("l_quantity_w"), 1L)
+            .otherwise(0L)).alias("n_lo"),
+          sum(when(col("l_quantity") > col("l_quantity_w"), 1L)
+            .otherwise(0L)).alias("n_hi"),
+          round(min(col("l_quantity_w")), 4).alias("lo_w"),
+          round(max(col("l_quantity_w")), 4).alias("hi_w"))
+    }),
     // incremental dedup: delta batch (doc_id 60..99) against an
     // already-deduped corpus (survivors of doc_id < 60) WITHOUT
     // regenerating corpus-corpus pairs. 128 one-row bands = total LSH
@@ -1464,6 +1555,22 @@ object SparkEntry {
           lag(col("value"), 1).over(w).alias("prev_value"),
           round(avg(col("value")).over(w.rowsBetween(-2, 0)), 6).alias("val_ma3"),
           (col("__us") - lag(col("__us"), 1).over(w)).alias("us_since_prev"))
+    }),
+    // trailing time-window features (activity in the last hour / day per
+    // user): every span shares ONE partition/order spec so Spark plans a
+    // single exchange+sort for all four feature columns. The measure is
+    // an integral "cents" derivation (floor of an exact double product)
+    // so the window sums are integer-exact in any engine — RANGE framing
+    // makes simultaneous events frame-peers, same as SQL RANGE BETWEEN
+    "q_rolling_features" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = table(s, dir, "events")
+      val cents = floor(col("value") * 100).cast("long")
+      graft.ext.Temporal.rollingFeatures(e, "user_id",
+        graft.streaming.EventStreams.eventMicros(e), cents,
+        Seq("1h" -> 3600000000L, "24h" -> 86400000000L))
+        .select(col("event_id"), col("user_id"),
+          col("n_1h"), col("sum_1h"), col("n_24h"), col("sum_24h"))
     })
   )
 
@@ -2106,6 +2213,16 @@ object SparkEntry {
            |FROM c
            |WHERE cb < CASE source WHEN 'src0' THEN 12000.0 WHEN 'src1' THEN 2500.0 ELSE 4000.0 END
            |GROUP BY source""".stripMargin,
+      // binary-exact cumulative bounds (0.75, 0.875) — no engine can sum
+      // these fractions differently, so the boundary is bit-identical
+      "q_hash_split" ->
+        s"""WITH t AS (SELECT n_chars, CASE
+           |  WHEN ${Curation.hashUnitSql("doc_id")} < 0.75 THEN 'train'
+           |  WHEN ${Curation.hashUnitSql("doc_id")} < 0.875 THEN 'val'
+           |  ELSE 'test' END AS split FROM documents)
+           |SELECT split, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+           |FROM t GROUP BY split""".stripMargin,
       "q_seq_packing" ->
         s"""WITH t AS (
            |  SELECT doc_id,
@@ -2116,6 +2233,21 @@ object SparkEntry {
            |SELECT doc_id, shard, n_tokens,
            |  CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS DOUBLE) / 512) AS BIGINT) AS chunk
            |FROM t""".stripMargin,
+      // per-doc DISTINCT trigrams (docs shorter than 3 tokens contribute
+      // their single joined gram — the ngramsOf short-doc convention);
+      // count(*) over the per-doc-distinct explode IS the doc frequency
+      "q_crossdoc_ngrams" ->
+        """WITH d AS (SELECT
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          |g AS (SELECT unnest(list_distinct(
+          |    CASE WHEN len(toks) >= 3
+          |         THEN list_transform(range(1, len(toks) - 1),
+          |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |         ELSE [array_to_string(toks, ' ')] END)) AS ngram FROM d)
+          |SELECT ngram, count(*) AS n_docs FROM g
+          |GROUP BY ngram HAVING count(*) >= 2""".stripMargin,
       "q_ngram_jaccard" -> jaccardPairsSql,
       "q_dedup_minhash" -> jaccardPairsSql,
       // connected components over the exact pair graph via recursive CTE;
@@ -2310,6 +2442,14 @@ object SparkEntry {
           |  ON p.user_id = c.user_id AND p.us >= c.click_us""".stripMargin,
       "q_interval_join" -> intervalJoinSql,
       // identical semantics, streaming execution — one oracle, two modes
+      // the stream must converge to the batch DISTINCT set: original
+      // event_ids are unique, so the dedup of (slice ∪ dups ∪ re-sent
+      // dups) is the slice itself — the oracle aggregates the raw parquet
+      "q_stream_dedup" ->
+        """SELECT user_id, count(*) AS n_events,
+          |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+          |FROM events WHERE user_id < 200 AND user_id IS NOT NULL
+          |GROUP BY user_id""".stripMargin,
       "q_interval_stream" -> intervalJoinSql,
       "q_session_window" ->
         """WITH o AS (
@@ -2347,6 +2487,17 @@ object SparkEntry {
       // merge(pack(lines<=3), lines>3) then unpack must reproduce the
       // full flat join — same oracle as the pack/unpack roundtrips
       "q_pack_merge" -> roundtripSql,
+      // latest-version-wins via row_number (o_orderkey is unique per
+      // customer, so the window tie case the struct-max handles can't
+      // arise here); tombstoned customers drop out
+      "q_cdc_apply" ->
+        """WITH log AS (SELECT o_custkey AS k, o_orderkey AS version,
+          |  CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+          |  o_totalprice AS price FROM orders),
+          |r AS (SELECT *, row_number() OVER (
+          |  PARTITION BY k ORDER BY version DESC) AS rn FROM log)
+          |SELECT k, version AS last_version, op, round(price, 4) AS price
+          |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
       "q_table_diff" -> {
         val cmp = orderCols.filterNot(_ == "o_orderkey")
         val isDiff = (c: String) => s"l.$c IS DISTINCT FROM r.$c"
@@ -2689,6 +2840,23 @@ object SparkEntry {
           |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
           |FROM r JOIN med USING (g) JOIN mad USING (g)
           |GROUP BY r.g, med.m, mad.d""".stripMargin,
+      // same linear-interpolated percentile definition (quantile_cont ≡
+      // Spark's exact percentile); only order-free aggregates compared —
+      // clip counts and min/max of the clipped column (single values,
+      // not fp accumulations)
+      "q_winsorize" ->
+        """WITH b AS (SELECT l_returnflag,
+          |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.05) AS lo,
+          |    quantile_cont(CAST(l_quantity AS DOUBLE), 0.95) AS hi
+          |  FROM lineitem GROUP BY l_returnflag),
+          |c AS (SELECT l.l_returnflag, CAST(l.l_quantity AS DOUBLE) AS v,
+          |    least(greatest(CAST(l.l_quantity AS DOUBLE), b.lo), b.hi) AS w
+          |  FROM lineitem l JOIN b USING (l_returnflag))
+          |SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(CASE WHEN v < w THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+          |  CAST(sum(CASE WHEN v > w THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+          |  round(min(w), 4) AS lo_w, round(max(w), 4) AS hi_w
+          |FROM c GROUP BY l_returnflag""".stripMargin,
       // full-recompute semantics the incremental path must equal: dedup
       // doc_id < 60 (recursive CTE #1), union the survivors with the
       // delta, dedup again (recursive CTE #2), keep the delta survivors
@@ -2760,6 +2928,22 @@ object SparkEntry {
           |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS us_since_prev
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+      // RANGE framing over integral micros; the summed measure is the
+      // same integral cents derivation as the Spark side, so window sums
+      // are integer-exact whatever frame algorithm the engine uses
+      "q_rolling_features" ->
+        """WITH t AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+          |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+          |SELECT event_id, user_id,
+          |  count(*) OVER w1 AS n_1h,
+          |  CAST(sum(cents) OVER w1 AS BIGINT) AS sum_1h,
+          |  count(*) OVER w2 AS n_24h,
+          |  CAST(sum(cents) OVER w2 AS BIGINT) AS sum_24h
+          |FROM t
+          |WINDOW w1 AS (PARTITION BY user_id ORDER BY us
+          |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+          |w2 AS (PARTITION BY user_id ORDER BY us
+          |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
       "q_bpe_merges" -> bpeOracleSql(8),
       "q_bpe_encode" -> bpeEncodeOracleSql(8),
       // identical graph derivation + triangle join, all exact integers

@@ -200,6 +200,40 @@ object Curation {
   }
 
   /**
+   * Deterministic named-split assignment (the train/val/test step):
+   * each row lands in the split whose cumulative-fraction interval
+   * contains `hashUnit(id)`. Appends a `split` column.
+   *
+   * Membership is a pure function of the row's id — stable across runs,
+   * retries, repartitioning, and INCREMENTAL ingestion (a document added
+   * next month lands in the same split it would have today), which is the
+   * property that keeps eval sets uncontaminated as a 100 TB corpus
+   * grows. Zero shuffles: a per-row codegen'd expression chain.
+   *
+   * Boundary note: prefer binary-exact fractions (0.75/0.125/0.125 …) when
+   * an external system must reproduce the assignment — the cumulative
+   * bounds are then exactly representable and no row can straddle a
+   * 1-ulp difference in how another engine sums the fractions.
+   */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "hashSplit: at least one split required")
+    require(splits.forall(_._2 > 0), s"hashSplit: fractions must be > 0: $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"hashSplit: fractions must sum to 1, got $total")
+    val u = hashUnit(col(idCol))
+    // upper cumulative bound of each split but the last; the last split
+    // absorbs the remainder so u ∈ [0,1) always lands somewhere
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val assigned = splits.init.zip(bounds.init)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), hi), acc) => when(u < hi, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /**
    * Exact-quota sampling: the k rows with the SMALLEST deterministic hash
    * per stratum (i.e. a uniform random quota, reproducible across runs).
    *

@@ -103,6 +103,31 @@ object Dedup {
   def wordShingles(text: Column, n: Int): Column =
     array_distinct(TextAnalysis.ngramsAll(text, n))
 
+  /** Corpus-level duplicated n-grams: every n-token span that appears in
+    * at least `minDocs` DISTINCT documents, with its document frequency —
+    * the diagnostic behind exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): the
+    * high-frequency spans are the boilerplate (headers, licenses,
+    * navigation chrome) a pretraining corpus wants cut.
+    *
+    * Shape: per-doc DISTINCT shingles ([[wordShingles]] — the zip_with
+    * form, tokenization evaluated once per row) explode map-side into
+    * ONE partial-aggregatable groupBy — identical exchange profile to
+    * the MinHash shingle pass, so what scales there scales here. The
+    * `minDocs` filter lands after the partial agg; a boilerplate span in
+    * a billion docs crosses the wire as one partial count per map
+    * partition, never a row per occurrence. Output: (ngram, n_docs).
+    */
+  def crossDocNgrams(df: DataFrame, textCol: String,
+                     n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"crossDocNgrams: n must be >= 1, got $n")
+    require(minDocs >= 1, s"crossDocNgrams: minDocs must be >= 1, got $minDocs")
+    df.select(explode(wordShingles(col(textCol), n)).alias("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).alias("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

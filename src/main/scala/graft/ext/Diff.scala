@@ -80,4 +80,34 @@ object Diff {
                   compareCols: Option[Seq[String]] = None): DataFrame =
     tableDiff(left, right, keys, compareCols)
       .groupBy(col(ChangeCol)).agg(count(lit(1)).alias("n"))
+
+  /** Changelog compaction (CDC apply): collapse an upsert/delete change
+    * log to the current snapshot — the latest version per key wins, and
+    * keys whose latest op is `deleteOp` vanish (tombstones). The
+    * materialize step of any incremental-ingest pipeline.
+    *
+    * ONE partial-aggregatable shuffle: `max(struct(version, payload))`
+    * per key — each map task pre-reduces its rows to one candidate per
+    * key, so the exchange carries keys, not log entries (a window
+    * `row_number` would ship and sort the entire log per key instead).
+    * Ties on version break lexicographically on the remaining columns
+    * (struct ordering) — deterministic even on a malformed log, though a
+    * sane log has a strictly-ordered version per key. Output: the input
+    * columns, one row per surviving key.
+    */
+  def cdcApply(log: DataFrame, keys: Seq[String], versionCol: String,
+               opCol: String, deleteOp: String = "D"): DataFrame = {
+    require(keys.nonEmpty, "cdcApply needs at least one key column")
+    require(!keys.contains(versionCol), "version column cannot be a key")
+    val q = (n: String) => graft.ColName.quote(n)
+    val payload = log.columns.filterNot(keys.contains).toSeq
+    val ordered = versionCol +: payload.filterNot(_ == versionCol)
+    val latest = log.groupBy(keys.map(k => col(q(k))): _*)
+      .agg(max(struct(ordered.map(c => col(q(c))): _*)).alias("__r"))
+    latest
+      .select(keys.map(k => col(q(k))) ++
+        payload.map(c => col(s"__r.${q(c)}").alias(c)): _*)
+      .filter(col(q(opCol)) =!= deleteOp)
+      .select(log.columns.map(c => col(q(c))).toIndexedSeq: _*)
+  }
 }

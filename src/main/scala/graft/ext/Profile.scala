@@ -124,6 +124,42 @@ object Profile {
   }
 
   /**
+   * Per-group winsorization (percentile clipping): clip `valueCol` to its
+   * group's [pLo, pHi] percentile band, appending `<valueCol>_w` with the
+   * clipped value. The standard outlier-taming step before loss-weighted
+   * sampling or feature normalization.
+   *
+   * Two aggregation passes, both group-bounded: (1) per-group percentile
+   * pair; (2) a broadcast join of that tiny table back onto the rows —
+   * the corpus itself is scanned once and never shuffled (profiling
+   * groups are low-cardinality by assumption, as in [[madOutliers]]).
+   * `exact = true` (default) buffers each group's values in the
+   * percentile aggregate — right whenever per-group data fits an
+   * executor; at truly unbounded group sizes pass `exact = false` for
+   * the fixed-memory KLL `approx_percentile` (± `accuracy` rank error,
+   * no buffering).
+   */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                pLo: Double = 0.01, pHi: Double = 0.99,
+                exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "winsorize: at least one group column")
+    require(0 <= pLo && pLo < pHi && pHi <= 1,
+      s"winsorize: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val v = graft.ColName.quote(valueCol)
+    def pct(p: Double): Column =
+      if (exact) expr(s"percentile($v, $p)")
+      else expr(s"approx_percentile($v, $p, $accuracy)")
+    val bands = df.groupBy(groupCols.map(graft.ColName.topCol): _*)
+      .agg(pct(pLo).cast("double").alias("__lo"),
+        pct(pHi).cast("double").alias("__hi"))
+    df.join(broadcast(bands), groupCols)
+      .withColumn(valueCol + "_w",
+        least(greatest(graft.ColName.topCol(valueCol).cast("double"),
+          col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /**
    * Count-min sketch frequency estimates for a probe set of items,
    * next to their exact counts: the point-query sketch that answers
    * "how often does THIS key occur" from O(width·depth) memory however

@@ -189,4 +189,47 @@ object Temporal {
       rc(rTime) <= lc(leftTime) + expr(s"INTERVAL $upperSec SECOND")
     keys.foldLeft(lA.join(rA, cond))((df, k) => df.drop(rc(k)))
   }
+
+  /** Trailing time-window features: for each row, the count and sum of
+    * `measure` over every event of the same `keyCol` in the last
+    * `spanUs` microseconds INCLUDING the row itself — the classic
+    * "activity in the trailing hour/day/week" feature block of a
+    * behavioral model, one (`n_<name>`, `sum_<name>`) pair per requested
+    * window.
+    *
+    * All windows share one partition/order spec (`keyCol`, event time),
+    * so however many spans are requested Spark plans a SINGLE exchange +
+    * sort and evaluates every frame in the same WindowExec pass — the
+    * per-entity history is shuffled once, never per-feature. RANGE
+    * framing is value-based, so simultaneous events (ties on `tsUs`)
+    * are frame-peers and count in each other's features — the same
+    * convention as SQL `RANGE BETWEEN x PRECEDING AND CURRENT ROW`,
+    * which makes the operator oracle-checkable verbatim.
+    *
+    * Scale note: one entity's history lands in one task per the usual
+    * window-function contract — fine for per-user streams (bounded by
+    * human activity); for a pathological whale key, pre-bucket by
+    * coarse time like [[graft.ext.Skew]] does for joins.
+    *
+    * `tsUs` must be integral event-time micros (see
+    * [[graft.streaming.EventStreams.eventMicros]]); `measure` is summed
+    * as-is — feed an integral measure when bit-exact cross-engine
+    * comparison matters (double sums associate differently under
+    * different frame implementations).
+    */
+  def rollingFeatures(df: DataFrame, keyCol: String, tsUs: org.apache.spark.sql.Column,
+                      measure: org.apache.spark.sql.Column,
+                      spans: Seq[(String, Long)]): DataFrame = {
+    require(spans.nonEmpty, "rollingFeatures: at least one window span")
+    require(spans.forall(_._2 > 0), s"rollingFeatures: spans must be > 0 us: $spans")
+    val base = df.withColumn("__rf_us", tsUs.cast("long"))
+      .withColumn("__rf_m", measure)
+    val withFeatures = spans.foldLeft(base) { case (acc, (name, spanUs)) =>
+      val w = Window.partitionBy(graft.ColName.topCol(keyCol))
+        .orderBy(col("__rf_us")).rangeBetween(-spanUs, 0)
+      acc.withColumn(s"n_$name", count(lit(1)).over(w))
+        .withColumn(s"sum_$name", sum(col("__rf_m")).over(w))
+    }
+    withFeatures.drop("__rf_us", "__rf_m")
+  }
 }
