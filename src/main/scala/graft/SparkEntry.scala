@@ -1439,6 +1439,19 @@ object SparkEntry {
           round(min(col("l_quantity_w")), 4).alias("lo_w"),
           round(max(col("l_quantity_w")), 4).alias("hi_w"))
     }),
+    // pairwise Pearson correlation matrix of 4 lineitem measures in ONE
+    // partial-aggregatable pass (all Σx/Σx²/Σxy sums ride a single global
+    // agg; pairs unpivoted from the one aggregated row). Inputs scaled to
+    // integral cents so the decimal(38,0) sums are exact and the double
+    // formula is bit-identical cross-engine
+    "q_corr_matrix" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem").select(
+        floor(col("l_quantity")).cast("long").alias("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        floor(col("l_discount") * 100).cast("long").alias("disc_c"),
+        floor(col("l_tax") * 100).cast("long").alias("tax_c"))
+      ext.Profile.corrMatrix(l, Seq("qty", "price_c", "disc_c", "tax_c"))
+    }),
     // incremental dedup: delta batch (doc_id 60..99) against an
     // already-deduped corpus (survivors of doc_id < 60) WITHOUT
     // regenerating corpus-corpus pairs. 128 one-row bands = total LSH
@@ -1571,7 +1584,40 @@ object SparkEntry {
         Seq("1h" -> 3600000000L, "24h" -> 86400000000L))
         .select(col("event_id"), col("user_id"),
           col("n_1h"), col("sum_1h"), col("n_24h"), col("sum_24h"))
-    })
+    }),
+    // fixed-width resample with zero-filled gaps: per (user, hour) event
+    // count + cents sum, densified so silent hours are explicit zero rows
+    // (the regular-series input of any forecasting model). Corpus touched
+    // once; the dense grid explodes from the tiny per-key bounds table
+    "q_resample_gapfill" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = table(s, dir, "events")
+        .filter(col("user_id") < 100 && col("user_id").isNotNull)
+      graft.ext.Temporal.resampleGapFill(e, "user_id",
+        graft.streaming.EventStreams.eventMicros(e),
+        floor(col("value") * 100).cast("long"), bucketUs = 3600000000L)
+        .withColumnRenamed("sum_measure", "sum_cents")
+    }),
+    // windowless per-group top-k: top-5 customers by account balance per
+    // market segment via the bounded-heap TopKByScore aggregate — each map
+    // task pre-reduces to <= k candidates per group, so the exchange
+    // carries k rows per (group, partition) instead of the whole table
+    // (the row_number window form ships and sorts everything)
+    "q_topk_per_group" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      ext.Rank.topKPerGroup(c, Seq("c_mktsegment"),
+        floor(col("c_acctbal") * 100), col("c_custkey"), k = 5)
+        .select(col("c_mktsegment"), col("id").alias("c_custkey"),
+          col("score").cast("long").alias("acctbal_cents"), col("rank"))
+    }),
+    // ROLLUP grouping-set hierarchy (flag -> flag+status -> grand total),
+    // the subtotal companion of q_cube — one Expand + one shuffle
+    "q_rollup" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).alias("n"),
+          round(sum(col("l_quantity")), 4).alias("sum_qty"),
+          grouping_id().alias("gid")))
   )
 
   /** DuckDB replay of the full BPE training loop: K chained CTE blocks,
@@ -1689,6 +1735,35 @@ object SparkEntry {
     }
     (head +: rounds).mkString(",\n") +
       s"\nSELECT node, round(r, 6) AS rank FROM r$iterations"
+  }
+
+  /** DuckDB re-derivation of the one-pass Pearson matrix: the same
+    * integral inputs summed exactly (HUGEINT ≡ the Spark side's
+    * decimal(38,0)), the same double formula evaluated from those exact
+    * sums — bit-identical before the 6-dp round. `defs` are
+    * (alias, SQL expression yielding an integral value). */
+  private def corrMatrixOracleSql(defs: Seq[(String, String)]): String = {
+    val n = defs.size
+    val cols = defs.map(_._1)
+    val sums =
+      defs.indices.flatMap(i => Seq(
+        s"sum(${cols(i)}) AS s$i",
+        s"sum(${cols(i)} * ${cols(i)}) AS q$i")) ++
+      defs.indices.flatMap(i => (i + 1 until n).map(j =>
+        s"sum(${cols(i)} * ${cols(j)}) AS p${i}_$j"))
+    val pairs = defs.indices.flatMap(i => (i + 1 until n).map { j =>
+      def d(x: String) = s"CAST($x AS DOUBLE)"
+      val cov = s"${d("n")} * ${d(s"p${i}_$j")} - ${d(s"s$i")} * ${d(s"s$j")}"
+      val den = s"sqrt(${d("n")} * ${d(s"q$i")} - ${d(s"s$i")} * ${d(s"s$i")}) * " +
+        s"sqrt(${d("n")} * ${d(s"q$j")} - ${d(s"s$j")} * ${d(s"s$j")})"
+      s"SELECT '${cols(i)}' AS col_x, '${cols(j)}' AS col_y, " +
+        s"round(($cov) / ($den), 6) AS corr FROM s"
+    })
+    s"""WITH t AS (SELECT ${defs.map { case (a, e) => s"$e AS $a" }.mkString(", ")}
+       |  FROM lineitem
+       |  WHERE ${cols.map(_ + " IS NOT NULL").mkString(" AND ")}),
+       |s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM t)
+       |${pairs.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2563,6 +2638,21 @@ object SparkEntry {
           |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
           |       AS BIGINT) AS gid
           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+      "q_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  round(sum(l_quantity), 4) AS sum_qty,
+          |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+          |       AS BIGINT) AS gid
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+      // the window form the bounded-heap aggregate must equal: ties break
+      // on smaller custkey (TopKByScore's comparator order)
+      "q_topk_per_group" ->
+        """WITH t AS (SELECT c_mktsegment, c_custkey,
+          |  CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+          |  ORDER BY cents DESC, c_custkey ASC) AS rank FROM t)
+          |SELECT c_mktsegment, c_custkey, cents AS acctbal_cents,
+          |  CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5""".stripMargin,
       // independent join-then-rank re-derivation of the FORWARD as-of
       // (deliberately a different algorithm than the Spark union+window)
       "q_asof_forward" ->
@@ -2857,6 +2947,11 @@ object SparkEntry {
           |  CAST(sum(CASE WHEN v > w THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
           |  round(min(w), 4) AS lo_w, round(max(w), 4) AS hi_w
           |FROM c GROUP BY l_returnflag""".stripMargin,
+      "q_corr_matrix" -> corrMatrixOracleSql(Seq(
+        "qty" -> "CAST(floor(l_quantity) AS BIGINT)",
+        "price_c" -> "CAST(floor(l_extendedprice * 100) AS BIGINT)",
+        "disc_c" -> "CAST(floor(l_discount * 100) AS BIGINT)",
+        "tax_c" -> "CAST(floor(l_tax * 100) AS BIGINT)")),
       // full-recompute semantics the incremental path must equal: dedup
       // doc_id < 60 (recursive CTE #1), union the survivors with the
       // delta, dedup again (recursive CTE #2), keep the delta survivors
@@ -2944,6 +3039,25 @@ object SparkEntry {
           |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
           |w2 AS (PARTITION BY user_id ORDER BY us
           |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+      // densify via generate_series between each key's min/max bucket —
+      // the same zero-fill convention (count 0, sum 0) as the Spark side;
+      // integer DIV on positive micros ≡ floor bucketing in both engines
+      "q_resample_gapfill" ->
+        """WITH t AS (SELECT user_id, epoch_us(ts) // 3600000000 AS b,
+          |    CAST(floor(value * 100) AS BIGINT) AS cents
+          |  FROM events WHERE user_id < 100 AND user_id IS NOT NULL),
+          |a AS (SELECT user_id, b, count(*) AS n_events,
+          |    CAST(sum(cents) AS BIGINT) AS sum_cents
+          |  FROM t GROUP BY user_id, b),
+          |bounds AS (SELECT user_id, min(b) AS lo, max(b) AS hi
+          |  FROM a GROUP BY user_id),
+          |grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS b
+          |  FROM bounds)
+          |SELECT g.user_id, g.b AS bucket,
+          |  g.b * 3600000000 AS bucket_start_us,
+          |  coalesce(a.n_events, 0) AS n_events,
+          |  coalesce(a.sum_cents, 0) AS sum_cents
+          |FROM grid g LEFT JOIN a ON g.user_id = a.user_id AND g.b = a.b""".stripMargin,
       "q_bpe_merges" -> bpeOracleSql(8),
       "q_bpe_encode" -> bpeEncodeOracleSql(8),
       // identical graph derivation + triangle join, all exact integers

@@ -266,4 +266,52 @@ object Profile {
          col("rank_lt") <= n / 2.0 + n.toDouble / accuracy + 1)
           .alias("p50_rank_within_bound"))
   }
+
+  /**
+   * Pairwise Pearson correlation matrix of N integral-valued columns in
+   * ONE aggregation pass: every per-column sum (Σx, Σx²) and per-pair
+   * cross-product sum (Σxy) rides a single partial-aggregatable global
+   * agg — the corpus is scanned once however many pairs are requested
+   * (N(N−1)/2 pairs = one extra agg expression each, not extra passes).
+   * Output: one row per unordered pair (col_x < col_y positionally),
+   * with `corr` rounded to 6 dp.
+   *
+   * Cross-engine exactness: inputs MUST be integral (scale currency to
+   * cents first). Sums accumulate in decimal(38,0) — exact, order-free —
+   * and the correlation (n·Σxy − Σx·Σy) / √(n·Σx²−(Σx)²) / √(n·Σy²−(Σy)²)
+   * is evaluated in double from those exact sums, so any engine summing
+   * the same integers reproduces the value bit-for-bit (DuckDB's HUGEINT
+   * sums are the same exact integers). Rows with a null in ANY requested
+   * column are excluded (complete-case, the textbook matrix convention) —
+   * a single `n` makes the matrix positive semi-definite.
+   */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs >= 2 columns, got $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val dec = "decimal(38,0)"
+    val v = cols.map(c => graft.ColName.topCol(c).cast(dec))
+    val complete = df.filter(cols.map(graft.ColName.topCol(_).isNotNull)
+      .reduce(_ && _))
+    val aggs =
+      count(lit(1)).alias("__n") +:
+      (cols.indices.flatMap(i => Seq(
+        sum(v(i)).alias(s"__s$i"),
+        sum(v(i) * v(i)).alias(s"__q$i"))) ++
+       cols.indices.flatMap(i => cols.indices.drop(i + 1).map(j =>
+         sum(v(i) * v(j)).alias(s"__p${i}_$j"))))
+    val row = complete.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n").cast("double")
+    def s(i: Int) = col(s"__s$i").cast("double")
+    def q(i: Int) = col(s"__q$i").cast("double")
+    // one struct per pair, exploded from the single aggregated row —
+    // driver-free unpivot, same idiom as columnProfile
+    val pairs = cols.indices.flatMap(i => cols.indices.drop(i + 1).map { j =>
+      val cov = n * col(s"__p${i}_$j").cast("double") - s(i) * s(j)
+      val den = sqrt(n * q(i) - s(i) * s(i)) * sqrt(n * q(j) - s(j) * s(j))
+      struct(lit(cols(i)).alias("col_x"), lit(cols(j)).alias("col_y"),
+        round(cov / den, 6).alias("corr"))
+    })
+    row.select(explode(array(pairs: _*)).alias("__pr"))
+      .select(col("__pr.col_x"), col("__pr.col_y"), col("__pr.corr"))
+  }
 }

@@ -232,4 +232,61 @@ object Temporal {
     }
     withFeatures.drop("__rf_us", "__rf_m")
   }
+
+  /** Fixed-width time-bucket resample with zero-filled gaps: per
+    * (`keyCol`, bucket of `bucketUs` micros) event count and `measure`
+    * sum, DENSIFIED so every key emits a row for every bucket between
+    * its first and last event — the "regular time series" a forecasting
+    * or anomaly model consumes (a missing hour must be an explicit zero,
+    * not an absent row).
+    *
+    * Three bounded stages, no window functions: (1) the raw bucket
+    * aggregation — ONE partial-aggregatable shuffle over the corpus,
+    * carrying ≤ keys×buckets rows; (2) per-key [min,max] bucket bounds
+    * folded from stage 1's SMALL output (keys×buckets rows, not the
+    * corpus); (3) the dense grid exploded from the bounds via
+    * `sequence()` and left-joined back. The corpus itself is touched
+    * exactly once. Grid size = keys × span/bucketUs — pick `bucketUs`
+    * so a key's span stays within `maxBucketsPerKey` (enforced per-row
+    * inside `sequence`'s argument, failing loudly rather than exploding
+    * a runaway array at a pathological key).
+    *
+    * `tsUs` must be integral event-time micros; `measure` should be
+    * integral for bit-exact cross-engine sums. Output: (key, bucket,
+    * bucket_start_us, n_events, sum_<measure alias>m) with n_events = 0
+    * rows for the gaps.
+    */
+  def resampleGapFill(df: DataFrame, keyCol: String,
+                      tsUs: org.apache.spark.sql.Column,
+                      measure: org.apache.spark.sql.Column, bucketUs: Long,
+                      maxBucketsPerKey: Int = 1000000): DataFrame = {
+    require(bucketUs > 0, s"resampleGapFill: bucketUs must be > 0: $bucketUs")
+    val k = graft.ColName.topCol(keyCol)
+    val bucketed = df
+      // Column `/` on longs is DOUBLE division (a 1.7e15 us value divided
+      // near a bucket boundary can round across it) — stage the micros
+      // and use integer DIV, exact at any magnitude
+      .select(k.alias("__k"), tsUs.cast("long").alias("__us"),
+        measure.alias("__m"))
+      .select(col("__k"), expr(s"__us DIV $bucketUs").alias("__b"),
+        col("__m"))
+      .groupBy(col("__k"), col("__b"))
+      .agg(count(lit(1)).alias("n_events"), sum(col("__m")).alias("__sum"))
+    val bounds = bucketed.groupBy(col("__k"))
+      .agg(min(col("__b")).alias("__lo"), max(col("__b")).alias("__hi"))
+    val guarded = bounds.withColumn("__span", col("__hi") - col("__lo") + 1)
+      .withColumn("__hi_ok",
+        when(col("__span") <= maxBucketsPerKey, col("__hi"))
+          .otherwise(raise_error(concat(lit(
+            s"resampleGapFill: key "), col("__k").cast("string"),
+            lit(s" spans more than $maxBucketsPerKey buckets ("),
+            col("__span").cast("string"), lit(") — widen bucketUs")))))
+    val grid = guarded.select(col("__k"),
+      explode(sequence(col("__lo"), col("__hi_ok"))).alias("__b"))
+    grid.join(bucketed, Seq("__k", "__b"), "left")
+      .select(col("__k").alias(keyCol), col("__b").alias("bucket"),
+        (col("__b") * bucketUs).alias("bucket_start_us"),
+        coalesce(col("n_events"), lit(0L)).alias("n_events"),
+        coalesce(col("__sum"), lit(0L)).alias("sum_measure"))
+  }
 }
