@@ -489,6 +489,14 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - startNs) / 1e9
     def budgetLeft: Double =
       if (budgetSec <= 0) Double.MaxValue else budgetSec - elapsedSec
+    // Budget reserve for the END-OF-RUN isolated re-run of flagged entries:
+    // round-8's capture spent its whole 1320 s on the main passes and then
+    // budget-skipped the re-run, leaving every flag unadjudicated (the
+    // round-7 verdict's #1 complaint). The main passes stop early enough
+    // that the adjudication phase always gets its window.
+    val rerunReserve = if (budgetSec <= 0) 0.0 else math.min(300.0, budgetSec * 0.2)
+    def mainBudgetLeft: Double =
+      if (budgetSec <= 0) Double.MaxValue else budgetLeft - rerunReserve
     // Optional comma-separated substring filter over entry names
     // (SPARK_GRAFT_ONLY="q_pack,scale_"): focused reruns for regression
     // attribution, and sf1.0 runs that skip the sf-independent synthetic
@@ -576,7 +584,7 @@ object Bench {
     // keeps the heaviest single entry from blowing the deadline
     val queryTimes = SparkEntry.queries.toSeq.flatMap {
       case (name, fn) if selected(name) =>
-        if (budgetLeft < 30) { skipped += name; None }
+        if (mainBudgetLeft < 30) { skipped += name; None }
         else Some(measured(name)(fn(spark, sfDir)))
       case _ => None
     }
@@ -602,8 +610,7 @@ object Bench {
     // the shared-JVM runner (faster; used by the isolated re-run child,
     // which is already a clean room).
     val forkMode = !sys.env.get("SPARK_GRAFT_FORK").contains("0")
-    def runForkedAndRecord(name: String): (String, Double) = {
-      val r = BenchScenario.runForked(name, cpus, repeat, sfDir, childWarmups)
+    def record(name: String, r: BenchScenario.ForkResult): (String, Double) = {
       rss(name) = r.rssMb
       if (r.runs.nonEmpty) runsLog(name) = r.runs
       if (r.floor > 0) floorsLog(name) = r.floor
@@ -612,13 +619,34 @@ object Bench {
       flushPartial()
       name -> r.sec
     }
+    def runForkedAndRecord(name: String): (String, Double) =
+      record(name, BenchScenario.runForked(name, cpus, repeat, sfDir, childWarmups))
     // a fork costs child-JVM + session startup + dataset build on top of
     // the passes themselves — reserve 90 s before starting one
     def forkBudgetOk(name: String): Boolean =
-      if (budgetLeft >= 90) true else { skipped += name; false }
+      if (mainBudgetLeft >= 90) true else { skipped += name; false }
     val activeParity = parityScenarios.filter(s => selected(s._1))
     val parityResults: Seq[(String, Double)] =
-      if (forkMode) activeParity.collect {
+      if (forkMode && !fullProfile) {
+        // driver profile: ONE child per dataset key — the 5 "large"
+        // scenarios share a single JVM + session + dataset build instead of
+        // paying that ~15-20 s cost each. The full profile keeps strict
+        // per-scenario forks for clean per-process VmHWM.
+        val groups = activeParity.groupBy(_._2).toSeq
+          .sortBy { case (k, _) => activeParity.indexWhere(_._2 == k) }
+        groups.flatMap { case (_, defs) =>
+          val names = defs.map(_._1)
+          if (mainBudgetLeft < 90) { skipped ++= names; Nil }
+          else {
+            val results = BenchScenario.runForkedGroup(names, cpus, repeat,
+              sfDir, childWarmups)
+            names.map(n => record(n, results.getOrElse(n,
+              BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
+                Some("no result line from grouped child")))))
+          }
+        }
+      }
+      else if (forkMode) activeParity.collect {
         case s if forkBudgetOk(s._1) => runForkedAndRecord(s._1)
       }
       else {
@@ -629,7 +657,7 @@ object Bench {
           // building+persisting each remaining dataset (tens of seconds)
           // just to skip its queries would overshoot the deadline the
           // budget exists to protect
-          if (budgetLeft < 30) {
+          if (mainBudgetLeft < 30) {
             activeParity.filter(_._2 == dsKey).foreach(skipped += _._1)
             Nil
           } else {
@@ -642,7 +670,7 @@ object Bench {
           if (dsKey == dsOrder.head)
             try materialize(defs.head._3(ds)) catch { case _: Throwable => }
           val out = defs.flatMap { case (name, _, fn) =>
-            if (budgetLeft < 30) { skipped += name; None }
+            if (mainBudgetLeft < 30) { skipped += name; None }
             else Some(scenario(name)(fn(ds)))
           }
           ds.unpersist()
@@ -652,12 +680,26 @@ object Bench {
       }
 
     // non-parity scale/auto scenarios (definitions + rationale in
-    // [[prepareScale]]): forked per scenario by default, like parity
+    // [[prepareScale]]): forked per scenario by default, like parity. The
+    // driver profile shares one child JVM across chunks of 5 (they don't
+    // share datasets, but the ~10-15 s JVM + session startup amortizes;
+    // chunking bounds what one child death can lose).
     val scaleResults: Seq[(String, Double)] =
-      scaleScenarioNames.filter(selected).flatMap { name =>
+      if (forkMode && !fullProfile)
+        scaleScenarioNames.filter(selected).grouped(5).toSeq.flatMap { chunk =>
+          if (mainBudgetLeft < 90) { skipped ++= chunk; Nil }
+          else {
+            val results = BenchScenario.runForkedGroup(chunk, cpus, repeat,
+              sfDir, childWarmups)
+            chunk.map(n => record(n, results.getOrElse(n,
+              BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
+                Some("no result line from grouped child")))))
+          }
+        }
+      else scaleScenarioNames.filter(selected).flatMap { name =>
         if (forkMode) {
           if (forkBudgetOk(name)) Some(runForkedAndRecord(name)) else None
-        } else if (budgetLeft < 30) { skipped += name; None }
+        } else if (mainBudgetLeft < 30) { skipped += name; None }
         else {
           val p = try prepareScale(spark, name, sfDir) catch {
             case e: Throwable =>
@@ -819,27 +861,49 @@ object Bench {
       s""""floor_hot":$floorHotJson,"errors":$errsJson,""" +
       s""""floors":$floorsJson,"runs":$runsJson,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
-    // Full metrics go to a FILE (lossless — round-2's stdout capture
-    // truncated the tail, losing the total and ~15 timings); stdout gets
-    // one summary line carrying the per-query map (the driver parses
-    // this line), total-first so even a truncated capture keeps the
-    // headline number. The same line is mirrored to a fixed sibling
-    // file (BENCH_SUMMARY.json) so a parser that can't find it in the
-    // sbt-wrapped stdout still has a clean copy on disk.
-    val summaryJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    // Full metrics go to FILES (lossless — round-2's stdout capture
+    // truncated the tail, losing the total and ~15 timings):
+    // BENCH_FULL.json carries everything, BENCH_SUMMARY.json the complete
+    // per-query map. stdout gets ONE COMPACT line as the very last output:
+    // the grading driver keeps only the final ~2000 chars of the run's
+    // output and parses the summary from that tail, so a line carrying all
+    // 100+ query timings (~4 KB) can never fit — rounds 1-8 all landed
+    // rc=0/parsed:null for exactly this reason. The compact line keeps the
+    // headline total plus the highest-signal entries (parity_* first, then
+    // the slowest q_*) under a hard length budget that leaves room for
+    // sbt's trailing "[success]" line inside the tail window.
+    val fullSummaryJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""profile":"$profile","elapsed_sec":$elapsedSec,""" +
       s""""n_skipped":${skipped.size},""" +
       s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
       s""""n_queries":${good.size},"n_errors":${bad.size},""" +
       s""""full":"$outPath","queries":$qs,"sf":"$sfDir"}"""
-    writeJson("BENCH_SUMMARY.json", summaryJson)
-    if (writeJson(outPath, fullJson)) {
-      println(summaryJson)
-    } else {
-      // file write failed (read-only cwd?) — fall back to the full line
-      println(fullJson)
+    writeJson("BENCH_SUMMARY.json", fullSummaryJson)
+    val mapBudget = 1200
+    val prioritized = good.sortBy { case (k, v) =>
+      (if (k.startsWith("parity_")) 0 else 1, -v)
     }
+    val sb = new StringBuilder
+    var omitted = 0
+    prioritized.foreach { case (k, v) =>
+      val frag = s""""$k":$v"""
+      if (sb.length + frag.length + 1 <= mapBudget) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(frag); ()
+      } else omitted += 1
+    }
+    val compactJson = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""profile":"$profile","elapsed_sec":$elapsedSec,""" +
+      s""""n_skipped":${skipped.size},"n_errors":${bad.size},""" +
+      s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
+      s""""n_queries":${good.size},"queries_omitted":$omitted,""" +
+      s""""full":"$outPath","queries":{$sb},"sf":"$sfDir"}"""
+    val fullWritten = writeJson(outPath, fullJson)
+    // stop Spark BEFORE printing — any executor/shutdown log line landing
+    // after the summary would push it out of the driver's 2000-char tail
     spark.stop()
+    if (fullWritten) println(compactJson)
+    else println(fullSummaryJson) // file write failed — emit the full map
   }
 }
 
@@ -861,7 +925,7 @@ object BenchScenario {
                                              err: Option[String])
 
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -871,37 +935,48 @@ object BenchScenario {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val prepared: Bench.Prepared =
-      if (name == "__floor__") Bench.Prepared(() => Bench.floorJob(spark), () => ())
-      else Bench.parityScenarios.find(_._1 == name) match {
-        case Some((_, dsKey, fn)) =>
-          val ds = Bench.buildDataset(spark, dsKey)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          ds.count()
-          Bench.Prepared(() => fn(ds), () => ())
-        case None => Bench.prepareScale(spark, name, sfDir)
-      }
-    // Untimed warmup passes — this JVM is JIT-cold (unlike the shared
-    // runner, which has dozens of prior queries behind it): one pass
-    // leaves the first timed run 3-4x steady state (observed 9.1 s → 2.4 s);
-    // the definitive "full" profile uses two, the driver profile one
-    // (SPARK_GRAFT_WARMUP, set by the parent).
+    // Parity datasets persisted once per child and shared by every scenario
+    // in `names` that keys the same dataset — the driver profile groups
+    // scenarios by dataset so the (JVM + session + build + persist) cost is
+    // paid once per dataset instead of once per scenario.
+    val dsCache = scala.collection.mutable.LinkedHashMap.empty[String, DataFrame]
+    def dataset(dsKey: String): DataFrame = dsCache.getOrElseUpdate(dsKey, {
+      val ds = Bench.buildDataset(spark, dsKey).persist(StorageLevel.MEMORY_AND_DISK)
+      ds.count()
+      ds
+    })
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
-    for (_ <- 1 to warmups)
-      try Bench.materializeDf(prepared.query())
-      catch { case _: Throwable => }
-    var errMsg = ""
-    val runs = Bench.runsOfN(repeat, e => errMsg =
-      s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
-        .take(300).replaceAll("[\\r\\n\\t]", " "))(prepared.query())
-    val sec = if (runs.exists(_ < 0)) -1.0 else runs.min
-    // adjacent floor sample — same ambient-load canary the in-process
-    // runner records per entry
-    try Bench.materializeDf(Bench.floorJob(spark)) catch { case _: Throwable => }
-    val floor = Bench.bestOfN(1)(Bench.floorJob(spark))
-    println(s"SCENARIO_RESULT $sec ${Bench.vmHwmMb()} $floor " +
-      runs.mkString(",") + (if (errMsg.nonEmpty) s" ERR $errMsg" else ""))
-    prepared.cleanup()
+    names.foreach { name =>
+      val prepared: Bench.Prepared =
+        if (name == "__floor__") Bench.Prepared(() => Bench.floorJob(spark), () => ())
+        else Bench.parityScenarios.find(_._1 == name) match {
+          case Some((_, dsKey, fn)) =>
+            val ds = dataset(dsKey)
+            Bench.Prepared(() => fn(ds), () => ())
+          case None => Bench.prepareScale(spark, name, sfDir)
+        }
+      // Untimed warmup passes — the first scenario in a cold JVM otherwise
+      // absorbs all JIT/GC warmup (observed 9.1 s → 2.4 s after one pass);
+      // the definitive "full" profile uses two, the driver profile one
+      // (SPARK_GRAFT_WARMUP, set by the parent). Later scenarios in a
+      // grouped child still warm up: each query shape has its own codegen.
+      for (_ <- 1 to warmups)
+        try Bench.materializeDf(prepared.query())
+        catch { case _: Throwable => }
+      var errMsg = ""
+      val runs = Bench.runsOfN(repeat, e => errMsg =
+        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+          .take(300).replaceAll("[\\r\\n\\t]", " "))(prepared.query())
+      val sec = if (runs.exists(_ < 0)) -1.0 else runs.min
+      // adjacent floor sample — same ambient-load canary the in-process
+      // runner records per entry
+      try Bench.materializeDf(Bench.floorJob(spark)) catch { case _: Throwable => }
+      val floor = Bench.bestOfN(1)(Bench.floorJob(spark))
+      println(s"SCENARIO_RESULT $name $sec ${Bench.vmHwmMb()} $floor " +
+        runs.mkString(",") + (if (errMsg.nonEmpty) s" ERR $errMsg" else ""))
+      prepared.cleanup()
+    }
+    dsCache.values.foreach(ds => try { ds.unpersist(); () } catch { case _: Throwable => })
     spark.stop()
   }
 
@@ -922,7 +997,19 @@ object BenchScenario {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   private[graft] def runForked(name: String, cpus: String, repeat: Int,
-                               sfDir: String, warmups: Int = 2): ForkResult = {
+                               sfDir: String, warmups: Int = 2): ForkResult =
+    runForkedGroup(Seq(name), cpus, repeat, sfDir, warmups)
+      .getOrElse(name, ForkResult(-1.0, -1L, -1.0, Nil,
+        Some("forked child produced no result line")))
+
+  /** Spawn ONE child JVM running [[main]] over all of `names` (the driver
+    * profile groups parity scenarios sharing a dataset, so the JVM +
+    * session + dataset-build cost is paid once per group); returns the
+    * per-scenario results keyed by name. A name missing from the returned
+    * map means the child died before reaching it. */
+  private[graft] def runForkedGroup(names: Seq[String], cpus: String,
+                                    repeat: Int, sfDir: String,
+                                    warmups: Int = 2): Map[String, ForkResult] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = addOpensArgs
     // Child heap honors SPARK_DRIVER_MEM (like build.sbt's javaOptions) so
@@ -934,41 +1021,50 @@ object BenchScenario {
     val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xmx$heap", "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
-      "graft.BenchScenario", name)).toArray
+      "graft.BenchScenario") ++ names).toArray
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
     pb.environment().put("SPARK_GRAFT_REPEAT", repeat.toString)
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
     pb.environment().put("SPARK_GRAFT_WARMUP", warmups.toString)
     pb.redirectErrorStream(true)
-    val fail = ForkResult(-1.0, -1L, -1.0, Nil, None)
     try {
       val proc = pb.start()
-      // drain the pipe to EOF — stopping at the result line would let a
-      // chatty Spark shutdown fill the pipe buffer and block the child's
+      // drain the pipe to EOF — stopping at the last result line would let
+      // a chatty Spark shutdown fill the pipe buffer and block the child's
       // writes, deadlocking waitFor()
-      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
-        .foldLeft(Option.empty[String]) { (acc, line) =>
-          if (acc.isEmpty && line.startsWith("SCENARIO_RESULT")) Some(line) else acc
-        }
+      val lines = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+        .foldLeft(List.empty[String]) { (acc, line) =>
+          if (line.startsWith("SCENARIO_RESULT ")) line :: acc else acc
+        }.reverse
       val rc = proc.waitFor()
-      out match {
-        case Some(line) if rc == 0 =>
-          val parts = line.split("\\s+", 5)
-          // parts: SCENARIO_RESULT sec rss floor runsCsv[ ERR msg]
-          val tail = if (parts.length > 4) parts(4) else ""
+      val parsed = lines.flatMap { line =>
+        // parts: SCENARIO_RESULT name sec rss floor runsCsv[ ERR msg]
+        val parts = line.split("\\s+", 6)
+        if (parts.length < 5) None
+        else {
+          val tail = if (parts.length > 5) parts(5) else ""
           val (runsCsv, err) = tail.indexOf(" ERR ") match {
             case -1 => (tail, None)
             case i => (tail.take(i), Some(tail.drop(i + 5)))
           }
           val runs = runsCsv.split(",").toSeq
             .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
-          ForkResult(parts(1).toDouble, parts(2).toLong,
-            if (parts.length > 3) parts(3).toDouble else -1.0, runs, err)
-        case _ => fail.copy(err = Some(s"forked child failed (rc=$rc)"))
+          scala.util.Try(ForkResult(parts(2).toDouble, parts(3).toLong,
+            parts(4).toDouble, runs, err)).toOption.map(parts(1) -> _)
+        }
+      }.toMap
+      if (rc == 0) parsed
+      else {
+        // a non-zero exit invalidates nothing that already printed, but
+        // names with no line get an explicit failure record
+        val missing = names.filterNot(parsed.contains)
+        parsed ++ missing.map(_ -> ForkResult(-1.0, -1L, -1.0, Nil,
+          Some(s"forked child failed (rc=$rc)")))
       }
     } catch { case e: Throwable =>
-      fail.copy(err = Some(s"fork error: ${e.getMessage}".take(200)))
+      names.map(_ -> ForkResult(-1.0, -1L, -1.0, Nil,
+        Some(s"fork error: ${e.getMessage}".take(200)))).toMap
     }
   }
 }

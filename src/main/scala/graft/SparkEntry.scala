@@ -2066,7 +2066,8 @@ object SparkEntry {
         s"""WITH $crawlUrlsSql,
            |n AS (SELECT doc_id, url,
            |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(trim(url)),
-           |    '^[a-z][a-z0-9+.-]*://', ''), '#.*$$', ''), '^www\\.', ''), '/+$$', '') AS nu
+           |    '^[a-z][a-z0-9+.-]*://', ''), '#.*$$', ''), '^www\\.', ''),
+           |    '^([^?]*?)/+(\\?|$$)', '\\1\\2') AS nu
            |  FROM u)
            |SELECT doc_id, url FROM n
            |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY nu)""".stripMargin,
@@ -2074,7 +2075,8 @@ object SparkEntry {
         s"""WITH $crawlUrlsSql,
            |n AS (SELECT doc_id,
            |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(trim(url)),
-           |    '^[a-z][a-z0-9+.-]*://', ''), '#.*$$', ''), '^www\\.', ''), '/+$$', '') AS nu
+           |    '^[a-z][a-z0-9+.-]*://', ''), '#.*$$', ''), '^www\\.', ''),
+           |    '^([^?]*?)/+(\\?|$$)', '\\1\\2') AS nu
            |  FROM u),
            |h AS (SELECT doc_id, nu,
            |  regexp_replace(regexp_extract(nu, '^([^/?]+)', 1), ':[0-9]+$$', '') AS host

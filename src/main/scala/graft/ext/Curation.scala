@@ -219,6 +219,10 @@ object Curation {
                 splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty, "hashSplit: at least one split required")
     require(splits.forall(_._2 > 0), s"hashSplit: fractions must be > 0: $splits")
+    // appending, not overwriting: silently replacing an existing `split`
+    // column would discard a prior assignment without a trace
+    require(!df.columns.contains("split"),
+      "hashSplit: input already has a 'split' column — rename or drop it first")
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9,
       s"hashSplit: fractions must sum to 1, got $total")
@@ -353,6 +357,13 @@ object Curation {
    * unknown domains). Null/negative measures are rejected up front: a
    * negative measure would make the prefix sum non-monotone and the
    * bucket classification unsound.
+   *
+   * Replay stability requires an INTEGRAL measure column (tokens, chars,
+   * bytes — the normal units). With fractional double measures the
+   * per-bucket partial sums associate differently per partitioning, so
+   * rows at a budget boundary can drift run-to-run by 1-ulp effects;
+   * integral measures sum exactly in any order and are reproduced
+   * bit-for-bit by any engine (same contract as `rollingFeatures`).
    */
   def mixtureSample(df: DataFrame, domainCol: String, idCol: String,
                     measureCol: String, budgets: Map[String, Long],

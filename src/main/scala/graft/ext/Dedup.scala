@@ -40,10 +40,12 @@ object Dedup {
 
   /** Canonical URL form for dedup identity: lowercase + trim, scheme
     * stripped, one leading `www.` stripped, fragment stripped, trailing
-    * slashes stripped. Query strings and ports are KEPT — two URLs that
-    * differ there are different resources; callers wanting coarser
-    * identity can strip further before grouping. Pure codegen'd regexp
-    * ops — no UDF in the hot path. */
+    * slashes of the PATH stripped. Query strings and ports are KEPT —
+    * two URLs that differ there are different resources — which is why
+    * the slash strip targets only the path portion: a slash ending a
+    * kept query value (`a.com?next=/`) is query content, not a path
+    * separator, and survives. Pure codegen'd regexp ops — no UDF in the
+    * hot path. */
   def normalizeUrl(u: Column): Column =
     regexp_replace(
       regexp_replace(
@@ -51,7 +53,7 @@ object Dedup {
           regexp_replace(lower(trim(u)), "^[a-z][a-z0-9+.-]*://", ""),
           "#.*$", ""),
         "^www\\.", ""),
-      "/+$", "")
+      "^([^?]*?)/+([?]|$)", "$1$2")
 
   /** Registrable domain of a URL, approximated as the last two dot-labels
     * of the (normalized, port-stripped) host. A public-suffix list is

@@ -138,6 +138,12 @@ object Profile {
    * executor; at truly unbounded group sizes pass `exact = false` for
    * the fixed-memory KLL `approx_percentile` (± `accuracy` rank error,
    * no buffering).
+   *
+   * Null handling: a null `valueCol` stays null in `<valueCol>_w`
+   * (never silently becomes the band edge — greatest/least skip nulls,
+   * which would otherwise clip null to `__lo`), and rows whose GROUP
+   * key is null survive via a null-safe left join (their band comes
+   * from the null-key group, which groupBy produces like any other).
    */
   def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
                 pLo: Double = 0.01, pHi: Double = 0.99,
@@ -152,11 +158,20 @@ object Profile {
     val bands = df.groupBy(groupCols.map(graft.ColName.topCol): _*)
       .agg(pct(pLo).cast("double").alias("__lo"),
         pct(pHi).cast("double").alias("__hi"))
-    df.join(broadcast(bands), groupCols)
+    // null-safe equality (<=>) so a null group key matches its own band
+    // row instead of being dropped by the join; renamed right-side keys
+    // keep the output schema single-keyed
+    val bandsR = groupCols.foldLeft(bands)((b, c) =>
+      b.withColumnRenamed(c, "__g_" + c))
+    val cond = groupCols.map(c =>
+      graft.ColName.topCol(c) <=> col("__g_" + c)).reduce(_ && _)
+    val vc = graft.ColName.topCol(valueCol)
+    df.join(broadcast(bandsR), cond, "left")
       .withColumn(valueCol + "_w",
-        least(greatest(graft.ColName.topCol(valueCol).cast("double"),
-          col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+        when(vc.isNull, lit(null).cast("double"))
+          .otherwise(least(greatest(vc.cast("double"), col("__lo")),
+            col("__hi"))))
+      .drop(groupCols.map("__g_" + _) ++ Seq("__lo", "__hi"): _*)
   }
 
   /**
@@ -284,6 +299,12 @@ object Profile {
    * sums are the same exact integers). Rows with a null in ANY requested
    * column are excluded (complete-case, the textbook matrix convention) —
    * a single `n` makes the matrix positive semi-definite.
+   *
+   * Magnitude bound: products v(i)·v(j) accumulate in decimal(38,0), so
+   * |v| must stay ≲ 10^14 for the cross-product sums not to overflow at
+   * large n. In non-ANSI mode Spark turns decimal overflow into null —
+   * the aggregated row is therefore guarded and raises
+   * "corrMatrix: decimal overflow" instead of emitting null correlations.
    */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"corrMatrix needs >= 2 columns, got $cols")
@@ -303,13 +324,21 @@ object Profile {
     val n = col("__n").cast("double")
     def s(i: Int) = col(s"__s$i").cast("double")
     def q(i: Int) = col(s"__q$i").cast("double")
+    // overflow guard: with n > 0, a null sum can only mean non-ANSI
+    // decimal(38,0) overflow — fail loudly instead of emitting null corrs
+    val anySumNull = row.columns.filterNot(_ == "__n").map(col(_).isNull)
+      .reduce(_ || _)
+    val overflow = col("__n") > 0 && anySumNull
     // one struct per pair, exploded from the single aggregated row —
     // driver-free unpivot, same idiom as columnProfile
     val pairs = cols.indices.flatMap(i => cols.indices.drop(i + 1).map { j =>
       val cov = n * col(s"__p${i}_$j").cast("double") - s(i) * s(j)
       val den = sqrt(n * q(i) - s(i) * s(i)) * sqrt(n * q(j) - s(j) * s(j))
       struct(lit(cols(i)).alias("col_x"), lit(cols(j)).alias("col_y"),
-        round(cov / den, 6).alias("corr"))
+        when(overflow, raise_error(lit(
+          "corrMatrix: decimal overflow — input magnitudes too large"))
+          .cast("double"))
+          .otherwise(round(cov / den, 6)).alias("corr"))
     })
     row.select(explode(array(pairs: _*)).alias("__pr"))
       .select(col("__pr.col_x"), col("__pr.col_y"), col("__pr.corr"))

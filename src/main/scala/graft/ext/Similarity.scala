@@ -305,8 +305,15 @@ object Similarity {
     * shuffles, zero lookups, so encoding a 100 TB corpus is one narrow
     * scan. Distance ties pick the lowest code id (deterministic). */
   private[ext] def pqCodes(vec: Column, cb: PqCodebook): Column = {
-    val checked = when(size(vec) === cb.dim, vec)
-      .otherwise(raise_error(lit(s"pq: embedding size != dim=${cb.dim}")))
+    // null elements would leave the code at -1 (a null distance never
+    // beats Double.MaxValue) and pqTopK's ADC lookup would then fail with
+    // a cryptic element_at(lut, 0) index error — raise clearly instead,
+    // like the dim-mismatch guard
+    val checked = when(size(vec) =!= cb.dim,
+        raise_error(lit(s"pq: embedding size != dim=${cb.dim}")))
+      .when(!forall(vec, e => e.isNotNull),
+        raise_error(lit("pq: embedding contains null elements")))
+      .otherwise(vec)
     array((0 until cb.m).map { s =>
       val sub = slice(checked, s * cb.dsub + 1, cb.dsub)
       val cents = array(cb.book(s).toIndexedSeq.map(c =>

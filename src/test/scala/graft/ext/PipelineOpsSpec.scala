@@ -42,6 +42,14 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit: rejects input that already has a split column (ADVICE r8)") {
+    val df = Seq((1L, "old")).toDF("id", "split")
+    val e = intercept[IllegalArgumentException] {
+      Curation.hashSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.5))
+    }
+    assert(e.getMessage.contains("split"))
+  }
+
   // ------------------------------------------------------------ winsorize
 
   test("winsorize: hand-computed percentile band on 1..10") {
@@ -68,6 +76,41 @@ class PipelineOpsSpec extends SparkSpec {
     val aApprox = approx.filter(col("g") === "a")
       .agg(min("v_w"), max("v_w")).as[(Double, Double)].head()
     assert(aApprox._1 >= 1.0 && aApprox._2 <= 100.0)
+  }
+
+  test("winsorize: null values stay null; null group keys survive (ADVICE r8)") {
+    val df = Seq(
+      (Option("a"), Option(1.0)), (Option("a"), Option(100.0)),
+      (Option("a"), Option.empty[Double]),      // null value in a real group
+      (Option.empty[String], Option(5.0)),      // null GROUP key rows —
+      (Option.empty[String], Option(50.0))      // the old inner join dropped these
+    ).toDF("g", "v")
+    val got = Profile.winsorize(df, Seq("g"), "v", 0.0, 1.0)
+    assert(got.count() == 5, "no row loss on null group keys")
+    // a null value must NOT become the band edge
+    assert(got.filter(col("v").isNull).count() == 1)
+    assert(got.filter(col("v").isNull && col("v_w").isNotNull).count() == 0)
+    // null-group rows get their own band (identity clip at p=[0,1])
+    val nullG = got.filter(col("g").isNull)
+      .select("v_w").as[Double].collect().toSet
+    assert(nullG == Set(5.0, 50.0), nullG.toString)
+  }
+
+  // ------------------------------------------------------------ corrMatrix
+
+  test("corrMatrix: magnitude overflow fails loudly, never null correlations (ADVICE r8)") {
+    // 9e18 squared ≈ 8.1e37 per row — three rows overflow decimal(38,0).
+    // ANSI mode throws at the aggregation; non-ANSI turns the sum to null
+    // and the raise_error guard fires. Either way: loud, never silent null.
+    val big = 9.0e18
+    val df = Seq((big, big), (big * 0.9, big * 0.9), (big * 0.8, big))
+      .toDF("x", "y")
+    val e = intercept[Exception] {
+      Profile.corrMatrix(df, Seq("x", "y")).collect()
+    }
+    val m = Option(e.getMessage).getOrElse("").toLowerCase
+    assert(m.contains("overflow") || m.contains("decimal") ||
+      m.contains("out_of_range") || m.contains("out of range"), m)
   }
 
   // ------------------------------------------------------------- cdcApply

@@ -84,4 +84,17 @@ class PqSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("pq"))
   }
+
+  test("null embedding element fails loudly (ADVICE r8)") {
+    // without the guard, a null element leaves the code at -1 and the ADC
+    // lookup dies later with a cryptic element_at index error
+    val vals: Array[java.lang.Float] = Array.tabulate(dim)(i =>
+      if (i == 3) null else java.lang.Float.valueOf(i.toFloat))
+    val bad = Seq((0L, vals)).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(corpus(8), "vec_id", "embedding", dim, m = 4, ksub = 8)
+    val e = intercept[Exception] {
+      bad.select(Similarity.pqCodes(col("embedding"), cb)).collect()
+    }
+    assert(e.getMessage.contains("null elements"))
+  }
 }

@@ -26,6 +26,12 @@ class UrlDedupSpec extends AnyFunSuite with SparkSpec {
     assert(norm("https://www.www-host.com/p") == "www-host.com/p")
     // scheme-less input unchanged beyond case/slash rules
     assert(norm("Example.com/path///") == "example.com/path")
+    // the slash strip targets the PATH only: a slash ending a kept query
+    // value is query content and survives (ADVICE r8)
+    assert(norm("https://a.com?next=/") == "a.com?next=/")
+    assert(norm("a.com///?q=1/") == "a.com?q=1/")
+    // path trailing slash strips even when a query follows
+    assert(norm("https://a.com/p/?x=1") == "a.com/p?x=1")
   }
 
   test("registrableDomain: host extraction, port strip, last-two-labels") {
