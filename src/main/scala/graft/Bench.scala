@@ -619,8 +619,15 @@ object Bench {
       flushPartial()
       name -> r.sec
     }
+    // Forked scenarios take best-of-2 even in the driver profile: the
+    // giant-group scenarios (parent_dominant_2k, pack_large) carry 2-6x
+    // run-to-run variance inside one JVM (measured runs vector
+    // [41.7, 9.4, 6.7] s after TWO warmups on a calm box) — a single
+    // timed run regularly samples the slow tail and records noise as
+    // regression. The dataset-grouped forks pay for the extra pass.
+    val forkRepeat = if (fullProfile) repeat else math.max(repeat, 2)
     def runForkedAndRecord(name: String): (String, Double) =
-      record(name, BenchScenario.runForked(name, cpus, repeat, sfDir, childWarmups))
+      record(name, BenchScenario.runForked(name, cpus, forkRepeat, sfDir, childWarmups))
     // a fork costs child-JVM + session startup + dataset build on top of
     // the passes themselves — reserve 90 s before starting one
     def forkBudgetOk(name: String): Boolean =
@@ -638,8 +645,8 @@ object Bench {
           val names = defs.map(_._1)
           if (mainBudgetLeft < 90) { skipped ++= names; Nil }
           else {
-            val results = BenchScenario.runForkedGroup(names, cpus, repeat,
-              sfDir, childWarmups)
+            val results = BenchScenario.runForkedGroup(names, cpus,
+              forkRepeat, sfDir, childWarmups)
             names.map(n => record(n, results.getOrElse(n,
               BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
                 Some("no result line from grouped child")))))
@@ -689,8 +696,8 @@ object Bench {
         scaleScenarioNames.filter(selected).grouped(5).toSeq.flatMap { chunk =>
           if (mainBudgetLeft < 90) { skipped ++= chunk; Nil }
           else {
-            val results = BenchScenario.runForkedGroup(chunk, cpus, repeat,
-              sfDir, childWarmups)
+            val results = BenchScenario.runForkedGroup(chunk, cpus,
+              forkRepeat, sfDir, childWarmups)
             chunk.map(n => record(n, results.getOrElse(n,
               BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
                 Some("no result line from grouped child")))))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Fingerprint, Multimodal, Similarity, TextAnalysis}
 
 /** Shared query-building helpers over the driver's TPC-H-ish testdata
   * (TESTDATA.md). The hierarchy treats `orders` → `lineitem` as a 2-level
@@ -64,6 +64,36 @@ object Tpch {
         when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
         when(col("doc_id") % 5 === 0, lit("#sec-2")).otherwise(lit(""))
       ).alias("url"))
+
+  /** Deterministic synthetic HTML wrapping of documents (documents has no
+    * html column; the DuckDB oracle derives the SAME strings in SQL). The
+    * synthesis plants every strip hazard: a style block, a comment
+    * containing markup, nested inline tags, a script block, and encoded
+    * entities including the double-encoded `&amp;lt;`. */
+  def htmlDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><style>p { margin: 0 }</style></head><body><!-- id "),
+        col("doc_id").cast("string"), lit(" <b>hidden</b> --><h1>"),
+        col("source"), lit("</h1><p>"), col("text"),
+        lit("</p><script>var n = "), col("doc_id").cast("string"),
+        lit(";</script>&amp;amp; &lt;fin&gt;</body></html>")).alias("html"))
+
+  /** Deterministic synthetic multi-line documents (documents text is a
+    * single line; the oracle derives the SAME strings in SQL): a
+    * 5-variant NAV header, the document body, a newsletter line on every
+    * third doc, and a footer on every doc — planted boilerplate at
+    * distinct document frequencies so the over-cap line set is non-trivial
+    * at every sf. */
+  def multilineDocs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      concat(
+        lit("NAV "), (col("doc_id") % 5).cast("string"), lit("\n"),
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nSUBSCRIBE TO OUR NEWSLETTER")).otherwise(lit("")),
+        lit("\nCOPYRIGHT FOOTER")).alias("text"))
 
   /** order(o_orderkey) → lineitem(l_linenumber), children ordered by line number. */
   val orderSpec: HierarchySpec = HierarchySpec(Seq(
@@ -703,6 +733,54 @@ object SparkEntry {
     "q_crossdoc_ngrams" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       Dedup.crossDocNgrams(d, "text", n = 3, minDocs = 2)
+    }),
+    // winnowing (MOSS) fingerprints: per-doc summary — md5-derived gram
+    // hashes make the fingerprint VALUES cross-engine derivable
+    "q_winnow" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Fingerprint.winnowStats(d, "doc_id", "text", k = 5, w = 4)
+    }),
+    // winnowing local-overlap pairs with the boilerplate doc-freq cap
+    "q_winnow_pairs" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Fingerprint.winnowPairs(d, "doc_id", "text", k = 5, w = 4,
+        minShared = 2, maxDocFreq = 50)
+    }),
+    // regex-tier HTML → text cleaning over synthetic markup (see htmlDocs).
+    // The strip is staged in its own projection: CollapseProject keeps
+    // multi-referenced non-cheap aliases, so the regexp chain runs once
+    "q_html_strip" -> ((s, dir) =>
+      htmlDocs(s, dir)
+        .select(col("doc_id"), TextAnalysis.stripHtml(col("html")).alias("__c"))
+        .select(col("doc_id"),
+          length(col("__c")).cast("long").alias("clean_len"),
+          md5(col("__c")).alias("clean_fp"))),
+    // corpus-level boilerplate-line removal over synthetic multi-line docs
+    "q_line_dedup" -> ((s, dir) => {
+      val cleaned = Curation.dropBoilerplateLines(
+        multilineDocs(s, dir), "doc_id", "text", maxDocFreq = 20)
+      cleaned.select(col("doc_id"), md5(col("text_clean")).alias("clean_fp"),
+        col("n_kept"), col("n_dropped"))
+    }),
+    // per-group equi-depth (quartile) binning; aggregated per (group, bin)
+    // so the output is bounded and order-free
+    "q_equidepth_bins" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      graft.ext.Profile.equiDepthBins(li, Seq("l_returnflag"),
+          "l_extendedprice", nBins = 4)
+        .groupBy(col("l_returnflag"),
+          col("l_extendedprice_bin").alias("bin"))
+        .agg(count(lit(1)).alias("n"),
+          min(col("l_extendedprice")).alias("min_price"),
+          max(col("l_extendedprice")).alias("max_price"))
+    }),
+    // PSI distribution drift between the F and O order cohorts
+    "q_psi_drift" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      graft.ext.Profile.psiDrift(
+        o.filter(col("o_orderstatus") === "F"),
+        o.filter(col("o_orderstatus") === "O"),
+        "o_totalprice", nBins = 10)
     }),
     // exact n-gram Jaccard pairs (correctness baseline for MinHash)
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -2325,6 +2403,143 @@ object SparkEntry {
           |         ELSE [array_to_string(toks, ' ')] END)) AS ngram FROM d)
           |SELECT ngram, count(*) AS n_docs FROM g
           |GROUP BY ngram HAVING count(*) >= 2""".stripMargin,
+      "q_winnow" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id,
+          |    CASE WHEN len(toks) >= 5
+          |         THEN list_transform(range(1, len(toks) - 3),
+          |                i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])
+          |         ELSE [array_to_string(toks, ' ')] END AS grams FROM d),
+          |h AS (SELECT doc_id,
+          |    list_transform(grams, x -> (('0x' || substr(md5(x), 1, 15))::BIGINT)) AS hs FROM g),
+          |f AS (SELECT doc_id, len(hs) AS n_grams,
+          |    list_sort(list_distinct(list_transform(
+          |      range(1, greatest(len(hs) - 3, 1) + 1),
+          |      i -> list_min(hs[i:i+3])))) AS fps FROM h)
+          |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+          |  CAST(len(fps) AS BIGINT) AS n_fps,
+          |  fps[1] AS fp_min, fps[len(fps)] AS fp_max
+          |FROM f""".stripMargin,
+      "q_winnow_pairs" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |g AS (SELECT doc_id,
+          |    CASE WHEN len(toks) >= 5
+          |         THEN list_transform(range(1, len(toks) - 3),
+          |                i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])
+          |         ELSE [array_to_string(toks, ' ')] END AS grams FROM d),
+          |h AS (SELECT doc_id,
+          |    list_transform(grams, x -> (('0x' || substr(md5(x), 1, 15))::BIGINT)) AS hs FROM g),
+          |f AS (SELECT doc_id,
+          |    list_distinct(list_transform(
+          |      range(1, greatest(len(hs) - 3, 1) + 1),
+          |      i -> list_min(hs[i:i+3]))) AS fps FROM h),
+          |p AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+          |el AS (SELECT fp FROM p GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+          |m AS (SELECT p.doc_id, p.fp FROM p JOIN el USING (fp))
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(count(*) AS BIGINT) AS n_shared
+          |FROM m a JOIN m b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+      "q_html_strip" ->
+        """WITH raw AS (SELECT doc_id,
+          |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+          |    '</title><style>p { margin: 0 }</style></head><body><!-- id ' ||
+          |    CAST(doc_id AS VARCHAR) || ' <b>hidden</b> --><h1>' || source ||
+          |    '</h1><p>' || text || '</p><script>var n = ' ||
+          |    CAST(doc_id AS VARCHAR) ||
+          |    ';</script>&amp;amp; &lt;fin&gt;</body></html>' AS html
+          |  FROM documents),
+          |c AS (SELECT doc_id, trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(replace(
+          |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+          |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+          |        '(?s)<!--.*?-->', ' ', 'g'),
+          |        '<[^>]*>', ' ', 'g'),
+          |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+          |    '\s+', ' ', 'g')) AS clean
+          |  FROM raw)
+          |SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+          |  md5(clean) AS clean_fp FROM c""".stripMargin,
+      "q_line_dedup" ->
+        """WITH m AS (SELECT doc_id,
+          |    'NAV ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || text ||
+          |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER' ELSE '' END) ||
+          |    chr(10) || 'COPYRIGHT FOOTER' AS text
+          |  FROM documents),
+          |l AS (SELECT doc_id,
+          |    unnest(string_split(text, chr(10))) AS line,
+          |    generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM m),
+          |over_cap AS (SELECT line FROM (SELECT DISTINCT doc_id, line FROM l)
+          |  GROUP BY line HAVING count(*) > 20),
+          |kept AS (SELECT l.* FROM l ANTI JOIN over_cap USING (line)),
+          |r AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+          |    count(*) AS n_kept FROM kept GROUP BY doc_id),
+          |n AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM m)
+          |SELECT n.doc_id, md5(coalesce(r.text_clean, '')) AS clean_fp,
+          |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+          |  CAST(n.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
+          |FROM n LEFT JOIN r USING (doc_id)""".stripMargin,
+      "q_equidepth_bins" ->
+        """WITH e AS (
+          |  SELECT l_returnflag,
+          |    quantile_cont(l_extendedprice, 0.25) AS e1,
+          |    quantile_cont(l_extendedprice, 0.50) AS e2,
+          |    quantile_cont(l_extendedprice, 0.75) AS e3
+          |  FROM lineitem GROUP BY l_returnflag),
+          |b AS (
+          |  SELECT l.l_returnflag,
+          |    CAST(CASE WHEN e1 < l_extendedprice THEN 1 ELSE 0 END +
+          |         CASE WHEN e2 < l_extendedprice THEN 1 ELSE 0 END +
+          |         CASE WHEN e3 < l_extendedprice THEN 1 ELSE 0 END AS BIGINT) AS bin,
+          |    l_extendedprice AS p
+          |  FROM lineitem l JOIN e USING (l_returnflag))
+          |SELECT l_returnflag, bin, CAST(count(*) AS BIGINT) AS n,
+          |  min(p) AS min_price, max(p) AS max_price
+          |FROM b GROUP BY 1, 2""".stripMargin,
+      "q_psi_drift" ->
+        """WITH r AS (SELECT o_totalprice AS v FROM orders
+          |  WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL),
+          |c AS (SELECT o_totalprice AS v FROM orders
+          |  WHERE o_orderstatus = 'O' AND o_totalprice IS NOT NULL),
+          |e AS (SELECT
+          |    quantile_cont(v, 0.1) AS e1, quantile_cont(v, 0.2) AS e2,
+          |    quantile_cont(v, 0.3) AS e3, quantile_cont(v, 0.4) AS e4,
+          |    quantile_cont(v, 0.5) AS e5, quantile_cont(v, 0.6) AS e6,
+          |    quantile_cont(v, 0.7) AS e7, quantile_cont(v, 0.8) AS e8,
+          |    quantile_cont(v, 0.9) AS e9
+          |  FROM r),
+          |rb AS (SELECT CAST(
+          |    CASE WHEN e1 < v THEN 1 ELSE 0 END + CASE WHEN e2 < v THEN 1 ELSE 0 END +
+          |    CASE WHEN e3 < v THEN 1 ELSE 0 END + CASE WHEN e4 < v THEN 1 ELSE 0 END +
+          |    CASE WHEN e5 < v THEN 1 ELSE 0 END + CASE WHEN e6 < v THEN 1 ELSE 0 END +
+          |    CASE WHEN e7 < v THEN 1 ELSE 0 END + CASE WHEN e8 < v THEN 1 ELSE 0 END +
+          |    CASE WHEN e9 < v THEN 1 ELSE 0 END AS BIGINT) AS bin FROM r, e),
+          |cb AS (SELECT CAST(
+          |    CASE WHEN e1 < v THEN 1 ELSE 0 END + CASE WHEN e2 < v THEN 1 ELSE 0 END +
+          |    CASE WHEN e3 < v THEN 1 ELSE 0 END + CASE WHEN e4 < v THEN 1 ELSE 0 END +
+          |    CASE WHEN e5 < v THEN 1 ELSE 0 END + CASE WHEN e6 < v THEN 1 ELSE 0 END +
+          |    CASE WHEN e7 < v THEN 1 ELSE 0 END + CASE WHEN e8 < v THEN 1 ELSE 0 END +
+          |    CASE WHEN e9 < v THEN 1 ELSE 0 END AS BIGINT) AS bin FROM c, e),
+          |spine AS (SELECT unnest(range(0, 10)) AS bin),
+          |rc AS (SELECT bin, count(*) AS cr FROM rb GROUP BY bin),
+          |cc AS (SELECT bin, count(*) AS cq FROM cb GROUP BY bin),
+          |j AS (SELECT s.bin,
+          |    CAST(coalesce(rc.cr, 0) AS DOUBLE) AS cr,
+          |    CAST(coalesce(cc.cq, 0) AS DOUBLE) AS cq
+          |  FROM spine s LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin)),
+          |t AS (SELECT (SELECT sum(cr) FROM j) AS nr, (SELECT sum(cq) FROM j) AS nc)
+          |SELECT CAST(t.nr AS BIGINT) AS n_ref, CAST(t.nc AS BIGINT) AS n_cur,
+          |  round(sum(((j.cr / t.nr + 0.0001) - (j.cq / t.nc + 0.0001)) *
+          |            ln((j.cr / t.nr + 0.0001) / (j.cq / t.nc + 0.0001))), 6) AS psi
+          |FROM j, t GROUP BY t.nr, t.nc""".stripMargin,
       "q_ngram_jaccard" -> jaccardPairsSql,
       "q_dedup_minhash" -> jaccardPairsSql,
       // connected components over the exact pair graph via recursive CTE;

@@ -706,4 +706,56 @@ object Curation {
       .withColumn("chunk", floor(col("prefix_before") / maxTokens))
       .select(col(idCol), col("shard"), col("n_tokens"), col("chunk"))
   }
+
+  /**
+   * Corpus-level boilerplate-line removal (the C4/RefinedWeb cleaning
+   * step): delete every line that occurs in MORE than `maxDocFreq`
+   * distinct documents — navigation chrome, cookie banners, footers —
+   * and reassemble each document from its surviving lines in original
+   * order. Line identity is the exact line string (no normalization:
+   * "Accept cookies" and "accept cookies" are different lines; callers
+   * wanting case-folded identity can pre-map the text).
+   *
+   * Scale shape: posexplode → one DISTINCT (line, doc) pass → one
+   * line-frequency groupBy (both map-side combinable; a line in a
+   * billion docs crosses the wire as partial counts, never a row per
+   * occurrence) → anti-join of exploded lines against the over-cap line
+   * set (corpus-sized but key-bounded; AQE broadcast-converts when the
+   * boilerplate set is small) → per-doc regroup. The regroup's
+   * collect_list buffers one DOCUMENT's lines, not a corpus partition —
+   * bounded by the largest single document, same guarantee as pack.
+   * Documents whose every line was boilerplate survive with empty text
+   * (left join back to the id spine), so the operator never loses rows.
+   *
+   * Output: (idCol, text_clean, n_kept, n_dropped).
+   */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           maxDocFreq: Int, sep: String = "\n"): DataFrame = {
+    require(maxDocFreq >= 1, s"dropBoilerplateLines: maxDocFreq >= 1, got $maxDocFreq")
+    require(sep.nonEmpty, "dropBoilerplateLines: separator must be non-empty")
+    val id = graft.ColName.topCol(idCol)
+    val lines = df.select(id,
+        posexplode(split(graft.ColName.topCol(textCol),
+          java.util.regex.Pattern.quote(sep), -1)).as(Seq("__pos", "__line")))
+    // doc frequency per line: dedupe (line, doc) first so an in-document
+    // repeat counts once, then a plain map-combinable count
+    val overCap = lines.select(col("__line"), id).distinct()
+      .groupBy(col("__line")).agg(count(lit(1)).alias("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("__line"))
+    val kept = lines.join(overCap, Seq("__line"), "left_anti")
+    val rebuilt = kept.groupBy(id)
+      .agg(collect_list(struct(col("__pos"), col("__line"))).alias("__ls"))
+      .select(id,
+        array_join(transform(array_sort(col("__ls")),
+          s => s.getField("__line")), sep).alias("text_clean"),
+        size(col("__ls")).cast("long").alias("n_kept"))
+    df.select(id,
+        size(split(graft.ColName.topCol(textCol),
+          java.util.regex.Pattern.quote(sep), -1)).cast("long").alias("__n"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(id, coalesce(col("text_clean"), lit("")).alias("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).alias("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).alias("n_dropped"))
+  }
 }

@@ -343,4 +343,115 @@ object Profile {
     row.select(explode(array(pairs: _*)).alias("__pr"))
       .select(col("__pr.col_x"), col("__pr.col_y"), col("__pr.corr"))
   }
+
+  /**
+   * Equi-depth (quantile) binning: assign each row the index of the
+   * percentile bucket its value falls in — the feature-discretization
+   * step fixed-width [[histogram]] can't provide when the distribution
+   * is skewed. Interior edges are the group's p = i/nBins percentiles;
+   * bin = #(edges < value) clamped to nBins−1, so ties with an edge go
+   * to the LOWER bin and every non-null value lands in [0, nBins).
+   * Null values get a null bin (never silently bin 0).
+   *
+   * Same two-pass shape as [[winsorize]]: one group-bounded percentile
+   * aggregation (exact, or fixed-memory KLL with `exact = false`), the
+   * tiny edge table broadcast back onto the rows — the corpus is
+   * scanned once and never shuffled. Null group keys survive via the
+   * null-safe join and bin against their own group's edges.
+   *
+   * Output: input columns + `<valueCol>_bin` (long).
+   */
+  def equiDepthBins(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    nBins: Int, exact: Boolean = true,
+                    accuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "equiDepthBins: at least one group column")
+    require(nBins >= 2, s"equiDepthBins: nBins must be >= 2, got $nBins")
+    val v = graft.ColName.quote(valueCol)
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    def pct(p: Double): Column =
+      if (exact) expr(s"percentile($v, $p)")
+      else expr(s"approx_percentile($v, $p, $accuracy)")
+    val edges = df.groupBy(groupCols.map(graft.ColName.topCol): _*)
+      .agg(pct(ps.head).cast("double").alias("__e1"),
+        ps.tail.zipWithIndex.map { case (p, i) =>
+          pct(p).cast("double").alias(s"__e${i + 2}") }: _*)
+    val edgesR = groupCols.foldLeft(edges)((b, c) =>
+      b.withColumnRenamed(c, "__g_" + c))
+    val cond = groupCols.map(c =>
+      graft.ColName.topCol(c) <=> col("__g_" + c)).reduce(_ && _)
+    val vc = graft.ColName.topCol(valueCol)
+    val bin = ps.indices.map(i =>
+      when(col(s"__e${i + 1}") < vc.cast("double"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.join(broadcast(edgesR), cond, "left")
+      .withColumn(valueCol + "_bin",
+        when(vc.isNull, lit(null).cast("long")).otherwise(bin))
+      .drop(groupCols.map("__g_" + _) ++ ps.indices.map(i => s"__e${i + 1}"): _*)
+  }
+
+  /**
+   * Population Stability Index between a reference frame and a current
+   * frame — the standard distribution-drift monitor for a feature
+   * column as a corpus grows (PSI < 0.1 stable, 0.1-0.25 moderate,
+   * > 0.25 major shift). Bin edges come from the REFERENCE frame's
+   * equi-depth percentiles (the convention: the baseline defines the
+   * bins; a drifted current distribution then concentrates in few
+   * bins), each side's bin shares are Laplace-smoothed by `eps` so an
+   * empty bin never yields ±∞, and
+   * PSI = Σ_bins (pRef − pCur) · ln(pRef / pCur).
+   *
+   * Both binning passes are the [[equiDepthBins]] broadcast shape; the
+   * per-bin counts are two map-combinable aggregations of ≤ nBins rows
+   * each — nothing corpus-sized crosses the wire. Null values are
+   * excluded from both sides (they carry no position in the value
+   * distribution; monitor them with [[columnProfile]] null counts).
+   *
+   * Output: one row — (n_ref, n_cur, psi) with psi rounded to 6 dp.
+   */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+               nBins: Int = 10, eps: Double = 1e-4,
+               exact: Boolean = true): DataFrame = {
+    require(nBins >= 2, s"psiDrift: nBins must be >= 2, got $nBins")
+    val vc = graft.ColName.topCol(valueCol)
+    val withConst = (d: DataFrame) => d.filter(vc.isNotNull)
+      .select(vc.cast("double").alias("__v"))
+    // reference edges once, broadcast to both sides
+    val v = "__v"
+    val ps = (1 until nBins).map(i => i.toDouble / nBins)
+    def pct(p: Double): Column =
+      if (exact) expr(s"percentile($v, $p)")
+      else expr(s"approx_percentile($v, $p, 10000)")
+    val edges = withConst(ref).agg(
+      pct(ps.head).cast("double").alias("__e1"),
+      ps.tail.zipWithIndex.map { case (p, i) =>
+        pct(p).cast("double").alias(s"__e${i + 2}") }: _*)
+    def binCounts(d: DataFrame): DataFrame = {
+      val bin = ps.indices.map(i =>
+        when(col(s"__e${i + 1}") < col("__v"), 1L).otherwise(0L)).reduce(_ + _)
+      withConst(d).crossJoin(broadcast(edges))
+        .select(bin.alias("__bin"))
+        .groupBy(col("__bin")).agg(count(lit(1)).alias("__c"))
+    }
+    val rc = binCounts(ref).select(col("__bin"), col("__c").alias("__cr"))
+    val cc = binCounts(cur).select(col("__bin"), col("__c").alias("__cc"))
+    // full bin spine 0..nBins-1 so bins empty on either side still
+    // contribute their smoothed share
+    val spine = ref.sparkSession.range(nBins).select(col("id").alias("__bin"))
+    val joinedB = spine
+      .join(rc, Seq("__bin"), "left").join(cc, Seq("__bin"), "left")
+      .select(col("__bin"),
+        coalesce(col("__cr"), lit(0L)).alias("cr"),
+        coalesce(col("__cc"), lit(0L)).alias("cc"))
+    // bin-ordered struct list → the float fold associates in one fixed
+    // order, deterministic across runs and partitionings
+    val tot = joinedB.agg(sum(col("cr")).alias("nr"), sum(col("cc")).alias("nc"),
+      array_sort(collect_list(struct(col("__bin"), col("cr"), col("cc"))))
+        .alias("bins"))
+    tot.select(col("nr").alias("n_ref"), col("nc").alias("n_cur"),
+      round(aggregate(col("bins"), lit(0.0), (acc, b) => {
+        val pr = (b.getField("cr").cast("double") / col("nr") + lit(eps))
+        val pc = (b.getField("cc").cast("double") / col("nc") + lit(eps))
+        acc + (pr - pc) * log(pr / pc)
+      }), 6).alias("psi"))
+  }
 }

@@ -200,6 +200,30 @@ object TextAnalysis {
   def normalized(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** HTML → text: drop script/style blocks and comments wholesale, strip
+    * remaining tags, decode the six ubiquitous entities, collapse
+    * whitespace — the regex-tier boilerplate cleaner every crawl pipeline
+    * runs before quality scoring (a full DOM extractor is out of scope;
+    * this is the deterministic 95% that is also cross-engine derivable:
+    * every pattern below is RE2-compatible, no backreferences, so a SQL
+    * oracle can restate it verbatim). Entity order matters: `&amp;` is
+    * decoded LAST so `&amp;lt;` yields the literal `&lt;`, not `<`
+    * (single-pass decoding, the standard non-recursive rule). Pure
+    * per-row projection — zero shuffles at any corpus size. */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Content fingerprint: md5 of the normalized text — md5 exists in both
     * Spark and DuckDB so exact-dedup results are oracle-checkable. */
   def fingerprint(text: Column): Column = md5(normalized(text))

@@ -117,4 +117,71 @@ class ProfileSpec extends SparkSpec {
       .collect()(0)
     assert(r._1 == 1L && r._2 && r._3 == 7.0 && r._4)
   }
+
+  // --------------------------------------------------------- equiDepthBins
+
+  test("equiDepthBins: quartiles of 1..8, edge ties go LOW") {
+    // exact percentile over 1..8: p=.25 → 2.75, p=.5 → 4.5, p=.75 → 6.25
+    val df = (1 to 8).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val got = Profile.equiDepthBins(df, Seq("g"), "v", nBins = 4)
+      .select(col("v"), col("v_bin")).as[(Double, Long)].collect().toMap
+    assert(got == Map(1.0 -> 0L, 2.0 -> 0L, 3.0 -> 1L, 4.0 -> 1L,
+      5.0 -> 2L, 6.0 -> 2L, 7.0 -> 3L, 8.0 -> 3L), got.toString)
+    // edge tie: with 1..9, p=.5 → exactly 5.0; 5.0 is NOT > its own edge → bin 1
+    val df9 = (1 to 9).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val tie = Profile.equiDepthBins(df9, Seq("g"), "v", nBins = 2)
+      .filter(col("v") === 5.0).select("v_bin").as[Long].head()
+    assert(tie == 0L, "value equal to an edge stays in the lower bin")
+  }
+
+  test("equiDepthBins: nulls stay null, null group keys survive, groups independent") {
+    val df = Seq(
+      (Option("a"), Option(1.0)), (Option("a"), Option(2.0)),
+      (Option("a"), Option(3.0)), (Option("a"), Option(4.0)),
+      (Option("a"), Option.empty[Double]),
+      (Option.empty[String], Option(100.0)), (Option.empty[String], Option(200.0))
+    ).toDF("g", "v")
+    val got = Profile.equiDepthBins(df, Seq("g"), "v", nBins = 2)
+    assert(got.count() == 7, "no row loss")
+    assert(got.filter(col("v").isNull && col("v_bin").isNotNull).count() == 0)
+    val nullG = got.filter(col("g").isNull)
+      .select("v", "v_bin").as[(Double, Long)].collect().toMap
+    assert(nullG == Map(100.0 -> 0L, 200.0 -> 1L), nullG.toString)
+  }
+
+  // -------------------------------------------------------------- psiDrift
+
+  test("psiDrift: identical distributions score ~0; disjoint shift scores large") {
+    val ref = spark.range(1000).select((col("id") % 100).cast("double").alias("v"))
+    val same = Profile.psiDrift(ref, ref, "v", nBins = 10)
+      .as[(Long, Long, Double)].head()
+    assert(same._1 == 1000L && same._2 == 1000L)
+    assert(math.abs(same._3) < 1e-9, s"identical dist must be ~0, got ${same._3}")
+    // shifted far right: everything lands in the top bin
+    val cur = spark.range(1000).select((col("id") % 100 + 10000).cast("double").alias("v"))
+    val drift = Profile.psiDrift(ref, cur, "v", nBins = 10)
+      .as[(Long, Long, Double)].head()
+    assert(drift._3 > 0.25, s"major shift must exceed 0.25, got ${drift._3}")
+  }
+
+  test("psiDrift: hand-computed two-bin case") {
+    // ref: 50/50 across the median edge; cur: 80/20 → known PSI
+    val ref = ((1 to 50).map(_ => 1.0) ++ (1 to 50).map(_ => 3.0)).toDF("v")
+    val cur = ((1 to 80).map(_ => 1.0) ++ (1 to 20).map(_ => 3.0)).toDF("v")
+    val got = Profile.psiDrift(ref, cur, "v", nBins = 2, eps = 0.0)
+      .as[(Long, Long, Double)].head()
+    val expected = (0.5 - 0.8) * math.log(0.5 / 0.8) +
+      (0.5 - 0.2) * math.log(0.5 / 0.2)
+    assert(got._1 == 100L && got._2 == 100L)
+    assert(math.abs(got._3 - expected) < 1e-6, s"${got._3} vs $expected")
+  }
+
+  test("psiDrift: empty bins on one side stay finite via smoothing") {
+    val ref = spark.range(100).select((col("id") % 10).cast("double").alias("v"))
+    val cur = spark.range(100).select(lit(0.0).alias("v")) // all in bin 0
+    val got = Profile.psiDrift(ref, cur, "v", nBins = 10)
+      .as[(Long, Long, Double)].head()
+    assert(!got._3.isNaN && !got._3.isInfinite, s"psi must be finite, got ${got._3}")
+    assert(got._3 > 0.25)
+  }
 }
