@@ -774,6 +774,11 @@ object SparkEntry {
           min(col("l_extendedprice")).alias("min_price"),
           max(col("l_extendedprice")).alias("max_price"))
     }),
+    // GPT-style global token packing: fixed 512-token sequences crossing
+    // doc boundaries on the deterministic (hashUnit, id) axis
+    "q_global_pack" -> ((s, dir) =>
+      Curation.globalTokenPack(table(s, dir, "documents"), "doc_id", "text",
+        seqLen = 512, buckets = 256)),
     // PSI distribution drift between the F and O order cohorts
     "q_psi_drift" -> ((s, dir) => {
       val o = table(s, dir, "orders")
@@ -2487,6 +2492,28 @@ object SparkEntry {
           |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
           |  CAST(n.n_lines - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped
           |FROM n LEFT JOIN r USING (doc_id)""".stripMargin,
+      "q_global_pack" ->
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    CAST(len(list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           |                         x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+           |    ${Curation.hashUnitSql("doc_id")} AS u
+           |  FROM documents),
+           |p AS (
+           |  SELECT doc_id, n_tokens,
+           |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY u, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pb
+           |  FROM t WHERE n_tokens > 0),
+           |s AS (
+           |  SELECT doc_id, n_tokens, pb,
+           |    unnest(range(pb // 512, (pb + n_tokens - 1) // 512 + 1)) AS seq_id
+           |  FROM p)
+           |SELECT doc_id, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+           |  greatest(seq_id * 512 - pb, 0) AS doc_offset,
+           |  greatest(pb - seq_id * 512, 0) AS seq_offset,
+           |  least(pb + n_tokens, seq_id * 512 + 512) -
+           |    greatest(pb, seq_id * 512) AS span_len
+           |FROM s""".stripMargin,
       "q_equidepth_bins" ->
         """WITH e AS (
           |  SELECT l_returnflag,

@@ -708,6 +708,67 @@ object Curation {
   }
 
   /**
+   * GPT-style global token packing (concat-and-chunk): lay every document
+   * out on ONE deterministic global token axis — documents ordered by
+   * `(hashUnit(id), id)` — and cut fixed `seqLen`-token training
+   * sequences that CROSS document boundaries (zero padding waste; the
+   * complement of [[packSequences]], which bins whole documents within
+   * shards). Emits one row per (document, sequence) overlap span:
+   * `(idCol, n_tokens, seq_id, doc_offset, seq_offset, span_len)` —
+   * exactly what a loader needs to materialize sequence `seq_id` by
+   * slicing `span_len` tokens from each contributing document at
+   * `doc_offset`, placing them at `seq_offset`. Zero-token documents
+   * emit no spans.
+   *
+   * Scale shape — the [[mixtureSample]] two-phase prefix-sum, never a
+   * global single-task sort: bucket rows by `floor(u·buckets)` (pure
+   * projection; the bucket id is monotone in u, so bucket order extends
+   * the global (u, id) order), aggregate per-bucket token sums (tiny,
+   * map-combinable), prefix over the ≤`buckets` bucket rows (trivial
+   * window), then a per-bucket ROWS window seeded by the bucket's offset
+   * — each task holds ~1/buckets of the corpus. The span fan-out is
+   * per-row arithmetic: a document spanning k sequences explodes into k
+   * rows. All outputs integral → bit-exact on any engine.
+   */
+  def globalTokenPack(df: DataFrame, idCol: String, textCol: String,
+                      seqLen: Int, buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen >= 1, s"globalTokenPack: seqLen must be >= 1, got $seqLen")
+    require(buckets >= 1, s"globalTokenPack: buckets must be >= 1, got $buckets")
+    val id = graft.ColName.topCol(idCol)
+    val base = df
+      .select(id,
+        TextAnalysis.tokenCount(graft.ColName.topCol(textCol))
+          .cast("long").alias("n_tokens"),
+        hashUnit(id).alias("__u"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("__b", floor(col("__u") * buckets).cast("long"))
+    val bucketSums = base.groupBy(col("__b"))
+      .agg(sum(col("n_tokens")).alias("__bsum"))
+    val overBuckets = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketSums
+      .withColumn("__boff", coalesce(sum(col("__bsum")).over(overBuckets), lit(0L)))
+      .select(col("__b"), col("__boff"))
+    val inBucket = Window.partitionBy(col("__b")).orderBy(col("__u"), id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixed = base.join(broadcast(bucketOffsets), Seq("__b"))
+      .withColumn("__pb",
+        col("__boff") + coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
+    val first = expr(s"__pb DIV $seqLen")
+    val last = expr(s"(__pb + n_tokens - 1) DIV $seqLen")
+    val seqStart = col("seq_id") * seqLen
+    prefixed
+      .select(id, col("n_tokens"), col("__pb"),
+        explode(sequence(first, last)).alias("seq_id"))
+      .select(id, col("n_tokens"), col("seq_id"),
+        greatest(seqStart - col("__pb"), lit(0L)).alias("doc_offset"),
+        greatest(col("__pb") - seqStart, lit(0L)).alias("seq_offset"),
+        (least(col("__pb") + col("n_tokens"), seqStart + seqLen) -
+          greatest(col("__pb"), seqStart)).alias("span_len"))
+  }
+
+  /**
    * Corpus-level boilerplate-line removal (the C4/RefinedWeb cleaning
    * step): delete every line that occurs in MORE than `maxDocFreq`
    * distinct documents — navigation chrome, cookie banners, footers —

@@ -118,6 +118,55 @@ class FingerprintSpec extends AnyFunSuite with SparkSpec {
     assert(got(3) == ((4L, "", 0L, 2L)))
   }
 
+  // ---------------------------------------------------- globalTokenPack
+
+  test("globalTokenPack: spans tile the token axis exactly, any bucket count") {
+    val docs = (1L to 40L)
+      .map(i => (i, (1L to (i % 7 + 1)).map(k => s"w$k").mkString(" ")))
+      .toDF("id", "text")
+    val total = 40L // sum over i of (i % 7 + 1) tokens
+    val totalTokens = (1L to 40L).map(_ % 7 + 1).sum
+    for (b <- Seq(1, 8, 4096)) {
+      val got = Curation.globalTokenPack(docs, "id", "text", seqLen = 10, buckets = b)
+      val rows = got.collect()
+      // spans cover every doc completely
+      val perDoc = rows.groupBy(_.getLong(0))
+        .map { case (id, rs) => id -> rs.map(_.getLong(5)).sum }
+      assert(perDoc.values.forall(_ > 0))
+      assert(perDoc.map(_._2).sum == totalTokens, s"buckets=$b")
+      // every sequence except the last is exactly full
+      val perSeq = rows.groupBy(_.getLong(2))
+        .map { case (s, rs) => s -> rs.map(_.getLong(5)).sum }
+      val lastSeq = perSeq.keys.max
+      perSeq.foreach { case (s, len) =>
+        if (s < lastSeq) assert(len == 10L, s"seq $s has $len tokens (buckets=$b)")
+        else assert(len <= 10L)
+      }
+      // offsets consistent: seq_offset + span_len <= seqLen; doc_offset < n_tokens
+      rows.foreach { r =>
+        assert(r.getLong(4) + r.getLong(5) <= 10L)
+        assert(r.getLong(3) < r.getLong(1))
+      }
+      // bucket count must not change the layout
+      val canon = rows.map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+      val one = Curation.globalTokenPack(docs, "id", "text", 10, buckets = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(canon == one, s"buckets=$b differs from buckets=1")
+    }
+  }
+
+  test("globalTokenPack: a doc longer than seqLen spans multiple sequences") {
+    val docs = Seq((1L, (1 to 25).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val got = Curation.globalTokenPack(docs, "id", "text", seqLen = 10)
+      .orderBy("seq_id").collect()
+    assert(got.length == 3)
+    assert(got.map(_.getLong(5)).toSeq == Seq(10L, 10L, 5L))
+    assert(got.map(_.getLong(3)).toSeq == Seq(0L, 10L, 20L), "doc offsets advance")
+    assert(got.forall(_.getLong(4) == 0L), "single doc starts every seq at 0")
+  }
+
   test("dropBoilerplateLines: in-document repeats count once toward doc frequency") {
     val docs = Seq(
       (1L, "dup\ndup\ndup\nkeep a"), // 'dup' x3 in ONE doc = docFreq 1
