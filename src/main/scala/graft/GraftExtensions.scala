@@ -83,5 +83,6 @@ object GraftExtensions {
     fn("jaccard_sim", 2)(exprs => functions.JaccardSim(exprs(0), exprs(1))),
     fn("minhash_sig", 2)(exprs => functions.MinHashSignature(exprs(0), exprs(1))),
     fn("top_k_by_score", 3)(exprs => functions.TopKByScore(exprs(0), exprs(1), exprs(2))),
-    fn("misra_gries", 2)(exprs => functions.MisraGriesSketch(exprs(0), exprs(1))))
+    fn("misra_gries", 2)(exprs => functions.MisraGriesSketch(exprs(0), exprs(1))),
+    fn("pq_encode", 4)(exprs => functions.PqEncode.fromExprs(exprs)))
 }

@@ -1201,16 +1201,26 @@ object SparkEntry {
         mk(lMem.toDF()), mk(rMem.toDF()), Seq("user_id"), "t", "t", 0L, 1800L)
       val sink = "q_interval_stream_out_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+      // a stream-stream join instantiates FOUR state stores per shuffle
+      // partition per microbatch; at the session's 32 partitions that
+      // fixed setup cost (256 store inits over two batches) dwarfed the
+      // 22-row join by ~10x. The state partition count is bound at stream
+      // START, so scope it down for this query and restore after —
+      // results are partitioning-independent.
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        val (c1, c2) = clicks.splitAt(clicks.length / 2)
-        val (p1, p2) = purchases.splitAt(purchases.length / 2)
-        lMem.addData(c1.toIndexedSeq); rMem.addData(p1.toIndexedSeq)
-        q.processAllAvailable()
-        lMem.addData(c2.toIndexedSeq); rMem.addData(p2.toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+        val q = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val (c1, c2) = clicks.splitAt(clicks.length / 2)
+          val (p1, p2) = purchases.splitAt(purchases.length / 2)
+          lMem.addData(c1.toIndexedSeq); rMem.addData(p1.toIndexedSeq)
+          q.processAllAvailable()
+          lMem.addData(c2.toIndexedSeq); rMem.addData(p2.toIndexedSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
       s.table(sink).groupBy(col("user_id"))
         .agg(count(lit(1)).alias("n_pairs"),
           sum(unix_micros(col("r_t")) - unix_micros(col("t")))

@@ -152,12 +152,15 @@ object Profile {
     require(0 <= pLo && pLo < pHi && pHi <= 1,
       s"winsorize: need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
     val v = graft.ColName.quote(valueCol)
-    def pct(p: Double): Column =
-      if (exact) expr(s"percentile($v, $p)")
-      else expr(s"approx_percentile($v, $p, $accuracy)")
+    // ONE percentile aggregate carrying both percentages — two separate
+    // calls would each buffer (exact) or sketch (KLL) the group's values
+    val pcts = if (exact) expr(s"percentile($v, array($pLo, $pHi))")
+      else expr(s"approx_percentile($v, array($pLo, $pHi), $accuracy)")
     val bands = df.groupBy(groupCols.map(graft.ColName.topCol): _*)
-      .agg(pct(pLo).cast("double").alias("__lo"),
-        pct(pHi).cast("double").alias("__hi"))
+      .agg(pcts.alias("__band"))
+      .select(groupCols.map(graft.ColName.topCol) ++ Seq(
+        get(col("__band"), lit(0)).cast("double").alias("__lo"),
+        get(col("__band"), lit(1)).cast("double").alias("__hi")): _*)
     // null-safe equality (<=>) so a null group key matches its own band
     // row instead of being dropped by the join; renamed right-side keys
     // keep the output schema single-keyed
@@ -368,13 +371,15 @@ object Profile {
     require(nBins >= 2, s"equiDepthBins: nBins must be >= 2, got $nBins")
     val v = graft.ColName.quote(valueCol)
     val ps = (1 until nBins).map(i => i.toDouble / nBins)
-    def pct(p: Double): Column =
-      if (exact) expr(s"percentile($v, $p)")
-      else expr(s"approx_percentile($v, $p, $accuracy)")
+    // ONE percentile aggregate carrying every interior edge — nBins-1
+    // separate calls would each buffer (exact) or sketch (KLL) the
+    // group's values, multiplying the aggregation's memory by nBins
+    val pcts = if (exact) expr(s"percentile($v, array(${ps.mkString(", ")}))")
+      else expr(s"approx_percentile($v, array(${ps.mkString(", ")}), $accuracy)")
     val edges = df.groupBy(groupCols.map(graft.ColName.topCol): _*)
-      .agg(pct(ps.head).cast("double").alias("__e1"),
-        ps.tail.zipWithIndex.map { case (p, i) =>
-          pct(p).cast("double").alias(s"__e${i + 2}") }: _*)
+      .agg(pcts.alias("__es"))
+      .select(groupCols.map(graft.ColName.topCol) ++ ps.indices.map(i =>
+        get(col("__es"), lit(i)).cast("double").alias(s"__e${i + 1}")): _*)
     val edgesR = groupCols.foldLeft(edges)((b, c) =>
       b.withColumnRenamed(c, "__g_" + c))
     val cond = groupCols.map(c =>
@@ -415,16 +420,15 @@ object Profile {
     val vc = graft.ColName.topCol(valueCol)
     val withConst = (d: DataFrame) => d.filter(vc.isNotNull)
       .select(vc.cast("double").alias("__v"))
-    // reference edges once, broadcast to both sides
+    // reference edges once (ONE array-percentile buffer), broadcast to
+    // both sides
     val v = "__v"
     val ps = (1 until nBins).map(i => i.toDouble / nBins)
-    def pct(p: Double): Column =
-      if (exact) expr(s"percentile($v, $p)")
-      else expr(s"approx_percentile($v, $p, 10000)")
-    val edges = withConst(ref).agg(
-      pct(ps.head).cast("double").alias("__e1"),
-      ps.tail.zipWithIndex.map { case (p, i) =>
-        pct(p).cast("double").alias(s"__e${i + 2}") }: _*)
+    val pcts = if (exact) expr(s"percentile($v, array(${ps.mkString(", ")}))")
+      else expr(s"approx_percentile($v, array(${ps.mkString(", ")}), 10000)")
+    val edges = withConst(ref).agg(pcts.alias("__es"))
+      .select(ps.indices.map(i =>
+        get(col("__es"), lit(i)).cast("double").alias(s"__e${i + 1}")): _*)
     def binCounts(d: DataFrame): DataFrame = {
       val bin = ps.indices.map(i =>
         when(col(s"__e${i + 1}") < col("__v"), 1L).otherwise(0L)).reduce(_ + _)

@@ -301,10 +301,22 @@ object Similarity {
   }
 
   /** The m per-subspace nearest-centroid codes of `vec` as an
-    * `array<int>` — a pure projection over codebook literals: zero
-    * shuffles, zero lookups, so encoding a 100 TB corpus is one narrow
-    * scan. Distance ties pick the lowest code id (deterministic). */
-  private[ext] def pqCodes(vec: Column, cb: PqCodebook): Column = {
+    * `array<int>` — a pure projection: zero shuffles, zero lookups, so
+    * encoding a 100 TB corpus is one narrow scan. Production path: the
+    * codegen'd [[graft.functions.PqEncode]] fused argmin (the HOF chain
+    * below is interpreted and was the dominant cost of PQ training and
+    * serving). Distance ties pick the lowest code id (deterministic). */
+  private[ext] def pqCodes(sp: org.apache.spark.sql.SparkSession,
+                           vec: Column, cb: PqCodebook): Column =
+    graft.functions.PqEncode.encode(sp, vec,
+      cb.book.flatten.flatten, cb.dim, cb.m)
+
+  /** The readable HOF reference model of [[pqCodes]] — kept for the
+    * equivalence spec (PqSpec asserts codegen ≡ HOF), like
+    * [[graft.ext.Dedup.minhashSignature]] next to the fused
+    * MinHashSignature expression. Same semantics, including the checked
+    * dim/null errors and lowest-id tie-break. */
+  private[ext] def pqCodesHof(vec: Column, cb: PqCodebook): Column = {
     // null elements would leave the code at -1 (a null distance never
     // beats Double.MaxValue) and pqTopK's ADC lookup would then fail with
     // a cryptic element_at(lut, 0) index error — raise clearly instead,
@@ -359,11 +371,12 @@ object Similarity {
     val k = math.min(ksub, seedRows.length)
     var cb = PqCodebook(dim, Array.tabulate(m, k) { (s, j) =>
       seedRows(j).getSeq[Double](0).slice(s * dsub, (s + 1) * dsub).toArray })
+    val sp0 = corpus.sparkSession
     (0 until iters).foreach { _ =>
       val sId = (col("__pos") / dsub).cast("int")
       val cell = corpus
         .select(col(idCol).alias("__id"), col(vecCol).alias("__v"),
-          pqCodes(col(vecCol), cb).alias("__codes"))
+          pqCodes(sp0, col(vecCol), cb).alias("__codes"))
         // fence: codes compute once per row, not once per exploded element
         .repartition(col("__id"))
         .select(col("__codes"), posexplode(col("__v")).as(Seq("__pos", "__x")))
@@ -404,7 +417,7 @@ object Similarity {
     val sp = corpus.sparkSession
     val cb = pqTrain(corpus, idCol, vecCol, dim, m, ksub, trainIters)
     val enc = corpus
-      .select(col(idCol).alias("vec_id"), pqCodes(col(vecCol), cb).alias("__codes"),
+      .select(col(idCol).alias("vec_id"), pqCodes(sp, col(vecCol), cb).alias("__codes"),
         fastL2(sp, col(vecCol)).alias("__cn"))
       // fence: codes + norm compute once per corpus row, not once per
       // (query x candidate) pair after the broadcast join

@@ -8,12 +8,12 @@ import org.apache.spark.sql.SparkSessionExtensions
   * with the injector — no imperative register call. */
 class ExtensionsSpec extends SparkSpec {
 
-  test("injector declares all six graft functions") {
+  test("injector declares all seven graft functions") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; names are stable
     assert(GraftExtensions.injected.map(_._1.funcName).sorted ==
       Seq("dot_product", "jaccard_sim", "minhash_sig", "misra_gries",
-        "simhash64", "top_k_by_score"))
+        "pq_encode", "simhash64", "top_k_by_score"))
   }
 
   test("wrong-arity SQL calls fail with the function name and expected count") {
