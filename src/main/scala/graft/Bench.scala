@@ -805,8 +805,28 @@ object Bench {
           System.err.println(s"[bench] floor still hot ($rerunFloor s) — " +
             "re-run values will carry floor_hot annotations")
         // best-of-2 minimum in the clean room — a driver-profile
-        // REPEAT=1 parent still recovers a stable value for its flags
-        runIsolated(flagged, cpus, math.max(repeat, 2), budgetLeft)
+        // REPEAT=1 parent still recovers a stable value for its flags.
+        // WORST offenders first, in their own child: SPARK_GRAFT_ONLY is
+        // an unordered filter, so a single child would run the flags in
+        // map order and could burn its whole budget on a dozen cheap
+        // 2.1x floor-noise q_* flags before reaching the apparent 3-7x
+        // "regressions" that actually need adjudication (the round-9 dry
+        // run did exactly that, budget-cutting all five heavy parity
+        // flags). Two children: heavy flags (ratio >= 3x or >= 5 s) get
+        // the first claim on the remaining budget, the light ones take
+        // what's left.
+        val t0 = all0.toMap
+        def ratio(n: String): Double =
+          t0.getOrElse(n, 0.0) / math.max(refTimes.getOrElse(n, 1e9), 1e-9)
+        val (heavy, light) = flagged.partition(n =>
+          ratio(n) >= 3.0 || t0.getOrElse(n, 0.0) >= 5.0)
+        val isoHeavy =
+          if (heavy.isEmpty) Map.empty[String, Double]
+          else runIsolated(heavy, cpus, math.max(repeat, 2), budgetLeft)
+        val isoLight =
+          if (light.isEmpty) Map.empty[String, Double]
+          else runIsolated(light, cpus, math.max(repeat, 2), budgetLeft)
+        isoHeavy ++ isoLight
       }
     // an entry's final value is its best observation across the in-process
     // runs and the isolated re-run — consistent with the best-of-N
