@@ -571,6 +571,40 @@ object SparkEntry {
     // per-registrable-domain crawl profile over the same synthetic urls
     "q_url_domains" -> ((s, dir) =>
       Dedup.domainStats(crawlUrls(s, dir), "url", "doc_id")),
+    // exact-substring dedup at 10-word segment granularity: corpus-wide
+    // first occurrence wins, docs reassembled from surviving segments
+    "q_dedup_segments" -> ((s, dir) =>
+      Dedup.segmentDedup(table(s, dir, "documents"), "text", "doc_id",
+        segmentWords = 10)),
+    // train/eval contamination screen at corpus granularity: exact
+    // distinct-trigram overlap between the even- and odd-id halves
+    "q_corpus_overlap" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Dedup.corpusOverlap(d.filter(col("doc_id") % 2 === 0),
+        d.filter(col("doc_id") % 2 === 1), "text", n = 3)
+    }),
+    // k-anonymity suppression on customer quasi-identifiers: only rows
+    // whose (nation, segment) combination is shared by >= 3 customers
+    "q_k_anonymity" -> ((s, dir) =>
+      Curation.kAnonymize(table(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 3)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+    // the group-size histogram an anonymity policy reads to pick k
+    "q_anonymity_profile" -> ((s, dir) =>
+      Curation.anonymityProfile(table(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"))),
+    // nucleus (top-p) per-source selection: keep the best docs by
+    // n_chars until half of each source's character mass is covered
+    // (integral score -> engine-exact boundary; boundary row kept)
+    "q_top_p_quality" -> ((s, dir) =>
+      Curation.topPByScore(table(s, dir, "documents"), "source", "doc_id",
+        "n_chars", p = 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
+    // k-means cluster labels at seed centroids (trainIters = 0 keeps the
+    // centroid set SQL-derivable; Lloyd refinement is spec-gated)
+    "q_kmeans_assign" -> ((s, dir) =>
+      Similarity.kmeansAssign(table(s, dir, "embeddings"), "vec_id",
+        "embedding", nlist = 16)),
     // end-to-end corpus curation: quality gate → exact dedup → corpus
     // stats. One pipeline chaining the text-analysis and dedup operators;
     // min/max (order-independent) rather than float sums keep the
@@ -2155,6 +2189,81 @@ object SparkEntry {
       "q_dedup_exact" ->
         """SELECT min(doc_id) AS doc_id FROM documents
           |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
+      // 10-word segments, first occurrence by (doc_id, seg_idx) wins
+      // corpus-wide, survivors re-joined in order
+      "q_dedup_segments" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          |n AS (SELECT doc_id, toks,
+          |    greatest(CAST(ceil(len(toks) / 10.0) AS BIGINT), 1) AS nseg FROM d),
+          |s AS (SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+          |    array_to_string(toks[(CAST(u.i AS INT) * 10 + 1):(CAST(u.i AS INT) * 10 + 10)], ' ') AS seg
+          |  FROM n, unnest(range(0, nseg)) AS u(i)),
+          |r AS (SELECT doc_id, seg_idx, seg,
+          |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rk FROM s)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+          |  string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+          |FROM r WHERE rk = 1 GROUP BY doc_id""".stripMargin,
+      // distinct-trigram set statistics between the corpus halves
+      "q_corpus_overlap" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE text IS NOT NULL),
+          |g AS (SELECT doc_id % 2 AS side, unnest(list_distinct(
+          |    CASE WHEN len(toks) >= 3
+          |         THEN list_transform(range(1, len(toks) - 1),
+          |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+          |         ELSE [array_to_string(toks, ' ')] END)) AS gram FROM d),
+          |m AS (SELECT gram,
+          |    max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ina,
+          |    max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS inb
+          |  FROM g GROUP BY gram)
+          |SELECT CAST(sum(ina) AS BIGINT) AS n_a, CAST(sum(inb) AS BIGINT) AS n_b,
+          |  CAST(sum(ina * inb) AS BIGINT) AS n_common,
+          |  round(CAST(sum(ina * inb) AS DOUBLE) / (sum(ina) + sum(inb) - sum(ina * inb)), 6) AS jaccard
+          |FROM m""".stripMargin,
+      "q_k_anonymity" ->
+        """WITH g AS (SELECT c_nationkey, c_mktsegment FROM customer
+          |  GROUP BY 1, 2 HAVING count(*) >= 3)
+          |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+          |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+      "q_anonymity_profile" ->
+        """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+          |  FROM customer GROUP BY 1, 2)
+          |SELECT CAST(group_size AS BIGINT) AS group_size,
+          |  CAST(count(*) AS BIGINT) AS n_groups,
+          |  CAST(sum(group_size) AS BIGINT) AS n_rows
+          |FROM g GROUP BY group_size""".stripMargin,
+      // exclusive prefix share < p keeps the crossing row; integral
+      // n_chars makes the boundary engine-exact
+      "q_top_p_quality" ->
+        """WITH t AS (SELECT doc_id, source, n_chars,
+          |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+          |    sum(n_chars) OVER (PARTITION BY source) AS tot
+          |  FROM documents)
+          |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM t WHERE bef < 0.5 * tot""".stripMargin,
+      // argmax 6-dp cosine against the 16 lowest-id seed centroids,
+      // ties to the lowest centroid id (same ranking as the knn oracle)
+      "q_kmeans_assign" ->
+        """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+          |v AS (SELECT vec_id, embedding AS ve FROM embeddings),
+          |s AS (SELECT vec_id, cid,
+          |    round(
+          |      list_sum(list_transform(range(1, 65), i -> CAST(ve[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          |      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ve[i] AS DOUBLE) * CAST(ve[i] AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))),
+          |      6) AS cosine
+          |  FROM v, c),
+          |r AS (SELECT vec_id, cid,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY
+          |      (CASE WHEN cosine IS NULL THEN -2.0 ELSE cosine END) DESC, cid ASC) AS rk
+          |  FROM s)
+          |SELECT vec_id, cid AS cluster FROM r WHERE rk = 1""".stripMargin,
       "q_dedup_url" ->
         s"""WITH $crawlUrlsSql,
            |n AS (SELECT doc_id, url,

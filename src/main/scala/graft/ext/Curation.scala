@@ -819,4 +819,81 @@ object Curation {
         coalesce(col("n_kept"), lit(0L)).alias("n_kept"),
         (col("__n") - coalesce(col("n_kept"), lit(0L))).alias("n_dropped"))
   }
+
+  /** k-anonymity suppression: keep only rows whose quasi-identifier
+    * combination (`qiCols`) is shared by at least `k` rows — the standard
+    * re-identification screen before releasing or training on
+    * attribute-bearing records (complements the content-level
+    * [[piiRedact]]). Rows in under-k groups are SUPPRESSED (dropped);
+    * generalization ladders are the caller's concern.
+    *
+    * Null handling: null QI values group together (groupBy semantics) and
+    * survive when that null-group reaches k — the semi-join uses
+    * null-safe equality so they are not silently dropped.
+    *
+    * 100 TB shape: one map-side-combinable groupBy over the QI key — the
+    * aggregated side is bounded by DISTINCT QI combinations, tiny next to
+    * the corpus, so AQE broadcast-converts the semi-join and the corpus
+    * itself never re-shuffles. (A windowed count would shuffle AND sort
+    * every corpus row instead.) */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymize: need at least one QI column")
+    require(k >= 1, s"kAnonymize: k must be >= 1, got $k")
+    val qi = qiCols.map(graft.ColName.topCol)
+    val bigEnough = df.groupBy(qi: _*)
+      .agg(count(lit(1)).alias("__n"))
+      .filter(col("__n") >= k)
+      .select(qiCols.map(c =>
+        graft.ColName.topCol(c).alias("__ka_" + c.replace(".", "_"))): _*)
+    val cond = qiCols.map(c =>
+      graft.ColName.topCol(c) <=> col("__ka_" + c.replace(".", "_")))
+      .reduce(_ && _)
+    df.join(bigEnough, cond, "left_semi")
+  }
+
+  /** Per-group size profile behind [[kAnonymize]]: for each group size
+    * observed over the QI key, how many groups and rows carry it —
+    * the histogram an anonymity policy reads to pick k. Output:
+    * (group_size, n_groups, n_rows), one shuffle + a tiny second agg. */
+  def anonymityProfile(df: DataFrame, qiCols: Seq[String]): DataFrame = {
+    require(qiCols.nonEmpty, "anonymityProfile: need at least one QI column")
+    df.groupBy(qiCols.map(graft.ColName.topCol): _*)
+      .agg(count(lit(1)).alias("group_size"))
+      .groupBy(col("group_size"))
+      .agg(count(lit(1)).alias("n_groups"),
+        sum(col("group_size")).alias("n_rows"))
+  }
+
+  /** Nucleus (top-p) selection per group: order each group's rows by
+    * `scoreCol` DESC (ties broken by ascending `idCol`) and keep rows
+    * while the EXCLUSIVE prefix sum of scores stays below `p` × the group
+    * total — the boundary row is kept, so every group with any rows keeps
+    * at least one. The per-group analogue of quality-score "keep the best
+    * half of every source" curation policies.
+    *
+    * Determinism contract (same as [[mixtureSample]]): with an INTEGRAL
+    * `scoreCol` the prefix sums are exact in any association order and
+    * the kept set is engine-reproducible bit-for-bit; fractional scores
+    * can drift on boundary rows by 1-ulp effects.
+    *
+    * 100 TB shape: ONE shuffle on the group key — both window frames
+    * (ordered cumulative sum and unordered group total) share the same
+    * partitioning, so Spark plans a single Exchange with one sort. Skewed
+    * groups are the caller's concern (pre-split giant groups or raise
+    * spark.sql.windowExec spill settings); there is no join. */
+  def topPByScore(df: DataFrame, groupCol: String, idCol: String,
+                  scoreCol: String, p: Double): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"topPByScore: p must be in (0, 1], got $p")
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.ColName.topCol(groupCol)
+    val score = graft.ColName.topCol(scoreCol)
+    val wOrd = Window.partitionBy(g)
+      .orderBy(score.desc, graft.ColName.topCol(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(g)
+    df.withColumn("__before", coalesce(sum(score).over(wOrd), lit(0L)))
+      .withColumn("__total", sum(score).over(wAll))
+      .filter(col("__before") < lit(p) * col("__total"))
+      .drop("__before", "__total")
+  }
 }

@@ -130,6 +130,90 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Exact substring dedup at fixed segment granularity — the executable
+    * form of the Lee et al. 2022 exact-substring pass (where
+    * [[crossDocNgrams]] only diagnoses): each document is cut into
+    * consecutive `segmentWords`-word segments, every segment that already
+    * occurred earlier in the corpus (first occurrence = lowest
+    * (`idCol`, segment index)) is removed CORPUS-WIDE, and the surviving
+    * segments are re-joined in original order. A document whose every
+    * segment is boilerplate drops out entirely (the C4/RefinedWeb
+    * convention); a document shorter than one segment is its own single
+    * segment. Null text drops like any generator input.
+    *
+    * Output: (`idCol`, n_segments, text_dedup).
+    *
+    * 100 TB shape — TWO shuffles, ZERO joins:
+    *  1. segments explode map-side and shuffle once on the md5
+    *     fingerprint; the winner and its text ride OUT of that
+    *     aggregation as one `min(struct(id, idx, seg))` per fingerprint,
+    *     so the corpus-wide duplicate mass collapses to one row per
+    *     DISTINCT segment before anything else moves;
+    *  2. winners shuffle once on the document id for in-order
+    *     reassembly. No winner-to-corpus join is needed because the
+    *     aggregation already carries the payload. */
+  def segmentDedup(df: DataFrame, textCol: String, idCol: String,
+                   segmentWords: Int = 10): DataFrame = {
+    require(segmentWords >= 1,
+      s"segmentDedup: segmentWords must be >= 1, got $segmentWords")
+    val w = segmentWords
+    // per-row segment array; the tokenization is let-bound so the lambda
+    // reads a variable, never re-running the regex pipeline per element
+    val segs = graft.ColExprs.once(
+        TextAnalysis.tokens(TextAnalysis.normalized(col(textCol)))) { t =>
+      val nseg = greatest(floor((size(t) + lit(w - 1)) / lit(w)), lit(1))
+        .cast("int")
+      transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(t, i * w + 1, lit(w)), " "))
+    }
+    // null text -> null segment array -> the generator drops the row
+    // (greatest() would otherwise skip the null size and emit one [null]
+    // segment for null documents)
+    val exploded = df
+      .select(col(idCol),
+        posexplode(when(col(textCol).isNotNull, segs)).as(Seq("__idx", "__seg")))
+    val winners = exploded
+      .groupBy(md5(col("__seg")).alias("__fp"))
+      .agg(min(struct(col(idCol).alias("id"), col("__idx").alias("idx"),
+        col("__seg").alias("seg"))).alias("__w"))
+    winners
+      .groupBy(col("__w.id").alias(idCol))
+      .agg(sort_array(collect_list(struct(col("__w.idx").alias("idx"),
+        col("__w.seg").alias("seg")))).alias("__ss"))
+      .select(col(idCol),
+        size(col("__ss")).cast("long").alias("n_segments"),
+        array_join(transform(col("__ss"), s => s.getField("seg")), " ")
+          .alias("text_dedup"))
+  }
+
+  /** Corpus-overlap (contamination) estimate between two corpora as
+    * exact distinct word-n-gram set statistics: |A|, |B|, |A ∩ B| and
+    * the Jaccard index — the standard train/eval leakage screen run at
+    * corpus granularity (per-document screening is [[crossDocNgrams]] /
+    * `Curation.contamination`).
+    *
+    * 100 TB shape: per-doc DISTINCT shingles explode map-side with a
+    * 0/1 side flag; ONE shuffle on the gram key (max(side) partials
+    * collapse each map task's duplicate mass first — a gram in a billion
+    * docs crosses the wire once per map partition), the same-keyed
+    * second aggregation folds to a single global row. No join, no
+    * distinct-on-string materialization beyond the gram exchange. */
+  def corpusOverlap(dfA: DataFrame, dfB: DataFrame, textCol: String,
+                    n: Int = 3): DataFrame = {
+    require(n >= 1, s"corpusOverlap: n must be >= 1, got $n")
+    def side(df: DataFrame, a: Int, b: Int) =
+      df.select(explode(wordShingles(col(textCol), n)).alias("__g"),
+        lit(a).alias("__a"), lit(b).alias("__b"))
+    side(dfA, 1, 0).unionAll(side(dfB, 0, 1))
+      .groupBy(col("__g"))
+      .agg(max(col("__a")).alias("__ina"), max(col("__b")).alias("__inb"))
+      .agg(sum(col("__ina")).alias("n_a"), sum(col("__inb")).alias("n_b"),
+        sum(col("__ina") * col("__inb")).alias("n_common"))
+      .select(col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).alias("jaccard"))
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -191,6 +191,45 @@ object Similarity {
         struct(col("__sim").alias("s"), (-col("cent_id")).alias("nc"))).alias("__best"))
       .select(col(idCol), col("__best.v").alias(vecCol), col("__best.c").alias("cent_id"))
 
+  /** K-means cluster assignment over an embedding column: every vector
+    * labeled with its nearest centroid (max cosine, 6-dp rounded like the
+    * knn rankers; ties and zero-norm vectors resolve to the lowest
+    * centroid id). Seed centroids are the `nlist` lowest-id vectors
+    * (deterministic — oracle-checkable at `trainIters = 0`);
+    * `trainIters` > 0 refines them with [[trainCentroids]] Lloyd
+    * iterations first. The clustering primitive behind SemDeDup-style
+    * curation and IVF partition layout, exposed as a first-class label.
+    *
+    * Output: (`idCol`, cluster).
+    *
+    * 100 TB shape: the centroid table is nlist rows — driver-bounded
+    * exactly like the PQ codebook — and becomes a LITERAL array, so the
+    * assignment is a NARROW per-row argmax over a fused-loop dot-product
+    * expression: no crossJoin row explosion, no shuffle, the scan's
+    * partitioning flows straight through. ([[nearestCentroid]] keeps the
+    * crossJoin+max_by shape because IVF needs the vectors regrouped by
+    * centroid afterwards; a label-only pass does not.) */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, trainIters: Int = 0): DataFrame = {
+    require(nlist >= 1, s"kmeansAssign: nlist must be >= 1, got $nlist")
+    val sp = corpus.sparkSession
+    val centRows = trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
+      .select(col("cent_id").cast("long").alias("c"),
+        col("cent_vec").cast("array<double>").alias("v"))
+      .orderBy(col("c")).collect()
+    require(centRows.nonEmpty, "kmeansAssign: corpus has no vectors to seed centroids")
+    val centArr = array(centRows.map { r =>
+      struct(lit(r.getLong(0)).alias("c"),
+        array(r.getSeq[Double](1).map(lit(_)): _*).alias("v"))
+    }: _*)
+    val scored = transform(centArr, c => struct(
+      (-coalesce(round(fastCosine(sp, col(vecCol), c.getField("v")), 6),
+        lit(-2.0))).alias("negsim"),
+      c.getField("c").alias("cid")))
+    corpus.select(col(idCol),
+      get(array_sort(scored), lit(0)).getField("cid").alias("cluster"))
+  }
+
   /**
    * IVF-flat ANN. Seed centroids = the nlist lowest-id corpus vectors
    * (deterministic); `trainIters` > 0 refines them with Lloyd iterations

@@ -1,0 +1,161 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-9 pipeline operators: segment-level exact substring dedup,
+  * corpus-overlap contamination stats, k-anonymity suppression, nucleus
+  * (top-p) selection, and k-means cluster labels. */
+class PrivacyDedupOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // -------------------------------------------------------- segmentDedup
+
+  test("segmentDedup: corpus-wide first occurrence wins, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // both segments novel
+      (2L, "a b c x y z"),      // first segment duplicates doc 1
+      (3L, "a b c"),            // entirely duplicate -> drops out
+      (4L, "d e f a b c"),      // both segments duplicate -> drops out
+      (5L, "q")                 // shorter than one segment
+    ).toDF("doc_id", "text")
+    val byId = Dedup.segmentDedup(docs, "text", "doc_id", segmentWords = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(byId == Map(
+      1L -> ((2L, "a b c d e f")),
+      2L -> ((1L, "x y z")),
+      5L -> ((1L, "q"))))
+  }
+
+  test("segmentDedup: within-doc repeats keep only the first, normalization folds case/space") {
+    val docs = Seq(
+      (1L, "p p p   P p P"),            // two identical segments after norm
+      (2L, " A b C "),                  // normalizes to "a b c"
+      (3L, "a B c")                     // duplicate of doc 2 -> drops
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "text", "doc_id", segmentWords = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == Map(1L -> ((1L, "p p p")), 2L -> ((1L, "a b c"))))
+  }
+
+  test("segmentDedup: null text drops; partitioning does not change the winner") {
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val one = Dedup.segmentDedup(docs, "text", "doc_id", 3).collect()
+    val many = Dedup.segmentDedup(docs.repartition(7), "text", "doc_id", 3).collect()
+    assert(one.map(_.getLong(0)).toSet == Set(1L))
+    assert(many.map(_.getLong(0)).toSet == Set(1L))
+  }
+
+  // ------------------------------------------------------- corpusOverlap
+
+  test("corpusOverlap: hand-checked trigram set statistics") {
+    val a = Seq((1L, "a b c d")).toDF("doc_id", "text")   // {a b c, b c d}
+    val b = Seq((2L, "b c d e")).toDF("doc_id", "text")   // {b c d, c d e}
+    val r = Dedup.corpusOverlap(a, b, "text", n = 3).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 2L, 1L)))
+    assert(r.getDouble(3) == 0.333333)
+  }
+
+  test("corpusOverlap: short docs contribute their joined gram; duplicate docs count once") {
+    val a = Seq((1L, "x y"), (2L, "x y")).toDF("doc_id", "text") // one gram "x y"
+    val b = Seq((3L, "x y")).toDF("doc_id", "text")
+    val r = Dedup.corpusOverlap(a, b, "text", n = 3).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((1L, 1L, 1L, 1.0)))
+  }
+
+  // ---------------------------------------------- kAnonymize / profile
+
+  test("kAnonymize: suppresses under-k groups, null QI group survives at k") {
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "a", "x"),  // size 3
+      (4L, "b", "x"), (5L, "b", "x"),                  // size 2
+      (6L, "c", "y"),                                  // size 1 -> suppressed
+      (7L, null.asInstanceOf[String], "z"),            // null group size 2
+      (8L, null.asInstanceOf[String], "z")
+    ).toDF("id", "qa", "qb")
+    val kept = Curation.kAnonymize(df, Seq("qa", "qb"), k = 2)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L, 7L, 8L))
+    // k above the largest group suppresses everything
+    assert(Curation.kAnonymize(df, Seq("qa", "qb"), k = 4).count() == 0)
+  }
+
+  test("anonymityProfile: group-size histogram with row totals") {
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"),
+      (6L, "c"), (7L, "d")
+    ).toDF("id", "q")
+    val got = Curation.anonymityProfile(df, Seq("q"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)), 1L -> ((2L, 2L))))
+  }
+
+  // ----------------------------------------------------------- topPByScore
+
+  test("topPByScore: exclusive prefix rule keeps the crossing row, >=1 per group") {
+    val df = Seq(
+      ("g1", 1L, 5L), ("g1", 2L, 3L), ("g1", 3L, 2L),  // total 10
+      ("g2", 4L, 7L)                                    // single row
+    ).toDF("src", "id", "score")
+    def ids(p: Double) = Curation.topPByScore(df, "src", "id", "score", p)
+      .select("id").as[Long].collect().toSet
+    // p=0.5: row 5 (before=0 < 5) kept, row 3 (before=5, not < 5) dropped
+    assert(ids(0.5) == Set(1L, 4L))
+    // p=0.6: before=5 < 6 admits the second row
+    assert(ids(0.6) == Set(1L, 2L, 4L))
+    assert(ids(1.0) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("topPByScore: score ties break by ascending id") {
+    val df = Seq(("g", 10L, 4L), ("g", 2L, 4L), ("g", 5L, 4L)).toDF("src", "id", "score")
+    // total 12, p=0.4 -> budget 4.8: first row (id 2) kept, second (id 5)
+    // has before=4 >= 4.8? 4 < 4.8 so kept too; third has before=8 dropped
+    val kept = Curation.topPByScore(df, "src", "id", "score", 0.4)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L))
+  }
+
+  // ---------------------------------------------------------- kmeansAssign
+
+  test("kmeansAssign: seed-centroid labels are the nearest-cosine centroid") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),       // centroid 0
+      (1L, Array(0f, 1f)),       // centroid 1
+      (2L, Array(0.9f, 0.1f)),   // -> 0
+      (3L, Array(0f, 2f)),       // -> 1 (cosine 1.0 with centroid 1)
+      (4L, Array(0.5f, 0.5f))    // equidistant -> tie to lower id 0
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(vecs, "vec_id", "embedding", nlist = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("kmeansAssign: zero-norm vectors resolve to the lowest centroid id") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (9L, Array(0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(vecs, "vec_id", "embedding", nlist = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(9L) == 0L)
+  }
+
+  test("kmeansAssign: Lloyd-trained labels agree with nearestCentroid over trainCentroids") {
+    val rnd = new scala.util.Random(42)
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val labels = Similarity.kmeansAssign(vecs, "vec_id", "embedding",
+      nlist = 4, trainIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents = Similarity.trainCentroids(vecs, "vec_id", "embedding", 4, 2)
+    val want = Similarity.nearestCentroid(spark, vecs, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("cent_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 6-dp rounding in kmeansAssign can flip genuinely borderline pairs;
+    // with this seed the argmax gaps are comfortably above 1e-6
+    assert(labels == want)
+  }
+}
