@@ -143,6 +143,33 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     assert(got(9L) == 0L)
   }
 
+  // ------------------------------------------------------- plan locks
+
+  test("plan locks: kmeansAssign is shuffle-free; topP plans one exchange; segmentDedup two") {
+    val docs = spark.range(50).select(col("id").alias("doc_id"),
+      concat_ws(" ", lit("w"), col("id").cast("string"), lit("x y z a b")).alias("text"),
+      (col("id") % 5).cast("string").alias("source"), (col("id") + 10).alias("n_chars"))
+    val vecs = spark.range(40).select(col("id").alias("vec_id"),
+      array(col("id").cast("float"), lit(1f), lit(2f)).alias("embedding"))
+
+    val kp = Similarity.kmeansAssign(vecs, "vec_id", "embedding", nlist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!kp.contains("Exchange hashpartitioning"),
+      s"kmeansAssign must stay a narrow map:\n$kp")
+
+    val tp = Curation.topPByScore(docs, "source", "doc_id", "n_chars", 0.5)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(tp).length == 1,
+      s"topPByScore: both window frames must share one exchange:\n$tp")
+
+    val sp = Dedup.segmentDedup(docs, "text", "doc_id", 3)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(sp).length == 2,
+      s"segmentDedup: fingerprint agg + doc regroup, no join:\n$sp")
+    assert(!sp.matches("(?s).*(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|BroadcastNestedLoopJoin).*"),
+      s"segmentDedup must not join:\n$sp")
+  }
+
   test("kmeansAssign: Lloyd-trained labels agree with nearestCentroid over trainCentroids") {
     val rnd = new scala.util.Random(42)
     val vecs = (0L until 60L).map(i =>
