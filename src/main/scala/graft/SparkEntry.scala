@@ -605,6 +605,25 @@ object SparkEntry {
     "q_kmeans_assign" -> ((s, dir) =>
       Similarity.kmeansAssign(table(s, dir, "embeddings"), "vec_id",
         "embedding", nlist = 16)),
+    // Deequ-style constraint report: all row-local rules in ONE pass;
+    // (l_orderkey, l_linenumber) is genuinely non-unique in the testdata
+    "q_data_quality" -> ((s, dir) =>
+      graft.ext.Profile.qualityReport(table(s, dir, "lineitem"),
+        notNull = Seq("l_shipdate", "l_returnflag"),
+        unique = Seq(Seq("l_orderkey", "l_linenumber")),
+        ranges = Seq(("l_quantity", 1.0, 25.0), ("l_discount", 0.0, 0.1)),
+        patterns = Seq(("l_returnflag", "^[ANR]$"), ("l_linestatus", "^O$")))),
+    // hashing-trick linear scorer: per-row fold, engine-portable md5
+    // bucket hash, deterministic integer weight formula
+    "q_quality_linear" -> ((s, dir) =>
+      Curation.hashedLinearScore(table(s, dir, "documents"), "doc_id",
+        "text", nBuckets = 1024)),
+    // epochs-per-domain mixing: whole copies + hashUnit-stable
+    // fractional copies; src3 dropped, src2 halved, src1 x2.5, src0 x3
+    "q_repeat_upsample" -> ((s, dir) =>
+      Curation.repeatUpsample(table(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 3.0, "src1" -> 2.5, "src2" -> 0.5, "src3" -> 0.0))
+        .select(col("doc_id"), col("source"), col("copy"))),
     // end-to-end corpus curation: quality gate → exact dedup → corpus
     // stats. One pipeline chaining the text-analysis and dedup operators;
     // min/max (order-independent) rather than float sums keep the
@@ -2264,6 +2283,52 @@ object SparkEntry {
           |      (CASE WHEN cosine IS NULL THEN -2.0 ELSE cosine END) DESC, cid ASC) AS rk
           |  FROM s)
           |SELECT vec_id, cid AS cluster FROM r WHERE rk = 1""".stripMargin,
+      "q_data_quality" ->
+        """WITH rl AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+          |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+          |  CAST(sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 25.0) THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+          |  CAST(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+          |  CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+          |  CAST(sum(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^O$') THEN 1 ELSE 0 END) AS BIGINT) AS v5
+          | FROM lineitem),
+          |u AS (SELECT CAST(coalesce(sum(CASE WHEN g > 1 THEN g END), 0) AS BIGINT) AS v,
+          |             CAST(coalesce(sum(g), 0) AS BIGINT) AS n
+          |      FROM (SELECT count(*) AS g FROM lineitem GROUP BY l_orderkey, l_linenumber))
+          |SELECT 'not_null:l_shipdate' AS rule, v0 AS n_violations, n_rows FROM rl
+          |UNION ALL SELECT 'not_null:l_returnflag', v1, n_rows FROM rl
+          |UNION ALL SELECT 'range:l_quantity', v2, n_rows FROM rl
+          |UNION ALL SELECT 'range:l_discount', v3, n_rows FROM rl
+          |UNION ALL SELECT 'pattern:l_returnflag', v4, n_rows FROM rl
+          |UNION ALL SELECT 'pattern:l_linestatus', v5, n_rows FROM rl
+          |UNION ALL SELECT 'unique:l_orderkey,l_linenumber', v, n FROM u""".stripMargin,
+      // same md5-derived 60-bit bucket hash both engines (the winnow
+      // fingerprint identity), integer weight formula, one ordered fold
+      "q_quality_linear" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents),
+          |s AS (SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS n_tokens,
+          |    list_sum(list_transform(toks, t ->
+          |      (CAST(((('0x' || substr(md5(t), 1, 15))::BIGINT % 1024) * 37 + 11) % 101 AS DOUBLE) / 100.0 - 0.5))) AS raw
+          |  FROM d)
+          |SELECT doc_id, n_tokens,
+          |  CASE WHEN n_tokens = 0 THEN NULL ELSE round(raw / n_tokens, 6) END AS score
+          |FROM s""".stripMargin,
+      "q_repeat_upsample" ->
+        s"""WITH t AS (SELECT doc_id, source,
+           |    (CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.5
+           |                 WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.0
+           |                 ELSE 1.0 END) AS f,
+           |    ${Curation.hashUnitSql("doc_id")} AS u
+           |  FROM documents),
+           |n AS (SELECT doc_id, source,
+           |    CAST(floor(f) AS BIGINT) +
+           |      (CASE WHEN u < f - floor(f) THEN 1 ELSE 0 END) AS nc
+           |  FROM t)
+           |SELECT doc_id, source, CAST(g.i AS BIGINT) AS copy
+           |FROM n, unnest(range(0, nc)) AS g(i)""".stripMargin,
       "q_dedup_url" ->
         s"""WITH $crawlUrlsSql,
            |n AS (SELECT doc_id, url,

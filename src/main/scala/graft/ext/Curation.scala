@@ -896,4 +896,61 @@ object Curation {
       .filter(col("__before") < lit(p) * col("__total"))
       .drop("__before", "__total")
   }
+
+  /** Hashing-trick linear text scorer — the shape of a fastText-style
+    * quality classifier's inference pass: each token hashes (md5-derived
+    * 60-bit key, engine-portable) into one of `nBuckets` feature buckets,
+    * the bucket's weight comes from a deterministic integer formula
+    * (stand-in for trained weights — swap in a broadcast weight map for a
+    * real model; the Spark-side plumbing is identical), and the document
+    * score is the mean token weight, 6-dp. Empty/whitespace docs score
+    * null. Output: (`idCol`, n_tokens, score).
+    *
+    * 100 TB shape: pure per-row projection — tokenization evaluated once
+    * (HOF child), a single left-to-right `aggregate` fold, NO shuffle,
+    * no vocabulary table, no join. The hashing trick is exactly what
+    * makes linear scoring join-free at scale. */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets >= 1, s"hashedLinearScore: nBuckets >= 1, got $nBuckets")
+    def weight(tok: Column): Column = {
+      val bucket = conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % nBuckets
+      ((bucket * 37L + 11L) % 101L).cast("double") / 100.0 - 0.5
+    }
+    val toks = TextAnalysis.tokens(TextAnalysis.normalized(
+      graft.ColName.topCol(textCol)))
+    df.select(graft.ColName.topCol(idCol),
+        coalesce(size(toks), lit(0)).cast("long").alias("n_tokens"),
+        aggregate(toks, lit(0.0), (acc, t) => acc + weight(t)).alias("__raw"))
+      .select(col(idCol), col("n_tokens"),
+        round(try_divide(col("__raw"), col("n_tokens")), 6).alias("score"))
+  }
+
+  /** Deterministic repeat-upsampling — the "epochs per domain" mixing
+    * step of a pretraining run: every row is replicated
+    * `factors(domain)` times, fractional parts resolved per row by the
+    * stable [[hashUnit]] draw (a factor of 2.5 copies every row twice
+    * and half the rows — always the SAME rows — a third time). A factor
+    * of 0 drops the domain. Output: the input rows with a `copy` index
+    * (0-based); downstream shuffles/splits treat copies as ordinary rows.
+    *
+    * 100 TB shape: pure per-row `sequence`+`explode` fan-out — no
+    * shuffle, no join, replication happens map-side where the row
+    * already lives. Determinism survives retries/repartitioning because
+    * the extra-copy decision is a function of the id, not of RNG state. */
+  def repeatUpsample(df: DataFrame, domainCol: String, idCol: String,
+                     factors: Map[String, Double],
+                     defaultFactor: Double = 1.0): DataFrame = {
+    require(factors.values.forall(_ >= 0) && defaultFactor >= 0,
+      "repeatUpsample: factors must be >= 0")
+    val dom = graft.ColName.topCol(domainCol)
+    val f = factors.foldLeft(lit(defaultFactor)) { case (acc, (k, v)) =>
+      when(dom === k, lit(v)).otherwise(acc)
+    }
+    val nCopies = (floor(f).cast("long") +
+      when(hashUnit(graft.ColName.topCol(idCol)) < (f - floor(f)), 1L)
+        .otherwise(0L)).alias("__nc")
+    df.withColumn("copy",
+      explode(when(nCopies > 0L, sequence(lit(0L), nCopies - 1L))))
+  }
 }

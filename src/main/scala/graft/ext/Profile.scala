@@ -458,4 +458,66 @@ object Profile {
         acc + (pr - pc) * log(pr / pc)
       }), 6).alias("psi"))
   }
+
+  /** Declarative data-quality report (the Deequ-style constraint check a
+    * pipeline gates ingestion on): one row per rule with its violation
+    * count. Rule kinds:
+    *  - `notNull`: column must be non-null;
+    *  - `ranges` (col, lo, hi): non-null values must lie in [lo, hi]
+    *    (nulls belong to the notNull rule, not this one);
+    *  - `patterns` (col, regex): non-null values must rlike the regex;
+    *  - `unique`: every combination of the key columns must occur once —
+    *    violations = rows living in a >1 group.
+    *
+    * Output: (rule, n_violations, n_rows), rule labeled
+    * `kind:col[,col...]`.
+    *
+    * 100 TB shape: ALL row-local rules (notNull/ranges/patterns) fold
+    * into ONE conditional-sum aggregation — a single corpus pass, no
+    * shuffle beyond the scalar agg. Each uniqueness rule adds one
+    * map-side-combinable groupBy over its key (duplicate mass crosses
+    * the wire as partial counts). Nothing corpus-sized reaches the
+    * driver; the report is |rules| rows. */
+  def qualityReport(df: DataFrame,
+                    notNull: Seq[String] = Nil,
+                    unique: Seq[Seq[String]] = Nil,
+                    ranges: Seq[(String, Double, Double)] = Nil,
+                    patterns: Seq[(String, String)] = Nil): DataFrame = {
+    require(notNull.nonEmpty || unique.nonEmpty || ranges.nonEmpty ||
+      patterns.nonEmpty, "qualityReport: no rules given")
+    unique.foreach(u => require(u.nonEmpty, "qualityReport: empty unique key"))
+    val c = graft.ColName.topCol _
+    val rowLocal: Seq[(String, Column)] =
+      notNull.map(n => s"not_null:$n" ->
+        sum(when(c(n).isNull, 1L).otherwise(0L))) ++
+      ranges.map { case (n, lo, hi) => s"range:$n" ->
+        sum(when(c(n).isNotNull && (c(n) < lo || c(n) > hi), 1L).otherwise(0L)) } ++
+      patterns.map { case (n, re) => s"pattern:$n" ->
+        sum(when(c(n).isNotNull && !c(n).rlike(re), 1L).otherwise(0L)) }
+    val rowLocalReport: Option[DataFrame] =
+      if (rowLocal.isEmpty) None
+      else Some {
+        // indexed aliases: two rules of the same kind on the same column
+        // must not collide
+        val agg = df.agg(count(lit(1)).alias("__n"),
+          rowLocal.zipWithIndex.map { case ((_, e), i) =>
+            e.alias(s"__v_$i") }: _*)
+        agg.select(explode(array(rowLocal.zipWithIndex.map { case ((name, _), i) =>
+            struct(lit(name).alias("rule"),
+              col(s"__v_$i").alias("n_violations"))
+          }: _*)).alias("__r"), col("__n"))
+          .select(col("__r.rule").alias("rule"),
+            col("__r.n_violations").alias("n_violations"),
+            col("__n").alias("n_rows"))
+      }
+    val uniqueReports = unique.map { keys =>
+      val label = s"unique:${keys.mkString(",")}"
+      df.groupBy(keys.map(c): _*).agg(count(lit(1)).alias("__g"))
+        .agg(coalesce(sum(when(col("__g") > 1L, col("__g"))), lit(0L))
+            .alias("n_violations"),
+          coalesce(sum(col("__g")), lit(0L)).alias("n_rows"))
+        .select(lit(label).alias("rule"), col("n_violations"), col("n_rows"))
+    }
+    (rowLocalReport.toSeq ++ uniqueReports).reduce(_.unionAll(_))
+  }
 }

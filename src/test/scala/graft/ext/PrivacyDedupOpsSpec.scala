@@ -143,6 +143,77 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     assert(got(9L) == 0L)
   }
 
+  // ---------------------------------------------------------- qualityReport
+
+  test("qualityReport: per-rule violation counts, hand-checked") {
+    val df = Seq(
+      (1L, Some("a"), 5.0, "AB"),
+      (1L, Some("b"), 30.0, "xy"),   // dup key, range violation, pattern violation
+      (2L, None, -1.0, "CD"),        // null, range violation
+      (3L, Some("d"), 10.0, "EF")
+    ).toDF("k", "s", "v", "code")
+    val got = Profile.qualityReport(df,
+      notNull = Seq("s"),
+      unique = Seq(Seq("k")),
+      ranges = Seq(("v", 0.0, 25.0)),
+      patterns = Seq(("code", "^[A-Z]+$")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "not_null:s" -> ((1L, 4L)),
+      "range:v" -> ((2L, 4L)),
+      "pattern:code" -> ((1L, 4L)),
+      "unique:k" -> ((2L, 4L))))
+  }
+
+  test("qualityReport: null values never count against range/pattern; no rules errors") {
+    val df = Seq((1L, None: Option[Double])).toDF("k", "v")
+    val got = Profile.qualityReport(df, ranges = Seq(("v", 0.0, 1.0)))
+      .collect().head
+    assert(got.getLong(1) == 0L)
+    intercept[IllegalArgumentException] { Profile.qualityReport(df) }
+  }
+
+  // ------------------------------------------------------ hashedLinearScore
+
+  test("hashedLinearScore: deterministic, bounded, mean-invariant under repetition") {
+    val df = Seq(
+      (1L, "alpha"), (2L, "alpha"),                 // identical docs
+      (3L, "alpha alpha alpha"),                    // repetition keeps the mean
+      (4L, ""), (5L, null.asInstanceOf[String])     // empty/null -> null score
+    ).toDF("doc_id", "text")
+    val got = Curation.hashedLinearScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got(1L) == got(2L).copy())
+    assert(got(1L)._2 == got(3L)._2)                // same mean weight
+    assert(got(3L)._1 == 3L)
+    assert(got(4L) == ((0L, None)) && got(5L) == ((0L, None)))
+    val s = got(1L)._2.get.asInstanceOf[Double]
+    assert(s >= -0.5 && s <= 0.5)
+  }
+
+  // -------------------------------------------------------- repeatUpsample
+
+  test("repeatUpsample: whole factors replicate exactly, zero drops, fraction is hash-stable") {
+    val df = (0L until 100L).map(i => (i, if (i < 40) "a" else if (i < 80) "b" else "c"))
+      .toDF("id", "dom")
+    val up = Curation.repeatUpsample(df, "dom", "id",
+      Map("a" -> 3.0, "b" -> 0.5, "c" -> 0.0))
+    val byDom = up.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDom("a") == 120L)                      // 40 x 3 exact
+    assert(!byDom.contains("c"))                    // factor 0 drops
+    assert(byDom("b") > 0L && byDom("b") < 40L)     // fractional subset
+    // copies are 0-based and dense per row
+    val copies = up.filter(col("dom") === "a").groupBy("id")
+      .agg(sort_array(collect_list(col("copy"))).alias("cs"))
+      .select("cs").collect().map(_.getSeq[Long](0))
+    assert(copies.forall(_ == Seq(0L, 1L, 2L)))
+    // hash-stable: same rows survive under repartitioning
+    val again = Curation.repeatUpsample(df.repartition(13), "dom", "id",
+      Map("a" -> 3.0, "b" -> 0.5, "c" -> 0.0))
+    assert(up.except(again).count() == 0 && again.except(up).count() == 0)
+  }
+
   // ------------------------------------------------------- plan locks
 
   test("plan locks: kmeansAssign is shuffle-free; topP plans one exchange; segmentDedup two") {
