@@ -1614,6 +1614,32 @@ object SparkEntry {
         threshold = 0.08, shingleN = 2, numHashes = 128, bands = 128)
         .select("doc_id")
     }),
+    // streaming near-dup with an accumulated survivor corpus: two
+    // micro-batches through the versioned sink must equal the sequential
+    // batch protocol (dedup batch 1, incremental-dedup batch 2 against
+    // the survivors). 128 one-row bands = total LSH recall, so the
+    // oracle replays the exact sequential semantics in SQL
+    "q_stream_neardup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = table(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val in = mem.toDF().select(col("_1").alias("doc_id"), col("_2").alias("text"))
+      val sink = stagingDir("stream_neardup", dir)
+      val q = graft.streaming.EventStreams.nearDupUpsertEachBatch(
+        in, "text", "doc_id", sink, threshold = 0.08, shingleN = 2,
+        numHashes = 128, bands = 128)
+      try {
+        mem.addData(docs.filter(_._1 < 60).toIndexedSeq)
+        q.processAllAvailable()
+        mem.addData(docs.filter(_._1 >= 60).toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.streaming.EventStreams.readPackedSink(s, sink).select("doc_id")
+    }),
     // per-doc Shannon token entropy: explode → (doc, token) counts → one
     // per-doc fold, all partial-aggregatable (the HOF alternative is
     // O(len²) per doc)
@@ -3425,6 +3451,55 @@ object SparkEntry {
           |  UNION
           |  SELECT s.b, c.comp FROM c1 c JOIN s1 s ON s.a = c.node),
           |l1 AS (SELECT node, min(comp) AS comp FROM c1 GROUP BY node)
+          |SELECT doc_id FROM tok WHERE doc_id >= 60
+          |  AND doc_id NOT IN (SELECT node FROM l1 WHERE node != comp)""".stripMargin,
+      // the streaming sink's final state = batch-1 survivors ∪ batch-2
+      // incremental survivors — the same sequential replay with the
+      // final selection widened to BOTH cohorts
+      "q_stream_neardup" ->
+        """WITH RECURSIVE tok AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE doc_id < 100),
+          |sh AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
+          |         ELSE list_distinct(list_transform(range(1, len(toks)),
+          |                i -> toks[i] || ' ' || toks[i+1])) END AS sh
+          |  FROM tok),
+          |p0 AS (
+          |  SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a, sh b
+          |  WHERE a.doc_id < b.doc_id AND a.doc_id < 60 AND b.doc_id < 60
+          |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.08),
+          |s0 AS (SELECT ia AS a, ib AS b FROM p0 UNION SELECT ib, ia FROM p0),
+          |c0(node, comp) AS (
+          |  SELECT a, a FROM s0
+          |  UNION
+          |  SELECT s.b, c.comp FROM c0 c JOIN s0 s ON s.a = c.node),
+          |l0 AS (SELECT node, min(comp) AS comp FROM c0 GROUP BY node),
+          |surv0 AS (
+          |  SELECT doc_id FROM tok WHERE doc_id < 60
+          |    AND doc_id NOT IN (SELECT node FROM l0 WHERE node != comp)),
+          |pool AS (
+          |  SELECT doc_id FROM surv0
+          |  UNION ALL SELECT doc_id FROM tok WHERE doc_id >= 60),
+          |p1 AS (
+          |  SELECT a.doc_id AS ia, b.doc_id AS ib FROM sh a, sh b
+          |  WHERE a.doc_id < b.doc_id
+          |    AND a.doc_id IN (SELECT doc_id FROM pool)
+          |    AND b.doc_id IN (SELECT doc_id FROM pool)
+          |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.08),
+          |s1 AS (SELECT ia AS a, ib AS b FROM p1 UNION SELECT ib, ia FROM p1),
+          |c1(node, comp) AS (
+          |  SELECT a, a FROM s1
+          |  UNION
+          |  SELECT s.b, c.comp FROM c1 c JOIN s1 s ON s.a = c.node),
+          |l1 AS (SELECT node, min(comp) AS comp FROM c1 GROUP BY node)
+          |SELECT doc_id FROM surv0
+          |UNION ALL
           |SELECT doc_id FROM tok WHERE doc_id >= 60
           |  AND doc_id NOT IN (SELECT node FROM l1 WHERE node != comp)""".stripMargin,
       // same identity: H = ln(n) − Σ c·ln(c) / n, exact-integer counts

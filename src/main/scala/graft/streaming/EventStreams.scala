@@ -162,6 +162,53 @@ object EventStreams {
     checkpointLocation.fold(w)(c => w.option("checkpointLocation", c)).start()
   }
 
+  /** Streaming near-duplicate dedup with an accumulated survivor corpus:
+    * each micro-batch is deduplicated against everything already kept via
+    * [[graft.ext.Dedup.incrementalNearDup]] (corpus–corpus pairs never
+    * regenerated — each batch pays only corpus–batch + batch–batch
+    * candidate generation), and the surviving rows are appended to the
+    * same versioned parquet sink layout as [[packUpsertEachBatch]]
+    * (`sinkPath/v=<batchId>`, replay-idempotent: a restarted batch
+    * re-reads the latest version strictly below its own id and overwrites
+    * its own directory). Read the accumulated survivors with
+    * [[readPackedSink]].
+    *
+    * Contract inherited from incrementalNearDup: ids must be monotone
+    * across batches (every batch's ids above the accumulated corpus max —
+    * the natural shape of log-offset / snowflake ids), so "first
+    * occurrence survives" is well-defined under replay. */
+  def nearDupUpsertEachBatch(docs: DataFrame, textCol: String, idCol: String,
+                             sinkPath: String, threshold: Double,
+                             shingleN: Int = 3, numHashes: Int = 32,
+                             bands: Int = 8,
+                             checkpointLocation: Option[String] = None,
+                             keepVersions: Int = 2
+                            ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val survivors = listPackVersions(spark, sinkPath).filter(_ < batchId)
+          .sorted.lastOption match {
+          case Some(prev) =>
+            val corpus = spark.read.parquet(s"$sinkPath/v=$prev")
+            val keepIds = graft.ext.Dedup.incrementalNearDup(corpus, batch,
+              textCol, idCol, threshold, shingleN, numHashes, bands)
+            corpus.unionByName(batch.join(keepIds, Seq(idCol), "left_semi"))
+          case None =>
+            val ids = graft.ext.Dedup.nearDupSurvivors(batch, textCol, idCol,
+              threshold, shingleN, numHashes, bands)
+            batch.join(ids, Seq(idCol), "left_semi")
+        }
+        survivors.write.mode("overwrite").parquet(s"$sinkPath/v=$batchId")
+        listPackVersions(spark, sinkPath).sorted.dropRight(keepVersions + 1)
+          .foreach { v =>
+            val p = new org.apache.hadoop.fs.Path(s"$sinkPath/v=$v")
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          }
+      }
+    checkpointLocation.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
+
   /** Latest packed state written by [[packUpsertEachBatch]]. */
   def readPackedSink(spark: org.apache.spark.sql.SparkSession,
                      sinkPath: String): DataFrame =
