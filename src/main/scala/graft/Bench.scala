@@ -434,6 +434,48 @@ object Bench {
           }
           ()
         })
+      // segment-level exact substring dedup over the corpus PLUS 20k
+      // synthetic docs whose tail segments are all identical (the
+      // boilerplate mass the operator exists to collapse): the shared
+      // segments must collapse to one winner per fingerprint in the
+      // min(struct) aggregation, never a hot-key row explosion
+      case NmScaleSegDedup => Prepared(() => {
+        val boiler = spark.range(20000).select(
+          (col("id") + 10000000L).alias("doc_id"),
+          concat(lit("unique"), col("id").cast("string"),
+            lit(" header words here for the leading segment of the page " +
+              "lorem ipsum boilerplate footer text repeated on every " +
+              "page of the crawl corpus")).alias("text"))
+        graft.ext.Dedup.segmentDedup(
+          docs.select(col("doc_id"), col("text")).unionByName(boiler),
+          "text", "doc_id", segmentWords = 10)
+      }, () => ())
+      // nucleus selection over 1M rows x 1000 groups: times the
+      // shared-exchange double-window path at row counts where the sort,
+      // not the scheduling floor, dominates
+      case NmScaleTopP => Prepared(() =>
+        graft.ext.Curation.topPByScore(
+          spark.range(1000000).select((col("id") % 1000).alias("g"),
+            col("id").alias("id"), ((col("id") * 37) % 1000).alias("score")),
+          "g", "id", "score", p = 0.5), () => ())
+      // Lloyd training + narrow assignment at nlist=64: the clustering
+      // cost model is iters x (broadcast crossJoin + per-centroid mean);
+      // the assignment itself adds NO shuffle on top
+      case NmScaleKmeans => Prepared(() =>
+        graft.ext.Similarity.kmeansAssign(
+          spark.read.parquet(s"$sfDir/embeddings.parquet"), "vec_id",
+          "embedding", nlist = 64, trainIters = 2), () => ())
+      // constraint report over the full lineitem: every row-local rule
+      // rides ONE conditional-sum pass; the uniqueness rule is the only
+      // shuffle
+      case NmScaleQuality => Prepared(() =>
+        graft.ext.Profile.qualityReport(
+          spark.read.parquet(s"$sfDir/lineitem.parquet"),
+          notNull = Seq("l_shipdate", "l_returnflag"),
+          unique = Seq(Seq("l_orderkey", "l_linenumber")),
+          ranges = Seq(("l_quantity", 1.0, 25.0), ("l_discount", 0.0, 0.1)),
+          patterns = Seq(("l_returnflag", "^[ANR]$"), ("l_linestatus", "^O$"))),
+        () => ())
       case other =>
         throw new IllegalArgumentException(s"unknown scale scenario '$other'")
     }
@@ -450,12 +492,17 @@ object Bench {
   private[graft] val NmScalePackMerge = "scale_pack_merge"
   private[graft] val NmScaleJoinPlain = "scale_selective_join_plain"
   private[graft] val NmScaleJoinBloom = "scale_selective_join_bloom"
+  private[graft] val NmScaleSegDedup = "scale_segment_dedup"
+  private[graft] val NmScaleTopP = "scale_top_p"
+  private[graft] val NmScaleKmeans = "scale_kmeans"
+  private[graft] val NmScaleQuality = "scale_quality_report"
   private[graft] val seqPackingShards = Seq(8, 64)
   private[graft] val knnQueryCounts = Seq(100, 1000)
   private[graft] val autoPackKeys = Seq("parent_dom_2k", "skewed")
   private[graft] val scaleScenarioNames: Seq[String] =
     Seq(NmScaleDedup, NmScaleHotBucket, NmScaleSemDedup, NmScaleSpans,
-      NmScaleDropSpans, NmScalePackMerge, NmScaleJoinPlain, NmScaleJoinBloom) ++
+      NmScaleDropSpans, NmScalePackMerge, NmScaleJoinPlain, NmScaleJoinBloom,
+      NmScaleSegDedup, NmScaleTopP, NmScaleKmeans, NmScaleQuality) ++
     seqPackingShards.map(s => s"scale_seq_packing_$s") ++
     knnQueryCounts.map(n => s"scale_knn_${n}q") ++
     autoPackKeys.map(k => s"auto_pack_$k")
