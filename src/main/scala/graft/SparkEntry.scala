@@ -613,6 +613,13 @@ object SparkEntry {
         unique = Seq(Seq("l_orderkey", "l_linenumber")),
         ranges = Seq(("l_quantity", 1.0, 25.0), ("l_discount", 0.0, 0.1)),
         patterns = Seq(("l_returnflag", "^[ANR]$"), ("l_linestatus", "^O$")))),
+    // referential integrity with REAL orphans: every 7th order removed
+    // from the parent side, so its lineitems dangle
+    "q_fk_integrity" -> ((s, dir) =>
+      graft.ext.Profile.fkIntegrity(
+        table(s, dir, "lineitem"), Seq("l_orderkey"),
+        table(s, dir, "orders").filter(col("o_orderkey") % 7 =!= 0),
+        Seq("o_orderkey"))),
     // hashing-trick linear scorer: per-row fold, engine-portable md5
     // bucket hash, deterministic integer weight formula
     "q_quality_linear" -> ((s, dir) =>
@@ -2328,6 +2335,14 @@ object SparkEntry {
           |UNION ALL SELECT 'pattern:l_returnflag', v4, n_rows FROM rl
           |UNION ALL SELECT 'pattern:l_linestatus', v5, n_rows FROM rl
           |UNION ALL SELECT 'unique:l_orderkey,l_linenumber', v, n FROM u""".stripMargin,
+      "q_fk_integrity" ->
+        """WITH p AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 != 0),
+          |c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+          |SELECT CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_rows,
+          |  CAST(coalesce((SELECT sum(n) FROM c
+          |    WHERE l_orderkey IS NOT NULL
+          |      AND l_orderkey NOT IN (SELECT o_orderkey FROM p)), 0) AS BIGINT) AS n_orphans,
+          |  CAST(coalesce((SELECT sum(n) FROM c WHERE l_orderkey IS NULL), 0) AS BIGINT) AS n_null_fk""".stripMargin,
       // same md5-derived 60-bit bucket hash both engines (the winnow
       // fingerprint identity), integer weight formula, one ordered fold
       "q_quality_linear" ->

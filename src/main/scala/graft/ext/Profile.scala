@@ -520,4 +520,44 @@ object Profile {
     }
     (rowLocalReport.toSeq ++ uniqueReports).reduce(_.unionAll(_))
   }
+
+  /** Referential-integrity check — the cross-table rule [[qualityReport]]
+    * cannot express: how many `child` rows carry a foreign key with no
+    * match in `parent`. Output (one row): (n_rows, n_orphans,
+    * n_null_fk) — null FKs are counted separately (SQL semantics match
+    * nothing, but they are usually a not-null rule, not an orphan).
+    *
+    * 100 TB shape: the child aggregates to DISTINCT key values FIRST
+    * (map-side combinable, bounded by key cardinality), so the anti-join
+    * probes |distinct keys| rows against the parent's key projection —
+    * AQE broadcast-converts whichever side is small — and the per-key
+    * child counts rejoin only the orphan keys. The child table itself is
+    * scanned once and never re-shuffled by the parent. */
+  def fkIntegrity(child: DataFrame, childKeys: Seq[String],
+                  parent: DataFrame, parentKeys: Seq[String]): DataFrame = {
+    require(childKeys.nonEmpty && childKeys.size == parentKeys.size,
+      s"fkIntegrity: key lists must be non-empty and same-length, " +
+        s"got $childKeys vs $parentKeys")
+    val c = graft.ColName.topCol _
+    val anyNull = childKeys.map(k => c(k).isNull).reduce(_ || _)
+    val keyed = child.select(
+      childKeys.map(k => c(k).alias("__k_" + k.replace(".", "_"))) :+
+        anyNull.alias("__null"): _*)
+    val counts = keyed.groupBy(
+        (childKeys.map(k => col("__k_" + k.replace(".", "_"))) :+
+          col("__null")): _*)
+      .agg(count(lit(1)).alias("__n"))
+    val parentKeysDf = parent
+      .select(parentKeys.zip(childKeys).map { case (p, k) =>
+        c(p).alias("__k_" + k.replace(".", "_")) }: _*).distinct()
+    val orphanKeys = counts.filter(!col("__null"))
+      .join(parentKeysDf,
+        childKeys.map(k => "__k_" + k.replace(".", "_")), "left_anti")
+    val nulls = counts.filter(col("__null"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).alias("n_null_fk"))
+    val totals = counts.agg(coalesce(sum(col("__n")), lit(0L)).alias("n_rows"))
+    val orphans = orphanKeys
+      .agg(coalesce(sum(col("__n")), lit(0L)).alias("n_orphans"))
+    totals.crossJoin(orphans).crossJoin(nulls)
+  }
 }

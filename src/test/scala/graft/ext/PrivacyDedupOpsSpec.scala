@@ -173,6 +173,26 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Profile.qualityReport(df) }
   }
 
+  // ------------------------------------------------------------ fkIntegrity
+
+  test("fkIntegrity: orphan rows, null FKs, and clean-key coverage counted separately") {
+    val child = Seq(
+      (1L, Some(10L)), (2L, Some(10L)),        // valid, parent 10
+      (3L, Some(99L)), (4L, Some(98L)),        // orphans
+      (5L, None)                                // null FK
+    ).toDF("id", "fk")
+    val parent = Seq(10L, 11L).toDF("pk")
+    val r = Profile.fkIntegrity(child, Seq("fk"), parent, Seq("pk")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 2L, 1L)))
+    // fully-covered child reports zero orphans
+    val clean = Profile.fkIntegrity(child.filter(col("fk") === 10L),
+      Seq("fk"), parent, Seq("pk")).collect().head
+    assert((clean.getLong(0), clean.getLong(1), clean.getLong(2)) == ((2L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Profile.fkIntegrity(child, Seq("fk"), parent, Nil)
+    }
+  }
+
   // ------------------------------------------------------ hashedLinearScore
 
   test("hashedLinearScore: deterministic, bounded, mean-invariant under repetition") {
