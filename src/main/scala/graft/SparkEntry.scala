@@ -2352,10 +2352,10 @@ object SparkEntry {
           |  FROM documents),
           |s AS (SELECT doc_id, CAST(coalesce(len(toks), 0) AS BIGINT) AS n_tokens,
           |    list_sum(list_transform(toks, t ->
-          |      (CAST(((('0x' || substr(md5(t), 1, 15))::BIGINT % 1024) * 37 + 11) % 101 AS DOUBLE) / 100.0 - 0.5))) AS raw
+          |      (CAST((((('0x' || substr(md5(t), 1, 15))::BIGINT % 1024) * 37 + 11) % 129) - 64 AS DOUBLE) / 128.0))) AS raw
           |  FROM d)
           |SELECT doc_id, n_tokens,
-          |  CASE WHEN n_tokens = 0 THEN NULL ELSE round(raw / n_tokens, 6) END AS score
+          |  CASE WHEN n_tokens = 0 THEN NULL ELSE raw / n_tokens END AS score
           |FROM s""".stripMargin,
       "q_repeat_upsample" ->
         s"""WITH t AS (SELECT doc_id, source,

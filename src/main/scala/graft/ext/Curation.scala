@@ -913,9 +913,13 @@ object Curation {
   def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
                         nBuckets: Int = 1024): DataFrame = {
     require(nBuckets >= 1, s"hashedLinearScore: nBuckets >= 1, got $nBuckets")
+    // DYADIC weights (k/128, k in [-64, 64]): every weight and every
+    // partial sum is exactly representable in double, so the fold is
+    // order-independent and bit-identical across engines at ANY corpus
+    // size (a /100 formula drifted 1 ulp on 13 of 50k docs at sf1.0)
     def weight(tok: Column): Column = {
       val bucket = conv(substring(md5(tok), 1, 15), 16, 10).cast("long") % nBuckets
-      ((bucket * 37L + 11L) % 101L).cast("double") / 100.0 - 0.5
+      (((bucket * 37L + 11L) % 129L) - 64L).cast("double") / 128.0
     }
     val toks = TextAnalysis.tokens(TextAnalysis.normalized(
       graft.ColName.topCol(textCol)))
@@ -923,7 +927,11 @@ object Curation {
         coalesce(size(toks), lit(0)).cast("long").alias("n_tokens"),
         aggregate(toks, lit(0.0), (acc, t) => acc + weight(t)).alias("__raw"))
       .select(col(idCol), col("n_tokens"),
-        round(try_divide(col("__raw"), col("n_tokens")), 6).alias("score"))
+        // UNROUNDED: the dyadic sum is bit-identical in any engine and
+        // the single division preserves that; 6-dp rounding would
+        // REINTRODUCE engine skew (dyadic values tie exactly at the
+        // x.xxxxxx5 boundary, where round implementations disagree)
+        try_divide(col("__raw"), col("n_tokens")).alias("score"))
   }
 
   /** Deterministic repeat-upsampling — the "epochs per domain" mixing
