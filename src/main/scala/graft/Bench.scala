@@ -74,8 +74,16 @@ object Bench {
     * heap residue instead of the query. */
   private[graft] def runsOfN(repeat: Int, onError: Throwable => Unit = _ => ())
                             (f: => DataFrame): Seq[Double] = {
-    (1 to repeat).map { _ =>
-      System.gc() // level the GC field between repeats; variance otherwise 5-10x
+    (1 to repeat).map { i =>
+      // level the GC field between REPEATS of one query (variance
+      // otherwise 5-10x on the giant-group presets). At REPEAT=1 (the
+      // driver profile) there is nothing to level and the collection
+      // itself costs ~2 s/entry on the grown heap — x140 q_* entries
+      // that was the budget the skipped scale scenarios needed; the
+      // round-9 rehearsal measured the per-entry gc NOT preventing the
+      // late-run 2-3x inflation anyway (the isolated re-run protocol is
+      // what adjudicates those).
+      if (i > 1) System.gc()
       try time(materialize(f)) catch { case e: Throwable => onError(e); -1.0 }
     }
   }
@@ -735,12 +743,12 @@ object Bench {
 
     // non-parity scale/auto scenarios (definitions + rationale in
     // [[prepareScale]]): forked per scenario by default, like parity. The
-    // driver profile shares one child JVM across chunks of 5 (they don't
+    // driver profile shares one child JVM across chunks of 8 (they don't
     // share datasets, but the ~10-15 s JVM + session startup amortizes;
     // chunking bounds what one child death can lose).
     val scaleResults: Seq[(String, Double)] =
       if (forkMode && !fullProfile)
-        scaleScenarioNames.filter(selected).grouped(5).toSeq.flatMap { chunk =>
+        scaleScenarioNames.filter(selected).grouped(8).toSeq.flatMap { chunk =>
           if (mainBudgetLeft < 90) { skipped ++= chunk; Nil }
           else {
             val results = BenchScenario.runForkedGroup(chunk, cpus,
