@@ -874,6 +874,14 @@ object SparkEntry {
       Dedup.nearDupSurvivors(d, "text", "doc_id", threshold = 0.08,
         shingleN = 2, numHashes = 128, bands = 128).select("doc_id")
     }),
+    // the label view of the same clustering: every doc -> min id of its
+    // near-dup cluster (own id when unique); filter(id === cluster)
+    // recovers the survivor set
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 100)
+      Dedup.nearDupClusters(d, "text", "doc_id", threshold = 0.08,
+        shingleN = 2, numHashes = 128, bands = 128)
+    }),
     // SimHash equivalence gate: the custom codegen Catalyst expression must
     // agree bit-for-bit with an independent HOF reimplementation on every
     // document, and rollingHash must induce exactly the same equivalence
@@ -2821,6 +2829,33 @@ object SparkEntry {
           |lab AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node)
           |SELECT doc_id FROM d
           |WHERE doc_id NOT IN (SELECT node FROM lab WHERE node != comp)""".stripMargin,
+      // same recursive-CTE clustering, label view: doc -> min component
+      // id, singletons label themselves
+      "q_dedup_clusters" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE doc_id < 100),
+          |sh AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
+          |         ELSE list_distinct(list_transform(range(1, len(toks)),
+          |                i -> toks[i] || ' ' || toks[i+1])) END AS sh
+          |  FROM d),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.08),
+          |sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+          |cc(node, comp) AS (
+          |  SELECT a, a FROM sym
+          |  UNION
+          |  SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.node),
+          |lab AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node)
+          |SELECT d.doc_id, coalesce(lab.comp, d.doc_id) AS cluster
+          |FROM d LEFT JOIN lab ON d.doc_id = lab.node""".stripMargin,
       "q_dedup_simhash" ->
         """SELECT count(*) AS n_docs,
           | CAST(0 AS BIGINT) AS n_simhash_mismatch,

@@ -561,6 +561,32 @@ object Dedup {
     singletons.union(keepFromClusters)
   }
 
+  /** Near-duplicate CLUSTER LABELS — the grouping [[nearDupSurvivors]]
+    * collapses: every document labeled with the minimal id of its
+    * near-dup cluster (its own id when it has no near-duplicates). The
+    * label view is what survivor-policy experiments, cluster-size
+    * audits, and "keep the longest of each cluster"-style custom
+    * winner rules consume; `filter(id === cluster)` recovers exactly
+    * the survivor set.
+    *
+    * Same machinery and scale shape as nearDupSurvivors (banded LSH
+    * candidates → exact-Jaccard verification → O(log d) path-halving
+    * components); the only addition is a left join of the id spine onto
+    * the component table, broadcast-friendly because the component
+    * table holds only docs that HAVE a near-duplicate. */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+                      threshold: Double, shingleN: Int = 3,
+                      numHashes: Int = 32, bands: Int = 8,
+                      maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = minhashNearDuplicates(df, textCol, idCol, threshold, shingleN,
+      numHashes, bands, maxBucketSize)
+    val comps = connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").alias(idCol), col("comp"))
+    df.select(col(idCol))
+      .join(comps, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).alias("cluster"))
+  }
+
   /**
    * Incremental near-dup dedup: which docs of a NEW `delta` batch
    * survive against an already-deduped `corpus` — the daily-crawl shape,

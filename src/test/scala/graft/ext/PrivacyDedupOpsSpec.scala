@@ -48,6 +48,26 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     assert(many.map(_.getLong(0)).toSet == Set(1L))
   }
 
+  // ----------------------------------------------------- nearDupClusters
+
+  test("nearDupClusters: min-id labels, singletons label themselves, fixed points = survivors") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),  // ~ 1
+      (5L, "the quick brown fox jumps over the lazy dog!"), // ~ 1, 2
+      (7L, "completely different text about spark engines"),
+      (9L, "unrelated body of words with no duplicate")
+    ).toDF("doc_id", "text")
+    val labels = Dedup.nearDupClusters(docs, "text", "doc_id",
+      threshold = 0.5, shingleN = 2, numHashes = 128, bands = 128)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 9L))
+    val survivors = Dedup.nearDupSurvivors(docs, "text", "doc_id",
+      threshold = 0.5, shingleN = 2, numHashes = 128, bands = 128)
+      .collect().map(_.getLong(0)).toSet
+    assert(labels.filter { case (id, c) => id == c }.keySet == survivors)
+  }
+
   // ------------------------------------------------------- corpusOverlap
 
   test("corpusOverlap: hand-checked trigram set statistics") {
