@@ -613,6 +613,19 @@ object SparkEntry {
         unique = Seq(Seq("l_orderkey", "l_linenumber")),
         ranges = Seq(("l_quantity", 1.0, 25.0), ("l_discount", 0.0, 0.1)),
         patterns = Seq(("l_returnflag", "^[ANR]$"), ("l_linestatus", "^O$")))),
+    // per-group z-scores on the integral-valued quantity: sums exact in
+    // any order -> mean/var/z bit-identical cross-engine, unrounded
+    "q_standardize" -> ((s, dir) =>
+      graft.ext.Profile.standardize(
+        table(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_quantity"),
+        Seq("l_returnflag"), "l_quantity")),
+    // ANSI percent_rank per group: integer-ratio output, engine-exact
+    "q_quantile_rank" -> ((s, dir) =>
+      graft.ext.Profile.quantileRank(
+        table(s, dir, "lineitem").select("l_orderkey", "l_linenumber",
+          "l_returnflag", "l_extendedprice"),
+        Seq("l_returnflag"), "l_extendedprice")),
     // referential integrity with REAL orphans: every 7th order removed
     // from the parent side, so its lineitems dangle
     "q_fk_integrity" -> ((s, dir) =>
@@ -2343,6 +2356,23 @@ object SparkEntry {
           |UNION ALL SELECT 'pattern:l_returnflag', v4, n_rows FROM rl
           |UNION ALL SELECT 'pattern:l_linestatus', v5, n_rows FROM rl
           |UNION ALL SELECT 'unique:l_orderkey,l_linenumber', v, n FROM u""".stripMargin,
+      // identical arithmetic shape: mean = s/n, var = ss/n - mean^2
+      // clamped at 0 — every step the same IEEE op on the same exact
+      // inputs, so the unrounded z matches bit-for-bit
+      "q_standardize" ->
+        """WITH st AS (SELECT l_returnflag, count(l_quantity) AS n,
+          |    sum(l_quantity) AS s, sum(l_quantity * l_quantity) AS ss
+          |  FROM lineitem GROUP BY 1)
+          |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_quantity,
+          |  CASE WHEN sqrt(greatest(ss/n - (s/n)*(s/n), 0)) = 0 THEN NULL
+          |       ELSE (l.l_quantity - s/n) / sqrt(greatest(ss/n - (s/n)*(s/n), 0)) END
+          |    AS l_quantity_z
+          |FROM lineitem l JOIN st USING (l_returnflag)""".stripMargin,
+      "q_quantile_rank" ->
+        """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+          |  percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+          |    AS l_extendedprice_qrank
+          |FROM lineitem""".stripMargin,
       "q_fk_integrity" ->
         """WITH p AS (SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 7 != 0),
           |c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)

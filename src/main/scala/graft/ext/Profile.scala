@@ -521,6 +521,61 @@ object Profile {
     (rowLocalReport.toSeq ++ uniqueReports).reduce(_.unionAll(_))
   }
 
+  /** Per-group z-score standardization — the feature-normalization step
+    * of a training pipeline: `<valueCol>_z = (x - mean) / stddev` with
+    * population stddev, computed per group. Zero-variance groups and
+    * null values yield null z-scores; rows with a null GROUP key keep
+    * their own group's stats (null-safe join, the [[winsorize]]
+    * contract).
+    *
+    * Determinism: with an INTEGRAL-VALUED measure the sums and
+    * sum-of-squares are exact in any association order, so mean /
+    * variance / z are bit-identical across engines with NO rounding
+    * convention (same argument as [[Curation.hashedLinearScore]]'s
+    * dyadic weights). Fractional measures follow the usual float-fold
+    * caveat.
+    *
+    * 100 TB shape: ONE map-side-combinable groupBy builds the tiny
+    * per-group stats table (count/sum/sumsq), broadcast back onto the
+    * rows — the corpus is scanned once and never re-shuffled. */
+  def standardize(df: DataFrame, groupCols: Seq[String],
+                  valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "standardize: need at least one group column")
+    val c = graft.ColName.topCol _
+    val v = c(valueCol)
+    val stats = df.groupBy(groupCols.map(c): _*)
+      .agg(count(v).alias("__n"), sum(v).alias("__s"),
+        sum(v * v).alias("__ss"))
+      .select(groupCols.map(g =>
+        c(g).alias("__st_" + g.replace(".", "_"))) ++
+        Seq(col("__n"), col("__s"), col("__ss")): _*)
+    val cond = groupCols.map(g => c(g) <=> col("__st_" + g.replace(".", "_")))
+      .reduce(_ && _)
+    val mean = col("__s") / col("__n")
+    val variance = col("__ss") / col("__n") - mean * mean
+    // greatest(·, 0) absorbs the tiny-negative variance a rounded
+    // ss/n − mean² can produce: sqrt(0) = 0 and try_divide nulls the
+    // zero-variance group instead of leaking NaN (engine-consistent)
+    df.join(broadcast(stats), cond, "left")
+      .select(df.columns.map(c).toIndexedSeq :+
+        try_divide(v - mean, sqrt(greatest(variance, lit(0.0))))
+          .alias(valueCol + "_z"): _*)
+  }
+
+  /** Per-group quantile rank: ANSI `percent_rank` of `valueCol` within
+    * each group — (rank−1)/(n−1), ties share a rank, single-row groups
+    * rank 0. The curriculum/difficulty-percentile signal next to
+    * [[equiDepthBins]]' bucketed form. Integer-ratio output → engine
+    * bit-exact unrounded. ONE exchange + sort (a plain window). */
+  def quantileRank(df: DataFrame, groupCols: Seq[String],
+                   valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "quantileRank: need at least one group column")
+    import org.apache.spark.sql.expressions.Window
+    val c = graft.ColName.topCol _
+    val w = Window.partitionBy(groupCols.map(c): _*).orderBy(c(valueCol).asc)
+    df.withColumn(valueCol + "_qrank", percent_rank().over(w))
+  }
+
   /** Referential-integrity check — the cross-table rule [[qualityReport]]
     * cannot express: how many `child` rows carry a foreign key with no
     * match in `parent`. Output (one row): (n_rows, n_orphans,

@@ -193,6 +193,35 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Profile.qualityReport(df) }
   }
 
+  // --------------------------------------------- standardize / quantileRank
+
+  test("standardize: hand-computed z-scores; zero-variance and null groups handled") {
+    val df = Seq(
+      ("a", 1L, 2.0), ("a", 2L, 4.0), ("a", 3L, 6.0),   // mean 4, pop-std sqrt(8/3)
+      ("b", 4L, 5.0), ("b", 5L, 5.0),                   // zero variance -> null z
+      (null.asInstanceOf[String], 6L, 1.0),             // null group keeps its stats
+      (null.asInstanceOf[String], 7L, 3.0)
+    ).toDF("g", "id", "v")
+    val got = Profile.standardize(df, Seq("g"), "v")
+      .collect().map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    val std = math.sqrt(8.0 / 3.0)
+    assert(math.abs(got(1L).get - (-2.0 / std)) < 1e-12)
+    assert(math.abs(got(2L).get) < 1e-12)
+    assert(math.abs(got(3L).get - 2.0 / std) < 1e-12)
+    assert(got(4L).isEmpty && got(5L).isEmpty)
+    assert(math.abs(got(6L).get - (-1.0)) < 1e-12 && math.abs(got(7L).get - 1.0) < 1e-12)
+  }
+
+  test("quantileRank: percent_rank semantics — ties share, single row ranks 0") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+      ("b", 5L, 7.0)
+    ).toDF("g", "id", "v")
+    val got = Profile.quantileRank(df, Seq("g"), "v")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> (1.0 / 3), 3L -> (1.0 / 3), 4L -> 1.0, 5L -> 0.0))
+  }
+
   // ------------------------------------------------------------ fkIntegrity
 
   test("fkIntegrity: orphan rows, null FKs, and clean-key coverage counted separately") {
