@@ -884,6 +884,8 @@ object Curation {
   def topPByScore(df: DataFrame, groupCol: String, idCol: String,
                   scoreCol: String, p: Double): DataFrame = {
     require(p > 0.0 && p <= 1.0, s"topPByScore: p must be in (0, 1], got $p")
+    require(!df.columns.contains("__before") && !df.columns.contains("__total"),
+      "topPByScore: input uses the reserved __before/__total staging names")
     import org.apache.spark.sql.expressions.Window
     val g = graft.ColName.topCol(groupCol)
     val score = graft.ColName.topCol(scoreCol)
@@ -951,6 +953,8 @@ object Curation {
                      defaultFactor: Double = 1.0): DataFrame = {
     require(factors.values.forall(_ >= 0) && defaultFactor >= 0,
       "repeatUpsample: factors must be >= 0")
+    require(!df.columns.contains("copy"),
+      "repeatUpsample: input already has a 'copy' column (the output index)")
     val dom = graft.ColName.topCol(domainCol)
     val f = factors.foldLeft(lit(defaultFactor)) { case (acc, (k, v)) =>
       when(dom === k, lit(v)).otherwise(acc)

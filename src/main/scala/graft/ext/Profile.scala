@@ -541,6 +541,8 @@ object Profile {
   def standardize(df: DataFrame, groupCols: Seq[String],
                   valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "standardize: need at least one group column")
+    require(!df.columns.contains(valueCol + "_z"),
+      s"standardize: input already has a '${valueCol}_z' column (the output)")
     val c = graft.ColName.topCol _
     val v = c(valueCol)
     val stats = df.groupBy(groupCols.map(c): _*)
@@ -570,6 +572,8 @@ object Profile {
   def quantileRank(df: DataFrame, groupCols: Seq[String],
                    valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "quantileRank: need at least one group column")
+    require(!df.columns.contains(valueCol + "_qrank"),
+      s"quantileRank: input already has a '${valueCol}_qrank' column (the output)")
     import org.apache.spark.sql.expressions.Window
     val c = graft.ColName.topCol _
     val w = Window.partitionBy(groupCols.map(c): _*).orderBy(c(valueCol).asc)
