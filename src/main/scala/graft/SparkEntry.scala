@@ -1738,6 +1738,13 @@ object SparkEntry {
     // order per user): one conditional-min aggregation per user + one
     // global roll-up — two partial-aggregatable passes, exact integers,
     // no window, no self-join (the naive form is 3 self-joins)
+    // daily retention cohorts: first-activity day x offset -> distinct
+    // active users; integral-micros div keeps bucket edges engine-exact
+    "q_retention" -> ((s, dir) => {
+      val e = table(s, dir, "events")
+      graft.ext.Temporal.retentionCohorts(e, "user_id",
+        graft.streaming.EventStreams.eventMicros(e), 86400000000L)
+    }),
     "q_funnel" -> ((s, dir) => {
       val e = table(s, dir, "events")
       val us = graft.streaming.EventStreams.eventMicros(e)
@@ -3665,6 +3672,13 @@ object SparkEntry {
       // columns, key widened to bigint
       // same conditional-min funnel; NULL comparisons fall out of the
       // CASE the same way on both engines
+      "q_retention" ->
+        """WITH a AS (SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS b
+          |  FROM events WHERE user_id IS NOT NULL),
+          |c AS (SELECT u, min(b) AS c FROM a GROUP BY u)
+          |SELECT c.c AS cohort, a.b - c.c AS offset_buckets,
+          |  CAST(count(*) AS BIGINT) AS n_users
+          |FROM a JOIN c USING (u) GROUP BY 1, 2""".stripMargin,
       "q_funnel" ->
         """WITH per AS (
           |  SELECT user_id,

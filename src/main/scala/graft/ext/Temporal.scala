@@ -289,4 +289,38 @@ object Temporal {
         coalesce(col("n_events"), lit(0L)).alias("n_events"),
         coalesce(col("__sum"), lit(0L)).alias("sum_measure"))
   }
+
+  /** Retention cohorts — the classic "of the users who first appeared in
+    * bucket C, how many were active again C+k buckets later" matrix
+    * behind DAU/WAU retention curves. Cohort = the user's FIRST activity
+    * bucket (integral `div` on event-time micros); one output row per
+    * observed (cohort, offset ≥ 0) with its distinct-user count (offset 0
+    * row = the cohort's size). Gaps are absent rows, like [[resampleGapFill]]
+    * before the fill.
+    *
+    * `tsUs` must be integral event-time micros (float division would
+    * 1-ulp-drift bucket edges; same contract as resampleGapFill).
+    *
+    * 100 TB shape: one map-combinable (user, bucket) DISTINCT pass
+    * collapses the raw event mass first, so everything downstream — the
+    * per-user cohort min, the user-keyed self-join, the (cohort, offset)
+    * count — moves one tiny row per ACTIVE user-bucket, never per event.
+    * No window, no user × buckets cross product. */
+  def retentionCohorts(df: DataFrame, userCol: String,
+                       tsUs: org.apache.spark.sql.Column,
+                       bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"retentionCohorts: bucketUs must be > 0, got $bucketUs")
+    val u = graft.ColName.topCol(userCol)
+    val active = df.filter(u.isNotNull)
+      .select(u.alias("__u"), tsUs.cast("long").alias("__us"))
+      // integer DIV, not `/`: Column `/` on longs is DOUBLE division
+      // (1-ulp bucket-edge drift at e15-magnitude micros)
+      .select(col("__u"), expr(s"__us DIV $bucketUs").alias("__b"))
+      .distinct()
+    val cohorts = active.groupBy(col("__u")).agg(min(col("__b")).alias("__c"))
+    active.join(cohorts, Seq("__u"))
+      .groupBy(col("__c").alias("cohort"),
+        (col("__b") - col("__c")).alias("offset_buckets"))
+      .agg(count(lit(1)).alias("n_users"))
+  }
 }

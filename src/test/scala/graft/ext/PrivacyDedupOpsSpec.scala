@@ -48,6 +48,47 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     assert(many.map(_.getLong(0)).toSet == Set(1L))
   }
 
+  test("segmentDedup property: every segment md5 appears exactly once corpus-wide; reassembly preserves per-doc order") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 60L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(20))(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "text", "doc_id", segmentWords = 3)
+    // corpus-wide uniqueness: re-segmenting the OUTPUT must find nothing
+    // to drop (kept segments are w words except original tails, so the
+    // re-cut boundaries align and every md5 is already unique)
+    val reseg = Dedup.segmentDedup(out.select(col("doc_id"),
+      col("text_dedup").alias("text")), "text", "doc_id", 3)
+    val before = out.select(sum(col("n_segments"))).collect().head.getLong(0)
+    val after = reseg.select(sum(col("n_segments"))).collect().head.getLong(0)
+    assert(before == after, "re-deduping the output must be a no-op")
+    // idempotence on the text too
+    val a = out.select("doc_id", "text_dedup").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = reseg.select("doc_id", "text_dedup").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  // --------------------------------------------------- retentionCohorts
+
+  test("retentionCohorts: hand-checked cohort matrix; duplicate events count once") {
+    val day = 86400000000L
+    val df = Seq(
+      (1L, 0L), (1L, 0L),            // user 1, day 0 (dup event)
+      (1L, 1L),                      // day 1 -> offset 1
+      (2L, 0L),                      // cohort 0, never returns
+      (3L, 1L), (3L, 3L),            // cohort 1, offset 0 and 2
+      (4L, 1L)
+    ).map { case (u, d) => (u, d * day + 123L) }.toDF("user_id", "us")
+    val got = Temporal.retentionCohorts(df, "user_id", col("us"), day)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L,   // users 1, 2
+      (0L, 1L) -> 1L,   // user 1 back on day 1
+      (1L, 0L) -> 2L,   // users 3, 4
+      (1L, 2L) -> 1L))  // user 3 back on day 3
+  }
+
   // ----------------------------------------------------- nearDupClusters
 
   test("nearDupClusters: min-id labels, singletons label themselves, fixed points = survivors") {
