@@ -589,6 +589,12 @@ object SparkEntry {
       Curation.kAnonymize(table(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 3)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+    // l-diversity on the sensitive segment within each nation: nations
+    // whose customers span < 4 market segments are suppressed
+    "q_l_diversity" -> ((s, dir) =>
+      Curation.lDiversify(table(s, dir, "customer"),
+        Seq("c_nationkey"), "c_mktsegment", l = 4)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
     // the group-size histogram an anonymity policy reads to pick k
     "q_anonymity_profile" -> ((s, dir) =>
       Curation.anonymityProfile(table(s, dir, "customer"),
@@ -2310,6 +2316,11 @@ object SparkEntry {
           |  GROUP BY 1, 2 HAVING count(*) >= 3)
           |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
           |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+      "q_l_diversity" ->
+        """WITH g AS (SELECT c_nationkey FROM customer
+          |  GROUP BY 1 HAVING count(DISTINCT c_mktsegment) >= 4)
+          |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+          |FROM customer c JOIN g USING (c_nationkey)""".stripMargin,
       "q_anonymity_profile" ->
         """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS group_size
           |  FROM customer GROUP BY 1, 2)

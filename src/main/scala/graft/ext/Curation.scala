@@ -851,6 +851,35 @@ object Curation {
     df.join(bigEnough, cond, "left_semi")
   }
 
+  /** l-diversity suppression — [[kAnonymize]]'s companion on the
+    * SENSITIVE attribute: keep only rows whose quasi-identifier group
+    * contains at least `l` DISTINCT values of `sensitiveCol` (a k-anonymous
+    * group that is all one diagnosis still leaks it; distinct-l-diversity
+    * is the standard next screen). Null sensitive values count as one
+    * distinct value like any other (count_distinct skips nulls, so they
+    * are bucketed explicitly).
+    *
+    * Same 100 TB shape as kAnonymize: one map-side-combinable groupBy
+    * over the QI key (count_distinct partial-aggregates), tiny surviving
+    * key set, AQE broadcast-converts the null-safe semi-join. */
+  def lDiversify(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "lDiversify: need at least one QI column")
+    require(l >= 1, s"lDiversify: l must be >= 1, got $l")
+    val qi = qiCols.map(graft.ColName.topCol)
+    val s = graft.ColName.topCol(sensitiveCol)
+    val diverse = df.groupBy(qi: _*)
+      .agg((count_distinct(s) +
+        max(when(s.isNull, 1L).otherwise(0L))).alias("__l"))
+      .filter(col("__l") >= l)
+      .select(qiCols.map(c =>
+        graft.ColName.topCol(c).alias("__ld_" + c.replace(".", "_"))): _*)
+    val cond = qiCols.map(c =>
+      graft.ColName.topCol(c) <=> col("__ld_" + c.replace(".", "_")))
+      .reduce(_ && _)
+    df.join(diverse, cond, "left_semi")
+  }
+
   /** Per-group size profile behind [[kAnonymize]]: for each group size
     * observed over the QI key, how many groups and rows carry it —
     * the histogram an anonymity policy reads to pick k. Output:

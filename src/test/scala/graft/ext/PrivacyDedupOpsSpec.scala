@@ -144,6 +144,19 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     assert(Curation.kAnonymize(df, Seq("qa", "qb"), k = 4).count() == 0)
   }
 
+  test("lDiversify: suppresses groups below l distinct sensitive values; null is a value") {
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "y"), (3L, "a", "x"),                  // 2 distinct
+      (4L, "b", "x"), (5L, "b", "x"),                                  // 1 distinct
+      (6L, "c", "x"), (7L, "c", null.asInstanceOf[String])             // x + null = 2
+    ).toDF("id", "qi", "s")
+    def kept(l: Int) = Curation.lDiversify(df, Seq("qi"), "s", l)
+      .select("id").as[Long].collect().toSet
+    assert(kept(2) == Set(1L, 2L, 3L, 6L, 7L))
+    assert(kept(1) == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(kept(3).isEmpty)
+  }
+
   test("anonymityProfile: group-size histogram with row totals") {
     val df = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"),
