@@ -193,6 +193,57 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     assert(kept == Set(2L, 5L))
   }
 
+  // ------------------------------------------------- randomized invariants
+
+  test("topPByScore invariants on random groups: coverage, minimality, monotonicity") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 400L).map(i =>
+      (s"g${rnd.nextInt(12)}", i, 1L + rnd.nextInt(100)))
+    val df = rows.toDF("g", "id", "score")
+    for (p <- Seq(0.25, 0.5, 0.9)) {
+      val kept = Curation.topPByScore(df, "g", "id", "score", p)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val keptByG = kept.groupBy(_._1)
+      val totals = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._3).sum }
+      totals.foreach { case (g, total) =>
+        val ks = keptByG.getOrElse(g, Array.empty)
+        assert(ks.nonEmpty, s"group $g must keep >= 1 row at p=$p")
+        val keptSum = ks.map(_._3).sum
+        // coverage: kept mass reaches the budget (crossing row included)
+        assert(keptSum >= p * total, s"$g keeps $keptSum < $p*$total")
+        // minimality: removing the worst kept row drops below the budget
+        val worst = ks.minBy(r => (r._3, -r._2))
+        assert(keptSum - worst._3 < p * total,
+          s"$g kept more than the crossing row needs at p=$p")
+      }
+      // the kept set is exactly the top rows by (score desc, id asc)
+      keptByG.foreach { case (g, ks) =>
+        val order = rows.filter(_._1 == g).sortBy(r => (-r._3, r._2))
+        assert(ks.map(_._2).toSet == order.take(ks.length).map(_._2).toSet,
+          s"$g kept a non-prefix of the score order")
+      }
+    }
+  }
+
+  test("kAnonymize invariants on random QI data: surviving groups >= k, k=1 is identity") {
+    val rnd = new scala.util.Random(23)
+    val df = (1L to 300L).map(i =>
+      (i, s"n${rnd.nextInt(20)}", s"s${rnd.nextInt(4)}"))
+      .toDF("id", "qa", "qb")
+    for (k <- Seq(2, 5, 9)) {
+      val kept = Curation.kAnonymize(df, Seq("qa", "qb"), k)
+      val sizes = kept.groupBy("qa", "qb").count()
+        .select("count").as[Long].collect()
+      assert(sizes.forall(_ >= k), s"k=$k left an under-k group")
+      // suppression only ever removes WHOLE groups
+      val total = df.groupBy("qa", "qb").count()
+        .filter(col("count") >= k)
+        .select(sum(col("count"))).collect().head.getLong(0)
+      assert(kept.count() == total)
+    }
+    assert(Curation.kAnonymize(df, Seq("qa", "qb"), 1).count() == 300L)
+  }
+
   // ---------------------------------------------------------- kmeansAssign
 
   test("kmeansAssign: seed-centroid labels are the nearest-cosine centroid") {
