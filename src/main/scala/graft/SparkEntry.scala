@@ -571,6 +571,18 @@ object SparkEntry {
     // per-registrable-domain crawl profile over the same synthetic urls
     "q_url_domains" -> ((s, dir) =>
       Dedup.domainStats(crawlUrls(s, dir), "url", "doc_id")),
+    // asymmetric containment pairs (quote-inclusion screen) over the
+    // first 100 docs; unrounded single-division doubles
+    "q_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(
+        table(s, dir, "documents").filter(col("doc_id") < 100),
+        "text", "doc_id", n = 2, threshold = 0.5)),
+    // recency-decay sampling at exact base-2 rates: synthetic age =
+    // doc_id % 8 buckets, keep iff hashUnit(doc_id) < 2^-age
+    "q_decay_sample" -> ((s, dir) =>
+      Curation.decaySample(table(s, dir, "documents"), "doc_id",
+        col("doc_id") % 8)
+        .select(col("doc_id"), col("source"))),
     // exact-substring dedup at 10-word segment granularity: corpus-wide
     // first occurrence wins, docs reassembled from surviving segments
     "q_dedup_segments" -> ((s, dir) =>
@@ -2275,6 +2287,30 @@ object SparkEntry {
       "q_dedup_exact" ->
         """SELECT min(doc_id) AS doc_id FROM documents
           |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
+      "q_containment_pairs" ->
+        """WITH d AS (SELECT doc_id,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+          |sh AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
+          |         ELSE list_distinct(list_transform(range(1, len(toks)),
+          |                i -> toks[i] || ' ' || toks[i+1])) END AS sh
+          |  FROM d),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    CASE WHEN len(a.sh) = 0 THEN 0.0
+          |         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) END
+          |      AS containment
+          |  FROM sh a, sh b WHERE a.doc_id != b.doc_id)
+          |SELECT id_a, id_b, containment FROM pairs WHERE containment >= 0.5""".stripMargin,
+      "q_decay_sample" ->
+        s"""WITH t AS (SELECT doc_id, source,
+           |    ${Curation.hashUnitSql("doc_id")} AS u,
+           |    CAST(doc_id % 8 AS BIGINT) AS age
+           |  FROM documents)
+           |SELECT doc_id, source FROM t WHERE u < power(0.5, age)""".stripMargin,
       // 10-word segments, first occurrence by (doc_id, seg_idx) wins
       // corpus-wide, survivors re-joined in order
       "q_dedup_segments" ->

@@ -928,6 +928,28 @@ object Curation {
       .drop("__before", "__total")
   }
 
+  /** Recency-decay sampling: keep a row iff
+    * `hashUnit(id) < 2^(-ageBuckets)` — each age bucket HALVES the keep
+    * probability (fresh rows always survive at age 0), the standard
+    * recency bias of a continuously-refreshed training corpus. Base-2
+    * rates on purpose: `pow(0.5, k)` is EXACT in double for any integral
+    * k, so the keep decision is bit-identical across engines — an
+    * `exp(-λ·age)` rate would 1-ulp-drift at libm boundaries and flip
+    * boundary rows (the [[hashedLinearScore]] dyadic lesson applied to
+    * sampling). `maxAge` caps the exponent so antique rows get rate
+    * `2^(-maxAge)` rather than a denormal. Pure per-row expression —
+    * zero shuffles, deterministic under retries/repartitioning.
+    *
+    * `ageBuckets` must be an integral non-negative Column (e.g.
+    * `lit(currentBucket) - ts div bucketUs`). */
+  def decaySample(df: DataFrame, idCol: String, ageBuckets: Column,
+                  maxAge: Int = 62): DataFrame = {
+    require(maxAge >= 0 && maxAge <= 62,
+      s"decaySample: maxAge must be in [0, 62], got $maxAge")
+    val rate = pow(lit(0.5), least(ageBuckets.cast("long"), lit(maxAge.toLong)))
+    df.filter(hashUnit(graft.ColName.topCol(idCol)) < rate)
+  }
+
   /** Hashing-trick linear text scorer — the shape of a fastText-style
     * quality classifier's inference pass: each token hashes (md5-derived
     * 60-bit key, engine-portable) into one of `nBuckets` feature buckets,

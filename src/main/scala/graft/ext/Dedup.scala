@@ -214,6 +214,34 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")), 6).alias("jaccard"))
   }
 
+  /** All-pairs n-gram CONTAINMENT above a threshold — the asymmetric
+    * companion to [[ngramJaccardPairs]]: containment(a in b) =
+    * |grams(a) ∩ grams(b)| / |grams(a)|. Jaccard misses quote-inclusion
+    * (a tweet embedded in an article scores low symmetric similarity but
+    * containment ≈ 1); this is the screen for "document A is mostly
+    * inside document B". Emits one row per ORDERED pair direction that
+    * clears the threshold. Exact and quadratic — the correctness
+    * baseline; at scale block with [[minhashCandidates]] first and
+    * verify candidates with [[containment]]. */
+  def containment(a: Column, b: Column): Column = graft.ColExprs.once(
+      size(array_intersect(a, b)).cast("double"))(inter =>
+    when(size(a) === 0, 0.0).otherwise(inter / size(a)))
+
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       n: Int, threshold: Double): DataFrame = {
+    require(n >= 1, s"containmentPairs: n must be >= 1, got $n")
+    val withSh = df.select(col(idCol), wordShingles(col(textCol), n).alias("__sh"))
+    val l = withSh.select(col(idCol).alias("id_a"), col("__sh").alias("sh_a"))
+    val r = withSh.select(col(idCol).alias("id_b"), col("__sh").alias("sh_b"))
+    // UNROUNDED on purpose: one division of identical ints is already
+    // bit-identical cross-engine, while 6-dp rounding can tie exactly at
+    // .5 for dyadic ratios (the hashedLinearScore lesson)
+    l.join(r, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        containment(col("sh_a"), col("sh_b")).alias("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Exact Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -89,6 +89,41 @@ class PrivacyDedupOpsSpec extends SparkSpec {
       (1L, 2L) -> 1L))  // user 3 back on day 3
   }
 
+  // --------------------------------------------------- containmentPairs
+
+  test("containmentPairs: quote-inclusion scores asymmetrically; jaccard would miss it") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),                                     // 2 bigrams
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota")    // superset
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "text", "doc_id", n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // doc 1's bigrams are all inside doc 2 -> containment 1.0 that way only
+    assert(got == Map((1L, 2L) -> 1.0))
+    // the symmetric jaccard on the same pair is low (2 of 8 bigrams)
+    val j = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 2, 0.0)
+      .collect().head.getDouble(2)
+    assert(j < 0.5)
+  }
+
+  // ------------------------------------------------------- decaySample
+
+  test("decaySample: age 0 always survives, rates halve per bucket, deterministic") {
+    val df = (0L until 2000L).map(i => (i, i % 4)).toDF("id", "age")
+    val kept = Curation.decaySample(df, "id", col("age"))
+    val byAge = kept.groupBy("age").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byAge(0L) == 500L)                       // 2^0 = keep all
+    // halving within binomial 4-sigma of 250/125/62.5
+    assert(math.abs(byAge(1L) - 250L) < 80, byAge.toString)
+    assert(math.abs(byAge(2L) - 125L) < 60, byAge.toString)
+    val again = Curation.decaySample(df.repartition(9), "id", col("age"))
+    assert(kept.except(again).count() == 0 && again.except(kept).count() == 0)
+    intercept[IllegalArgumentException] {
+      Curation.decaySample(df, "id", col("age"), maxAge = 63)
+    }
+  }
+
   // ----------------------------------------------------- nearDupClusters
 
   test("nearDupClusters: min-id labels, singletons label themselves, fixed points = survivors") {
