@@ -572,10 +572,13 @@ object SparkEntry {
     "q_url_domains" -> ((s, dir) =>
       Dedup.domainStats(crawlUrls(s, dir), "url", "doc_id")),
     // asymmetric containment pairs (quote-inclusion screen) over the
-    // first 100 docs; unrounded single-division doubles
+    // first 400 docs; unrounded single-division doubles. 400 (not 100):
+    // the first-100 slice has max containment 0.45 at sf0.01, which made
+    // the 0.5-threshold parity check vacuously 0-row — 400 emits 30-38
+    // boundary-straddling pairs at every sf
     "q_containment_pairs" -> ((s, dir) =>
       Dedup.containmentPairs(
-        table(s, dir, "documents").filter(col("doc_id") < 100),
+        table(s, dir, "documents").filter(col("doc_id") < 400),
         "text", "doc_id", n = 2, threshold = 0.5)),
     // recency-decay sampling at exact base-2 rates: synthetic age =
     // doc_id % 8 buckets, keep iff hashUnit(doc_id) < 2^-age
@@ -2291,7 +2294,7 @@ object SparkEntry {
         """WITH d AS (SELECT doc_id,
           |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
           |                x -> len(x) > 0) AS toks
-          |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+          |  FROM documents WHERE doc_id < 400 AND text IS NOT NULL),
           |sh AS (
           |  SELECT doc_id,
           |    CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
@@ -2352,9 +2355,13 @@ object SparkEntry {
           |  GROUP BY 1, 2 HAVING count(*) >= 3)
           |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
           |FROM customer c JOIN g USING (c_nationkey, c_mktsegment)""".stripMargin,
+      // null-bucket mirrors lDiversify's documented semantics (a null
+      // sensitive value counts as one extra distinct value); vacuous on
+      // non-null c_mktsegment but keeps the parity check honest
       "q_l_diversity" ->
         """WITH g AS (SELECT c_nationkey FROM customer
-          |  GROUP BY 1 HAVING count(DISTINCT c_mktsegment) >= 4)
+          |  GROUP BY 1 HAVING count(DISTINCT c_mktsegment)
+          |    + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) >= 4)
           |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
           |FROM customer c JOIN g USING (c_nationkey)""".stripMargin,
       "q_anonymity_profile" ->
@@ -2370,10 +2377,11 @@ object SparkEntry {
         """WITH t AS (SELECT doc_id, source, n_chars,
           |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
-          |    sum(n_chars) OVER (PARTITION BY source) AS tot
+          |    sum(n_chars) OVER (PARTITION BY source) AS tot,
+          |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
           |  FROM documents)
           |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
-          |FROM t WHERE bef < 0.5 * tot""".stripMargin,
+          |FROM t WHERE rn = 1 OR bef < 0.5 * tot""".stripMargin,
       // argmax 6-dp cosine against the 16 lowest-id seed centroids,
       // ties to the lowest centroid id (same ranking as the knn oracle)
       "q_kmeans_assign" ->

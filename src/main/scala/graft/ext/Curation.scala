@@ -900,6 +900,11 @@ object Curation {
     * at least one. The per-group analogue of quality-score "keep the best
     * half of every source" curation policies.
     *
+    * Scores must be NON-NEGATIVE (negative scores make a prefix-mass
+    * budget meaningless). The top-ranked row of every group is kept
+    * unconditionally, so an all-zero (or all-null) score group still
+    * keeps its best row instead of vanishing on the 0 < 0 boundary.
+    *
     * Determinism contract (same as [[mixtureSample]]): with an INTEGRAL
     * `scoreCol` the prefix sums are exact in any association order and
     * the kept set is engine-reproducible bit-for-bit; fractional scores
@@ -913,19 +918,23 @@ object Curation {
   def topPByScore(df: DataFrame, groupCol: String, idCol: String,
                   scoreCol: String, p: Double): DataFrame = {
     require(p > 0.0 && p <= 1.0, s"topPByScore: p must be in (0, 1], got $p")
-    require(!df.columns.contains("__before") && !df.columns.contains("__total"),
-      "topPByScore: input uses the reserved __before/__total staging names")
+    require(!df.columns.contains("__before") && !df.columns.contains("__total")
+        && !df.columns.contains("__rn"),
+      "topPByScore: input uses the reserved __before/__total/__rn staging names")
     import org.apache.spark.sql.expressions.Window
     val g = graft.ColName.topCol(groupCol)
     val score = graft.ColName.topCol(scoreCol)
-    val wOrd = Window.partitionBy(g)
+    val ord = Window.partitionBy(g)
       .orderBy(score.desc, graft.ColName.topCol(idCol).asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOrd = ord.rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(g)
+    // __rn shares wOrd's partitioning AND sort, so all three window
+    // functions ride the one Exchange + one Sort
     df.withColumn("__before", coalesce(sum(score).over(wOrd), lit(0L)))
       .withColumn("__total", sum(score).over(wAll))
-      .filter(col("__before") < lit(p) * col("__total"))
-      .drop("__before", "__total")
+      .withColumn("__rn", row_number().over(ord))
+      .filter(col("__rn") === 1 || col("__before") < lit(p) * col("__total"))
+      .drop("__before", "__total", "__rn")
   }
 
   /** Recency-decay sampling: keep a row iff
@@ -941,13 +950,20 @@ object Curation {
     * zero shuffles, deterministic under retries/repartitioning.
     *
     * `ageBuckets` must be an integral non-negative Column (e.g.
-    * `lit(currentBucket) - ts div bucketUs`). */
+    * `lit(currentBucket) - ts div bucketUs`); a null or negative age
+    * raises at runtime (a negative age would yield rate > 1 — silently
+    * keep-everything — and a null would silently drop the row). */
   def decaySample(df: DataFrame, idCol: String, ageBuckets: Column,
                   maxAge: Int = 62): DataFrame = {
     require(maxAge >= 0 && maxAge <= 62,
       s"decaySample: maxAge must be in [0, 62], got $maxAge")
-    val rate = pow(lit(0.5), least(ageBuckets.cast("long"), lit(maxAge.toLong)))
-    df.filter(hashUnit(graft.ColName.topCol(idCol)) < rate)
+    val b = ageBuckets.cast("long")
+    val checked = when(b.isNull || b < 0,
+        raise_error(concat(lit("decaySample: ageBuckets must be a " +
+          "non-negative integral value, got "),
+          coalesce(b.cast("string"), lit("null")))).cast("long"))
+      .otherwise(least(b, lit(maxAge.toLong)))
+    df.filter(hashUnit(graft.ColName.topCol(idCol)) < pow(lit(0.5), checked))
   }
 
   /** Hashing-trick linear text scorer — the shape of a fastText-style

@@ -313,9 +313,13 @@ object Temporal {
     val u = graft.ColName.topCol(userCol)
     val active = df.filter(u.isNotNull)
       .select(u.alias("__u"), tsUs.cast("long").alias("__us"))
-      // integer DIV, not `/`: Column `/` on longs is DOUBLE division
-      // (1-ulp bucket-edge drift at e15-magnitude micros)
-      .select(col("__u"), expr(s"__us DIV $bucketUs").alias("__b"))
+      // exact integer FLOOR division (DIV truncates toward zero, which
+      // diverges from DuckDB's // for pre-epoch negative micros; the
+      // pmod-adjusted numerator is an exact multiple of bucketUs, so
+      // DIV on it is exact floor division — and never DOUBLE `/`,
+      // which 1-ulp-drifts bucket edges at e15-magnitude micros)
+      .select(col("__u"),
+        expr(s"(__us - pmod(__us, ${bucketUs}L)) DIV ${bucketUs}L").alias("__b"))
       .distinct()
     val cohorts = active.groupBy(col("__u")).agg(min(col("__b")).alias("__c"))
     active.join(cohorts, Seq("__u"))

@@ -89,6 +89,16 @@ class PrivacyDedupOpsSpec extends SparkSpec {
       (1L, 2L) -> 1L))  // user 3 back on day 3
   }
 
+  test("retentionCohorts: pre-epoch micros floor-divide (DuckDB // semantics, not DIV)") {
+    val day = 86400000000L
+    // user 1 active 1us before epoch and on day 0: floor puts the first
+    // activity in bucket -1 (truncating DIV would collapse both to 0)
+    val df = Seq((1L, -1L), (1L, 123L)).toDF("user_id", "us")
+    val got = Temporal.retentionCohorts(df, "user_id", col("us"), day)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((-1L, 0L) -> 1L, (-1L, 1L) -> 1L), got.toString)
+  }
+
   // --------------------------------------------------- containmentPairs
 
   test("containmentPairs: quote-inclusion scores asymmetrically; jaccard would miss it") {
@@ -122,6 +132,19 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curation.decaySample(df, "id", col("age"), maxAge = 63)
     }
+  }
+
+  test("decaySample: negative or null age fails loudly instead of silently keeping/dropping") {
+    val neg = Seq((1L, 2L), (2L, -1L)).toDF("id", "age")
+    val eNeg = intercept[Exception] {
+      Curation.decaySample(neg, "id", col("age")).count()
+    }
+    assert(eNeg.getMessage.contains("non-negative"), eNeg.getMessage)
+    val withNull = Seq((1L, Some(2L)), (2L, None)).toDF("id", "age")
+    val eNull = intercept[Exception] {
+      Curation.decaySample(withNull, "id", col("age")).count()
+    }
+    assert(eNull.getMessage.contains("non-negative"), eNull.getMessage)
   }
 
   // ----------------------------------------------------- nearDupClusters
@@ -217,6 +240,17 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     // p=0.6: before=5 < 6 admits the second row
     assert(ids(0.6) == Set(1L, 2L, 4L))
     assert(ids(1.0) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("topPByScore: an all-zero-score group keeps exactly its first-ranked row") {
+    val df = Seq(
+      ("dead", 7L, 0L), ("dead", 3L, 0L),   // total 0: 0 < p*0 never holds
+      ("live", 1L, 5L), ("live", 2L, 5L)
+    ).toDF("src", "id", "score")
+    val kept = Curation.topPByScore(df, "src", "id", "score", 0.5)
+      .select("id").as[Long].collect().toSet
+    // dead keeps its tie-broken best (lowest id), live keeps the crossing row
+    assert(kept == Set(3L, 1L), kept.toString)
   }
 
   test("topPByScore: score ties break by ascending id") {
