@@ -35,6 +35,16 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/sf1.0"
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# BASE: how many sf0.1-units the SOURCE already contains. Key offsets are
+# k * cardinality(sf0.1 table) * BASE so the protocol composes:
+#   sf0.1 -> sf1.0 : BASE=1  (default)
+#   sf1.0 -> sf10  : BASE=10 (python3 scripts_make_sf1.py target/sf1.0 target/sf10 10 10)
+# Copy 0 stays the identity, so absolute-id-bounded gates see the sf0.1
+# subset at EVERY scale. Second-level embedding rotations can coincide
+# mod 64 (j + 10k wraps) — duplicate vectors under distinct vec_ids are
+# accepted: no gate depends on sf10 vector uniqueness, and real corpora
+# carry exact dups anyway.
+BASE = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
@@ -58,35 +68,35 @@ copy_asis("region")
 copy_asis("nation")
 
 upscale("customer", lambda k: f"""
-  SELECT c_custkey + {k * 15000} AS c_custkey, c_name, c_nationkey,
+  SELECT c_custkey + {k * 15000 * BASE} AS c_custkey, c_name, c_nationkey,
          c_acctbal, c_mktsegment
   FROM '{SRC}/customer.parquet'""")
 
 upscale("supplier", lambda k: f"""
-  SELECT s_suppkey + {k * 1000} AS s_suppkey, s_name, s_nationkey, s_acctbal
+  SELECT s_suppkey + {k * 1000 * BASE} AS s_suppkey, s_name, s_nationkey, s_acctbal
   FROM '{SRC}/supplier.parquet'""")
 
 upscale("part", lambda k: f"""
-  SELECT p_partkey + {k * 20000} AS p_partkey, p_name, p_brand, p_type,
+  SELECT p_partkey + {k * 20000 * BASE} AS p_partkey, p_name, p_brand, p_type,
          p_size, p_retailprice
   FROM '{SRC}/part.parquet'""")
 
 upscale("orders", lambda k: f"""
-  SELECT o_orderkey + {k * 150000} AS o_orderkey,
-         o_custkey + {k * 15000} AS o_custkey,
+  SELECT o_orderkey + {k * 150000 * BASE} AS o_orderkey,
+         o_custkey + {k * 15000 * BASE} AS o_custkey,
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM '{SRC}/orders.parquet'""")
 
 upscale("lineitem", lambda k: f"""
-  SELECT l_orderkey + {k * 150000} AS l_orderkey,
-         l_partkey + {k * 20000} AS l_partkey,
-         l_suppkey + {k * 1000} AS l_suppkey,
+  SELECT l_orderkey + {k * 150000 * BASE} AS l_orderkey,
+         l_partkey + {k * 20000 * BASE} AS l_partkey,
+         l_suppkey + {k * 1000 * BASE} AS l_suppkey,
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
          l_returnflag, l_linestatus, l_shipdate
   FROM '{SRC}/lineitem.parquet'""")
 
 upscale("documents", lambda k: f"""
-  SELECT doc_id + {k * 5000} AS doc_id,
+  SELECT doc_id + {k * 5000 * BASE} AS doc_id,
          {'text' if k == 0 else f"text || ' repk{k}'"} AS text,
          lang, source,
          {'n_chars' if k == 0 else f"length(text || ' repk{k}')"} AS n_chars
@@ -95,9 +105,9 @@ upscale("documents", lambda k: f"""
 # embeddings: rotate by k (1-indexed duckdb list slicing); FLOAT[] type is
 # preserved by casting the rebuilt list back
 upscale("embeddings", lambda k: f"""
-  SELECT vec_id + {k * 2000} AS vec_id,
+  SELECT vec_id + {k * 2000 * BASE} AS vec_id,
          CAST({'embedding' if k == 0 else
-               f'embedding[{k + 1}:64] || embedding[1:{k}]'}
+               f'embedding[{(k * BASE) % 64 + 1}:64] || embedding[1:{(k * BASE) % 64}]'}
               AS FLOAT[]) AS embedding,
          label
   FROM '{SRC}/embeddings.parquet'""")
@@ -110,9 +120,9 @@ batches = []
 for k in range(K):
     t = tbl
     t = t.set_column(t.schema.get_field_index("event_id"), "event_id",
-                     pc.add(t.column("event_id"), 100000 * k))
+                     pc.add(t.column("event_id"), 100000 * k * BASE))
     t = t.set_column(t.schema.get_field_index("user_id"), "user_id",
-                     pc.add(t.column("user_id"), 1500 * k))
+                     pc.add(t.column("user_id"), 1500 * k * BASE))
     batches.append(t)
 import pyarrow as pa  # noqa: E402
 out = pa.concat_tables(batches)

@@ -466,6 +466,23 @@ object Bench {
           spark.range(1000000).select((col("id") % 1000).alias("g"),
             col("id").alias("id"), ((col("id") * 37) % 1000).alias("score")),
           "g", "id", "score", p = 0.5), () => ())
+      // the skew pair: one 'mega' group holds 50% of 8M rows. The plain
+      // form funnels that group into ONE window task; the bucketed form
+      // sorts only the crossing band, split across 32 score bands — the
+      // pair measures exactly that delta (same data, same kept set,
+      // oracle-gated by q_top_p_skewed). 8M: below that, local[32]
+      // in-memory sorts are so cheap the two-phase constant costs mask
+      // the structural win the operator exists for.
+      case n @ (NmScaleTopPSkewPlain | NmScaleTopPSkewBuck) => Prepared(() => {
+        val skewed = spark.range(8000000).select(
+          when(col("id") % 2 === 0, lit("mega"))
+            .otherwise((col("id") % 1000).cast("string")).alias("g"),
+          col("id").alias("id"), ((col("id") * 37) % 1000).alias("score"))
+        if (n == NmScaleTopPSkewBuck)
+          graft.ext.Curation.topPByScoreBucketed(
+            skewed, "g", "id", "score", p = 0.5, buckets = 32)
+        else graft.ext.Curation.topPByScore(skewed, "g", "id", "score", p = 0.5)
+      }, () => ())
       // Lloyd training + narrow assignment at nlist=64: the clustering
       // cost model is iters x (broadcast crossJoin + per-centroid mean);
       // the assignment itself adds NO shuffle on top
@@ -502,6 +519,8 @@ object Bench {
   private[graft] val NmScaleJoinBloom = "scale_selective_join_bloom"
   private[graft] val NmScaleSegDedup = "scale_segment_dedup"
   private[graft] val NmScaleTopP = "scale_top_p"
+  private[graft] val NmScaleTopPSkewPlain = "scale_top_p_skewed_plain"
+  private[graft] val NmScaleTopPSkewBuck = "scale_top_p_skewed_bucketed"
   private[graft] val NmScaleKmeans = "scale_kmeans"
   private[graft] val NmScaleQuality = "scale_quality_report"
   private[graft] val seqPackingShards = Seq(8, 64)
@@ -510,7 +529,8 @@ object Bench {
   private[graft] val scaleScenarioNames: Seq[String] =
     Seq(NmScaleDedup, NmScaleHotBucket, NmScaleSemDedup, NmScaleSpans,
       NmScaleDropSpans, NmScalePackMerge, NmScaleJoinPlain, NmScaleJoinBloom,
-      NmScaleSegDedup, NmScaleTopP, NmScaleKmeans, NmScaleQuality) ++
+      NmScaleSegDedup, NmScaleTopP, NmScaleTopPSkewPlain, NmScaleTopPSkewBuck,
+      NmScaleKmeans, NmScaleQuality) ++
     seqPackingShards.map(s => s"scale_seq_packing_$s") ++
     knnQueryCounts.map(n => s"scale_knn_${n}q") ++
     autoPackKeys.map(k => s"auto_pack_$k")

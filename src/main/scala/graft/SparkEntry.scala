@@ -621,6 +621,18 @@ object SparkEntry {
       Curation.topPByScore(table(s, dir, "documents"), "source", "doc_id",
         "n_chars", p = 0.5)
         .select(col("doc_id"), col("source"), col("n_chars"))),
+    // the skew-proof two-phase variant against the SAME window-SQL
+    // semantics, on a deliberately skewed regrouping (half the corpus in
+    // one 'mega' group — the shape that funnels the plain form into one
+    // window task)
+    "q_top_p_skewed" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("mega")).otherwise(col("source"))
+          .alias("grp"),
+        col("n_chars"))
+      Curation.topPByScoreBucketed(d, "grp", "doc_id", "n_chars", p = 0.5,
+        buckets = 32)
+    }),
     // k-means cluster labels at seed centroids (trainIters = 0 keeps the
     // centroid set SQL-derivable; Lloyd refinement is spec-gated)
     "q_kmeans_assign" -> ((s, dir) =>
@@ -2381,6 +2393,19 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rn
           |  FROM documents)
           |SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+          |FROM t WHERE rn = 1 OR bef < 0.5 * tot""".stripMargin,
+      // the bucketed variant must satisfy the IDENTICAL window definition
+      "q_top_p_skewed" ->
+        """WITH d AS (SELECT doc_id,
+          |    CASE WHEN doc_id % 2 = 0 THEN 'mega' ELSE source END AS grp, n_chars
+          |  FROM documents),
+          |t AS (SELECT doc_id, grp, n_chars,
+          |    coalesce(sum(n_chars) OVER (PARTITION BY grp ORDER BY n_chars DESC, doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef,
+          |    sum(n_chars) OVER (PARTITION BY grp) AS tot,
+          |    row_number() OVER (PARTITION BY grp ORDER BY n_chars DESC, doc_id ASC) AS rn
+          |  FROM d)
+          |SELECT doc_id, grp, CAST(n_chars AS BIGINT) AS n_chars
           |FROM t WHERE rn = 1 OR bef < 0.5 * tot""".stripMargin,
       // argmax 6-dp cosine against the 16 lowest-id seed centroids,
       // ties to the lowest centroid id (same ranking as the knn oracle)

@@ -937,6 +937,103 @@ object Curation {
       .drop("__before", "__total", "__rn")
   }
 
+  /** Skew-proof [[topPByScore]]: identical kept set, but a giant group
+    * never funnels into one window task. The [[mixtureSample]] two-phase
+    * cut re-keyed to SCORE order: per-group [min, max] score bounds (one
+    * map-combinable agg) split each group into ≤`buckets` contiguous
+    * UNIFORM score bands; per-(group, band) sums classify whole bands as
+    * fully-kept / dropped with a window over the ≤groups×buckets-row band
+    * table; only the ONE crossing band per group runs the exact ordered
+    * prefix — partitioned by (group, band), so a task sorts ~1/buckets of
+    * a group, not the group. Three map-combinable shuffles + one tiny
+    * window instead of one skew-prone corpus window.
+    *
+    * The kept set is banding-INDEPENDENT: any monotone assignment that
+    * co-buckets equal scores yields the same full/drop classification
+    * outcome (full bands are provably all-before-budget, dropped bands
+    * provably all-at-or-past it, and the crossing band is re-checked
+    * row-exactly) — so cheap codegen'd uniform arithmetic replaces
+    * quantile edges with no correctness cost. Uniform bands can be
+    * UNBALANCED under heavy-tailed scores; that only inflates the one
+    * crossing band's sort, never the answer.
+    *
+    * Same determinism contract as the plain form (integral scores →
+    * engine-exact boundary: double partial sums are exact below 2^53);
+    * null/negative scores raise loudly (mixtureSample's contract — the
+    * plain form documents the same requirement). Caveat: a group whose
+    * rows mostly share one score value degenerates to the plain form's
+    * one-task sort within that band (constant-score groups have no
+    * distributable order anyway). */
+  def topPByScoreBucketed(df: DataFrame, groupCol: String, idCol: String,
+                          scoreCol: String, p: Double,
+                          buckets: Int = 32): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"topPByScoreBucketed: p in (0, 1], got $p")
+    require(buckets >= 2 && buckets <= 4096,
+      s"topPByScoreBucketed: buckets in [2, 4096], got $buckets")
+    val reserved = df.columns.filter(_.startsWith("__tp_"))
+    require(reserved.isEmpty,
+      s"topPByScoreBucketed: input uses reserved __tp_* names: ${reserved.mkString(",")}")
+    import org.apache.spark.sql.expressions.Window
+    val g = graft.ColName.topCol(groupCol)
+    val id = graft.ColName.topCol(idCol)
+    val score = graft.ColName.topCol(scoreCol)
+    val checked = when(score.isNotNull && score >= 0, score.cast("double"))
+      .otherwise(raise_error(concat(
+        lit("topPByScoreBucketed: null/negative score for id "),
+        id.cast("string"))))
+    // phase 0: per-group total + score bounds (ONE map-combinable agg;
+    // the stats table is |groups| rows)
+    val stats = df.groupBy(g.alias("__tp_g")).agg(
+      sum(checked).alias("__tp_total"),
+      min(checked).alias("__tp_min"), max(checked).alias("__tp_max"))
+    // uniform band over [min, max], DESC (band 0 = top scores): pure
+    // codegen'd arithmetic, a deterministic function of score alone —
+    // ties co-band, so the id tie-break order never straddles a band
+    val joined = df.join(broadcast(stats), g <=> col("__tp_g"))
+    val span = col("__tp_max") - col("__tp_min")
+    val band = when(span <= 0.0, lit(0)).otherwise(least(
+      floor((col("__tp_max") - score.cast("double")) / span * buckets)
+        .cast("int"), lit(buckets - 1))).alias("__tp_b")
+    val rows = joined.select(df.columns.map(c => col(graft.ColName.quote(c)))
+      :+ col("__tp_total") :+ band :+ checked.alias("__tp_m"): _*)
+    // phase 1: per-(group, band) sums; classification windows run over
+    // ≤ groups×buckets rows, never corpus rows
+    val perBand = rows.groupBy(g, col("__tp_b"))
+      .agg(sum(col("__tp_m")).alias("__tp_w"),
+        first(col("__tp_total")).alias("__tp_total"))
+    val bOrd = Window.partitionBy(g).orderBy(col("__tp_b"))
+    val bw = bOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val budget = lit(p) * col("__tp_total")
+    val classified = perBand
+      .withColumn("__tp_cum", coalesce(sum(col("__tp_w")).over(bw), lit(0.0)))
+      // the group's FIRST populated band is never dropped: it holds the
+      // group's top-ranked row, which survives unconditionally (the
+      // all-zero-score guard of the plain form)
+      .withColumn("__tp_first", row_number().over(bOrd) === 1)
+      .withColumn("__tp_full", col("__tp_cum") + col("__tp_w") < budget)
+      .filter(col("__tp_first") || col("__tp_cum") < budget)
+      .select(g.alias("__tp_gj"), col("__tp_b").alias("__tp_bj"),
+        col("__tp_cum"), col("__tp_first"), col("__tp_full"),
+        col("__tp_total"))
+    val tagged = rows.drop("__tp_total").join(broadcast(classified),
+      g <=> col("__tp_gj") && col("__tp_b") === col("__tp_bj"))
+    val kept = tagged.filter(col("__tp_full"))
+    // phase 2: exact ordered prefix, crossing band only — partition key
+    // includes the band
+    val exOrd = Window.partitionBy(g, col("__tp_b"))
+      .orderBy(score.desc, id.asc)
+    val exact = tagged.filter(!col("__tp_full"))
+      .withColumn("__tp_before", col("__tp_cum") + coalesce(
+        sum(col("__tp_m")).over(exOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)))
+      .withColumn("__tp_rn", row_number().over(exOrd))
+      .filter((col("__tp_first") && col("__tp_rn") === 1) ||
+        col("__tp_before") < budget)
+    kept.unionByName(exact.select(kept.columns.map(c =>
+        col(graft.ColName.quote(c))): _*))
+      .select(df.columns.map(c => col(graft.ColName.quote(c))).toIndexedSeq: _*)
+  }
+
   /** Recency-decay sampling: keep a row iff
     * `hashUnit(id) < 2^(-ageBuckets)` — each age bucket HALVES the keep
     * probability (fresh rows always survive at age 0), the standard

@@ -262,6 +262,61 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     assert(kept == Set(2L, 5L))
   }
 
+  // ------------------------------------------------ topPByScoreBucketed
+
+  test("topPByScoreBucketed ≡ plain topPByScore: random groups, dominant group, " +
+    "all-zero group, constant scores, null group key, at several band counts") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 600L).map { i =>
+      // ~half the rows in one dominant group; a couple of degenerate groups
+      val gk = if (i % 2 == 0) Some("mega")
+               else if (i % 11 == 0) None                 // null group key
+               else Some(s"g${rnd.nextInt(6)}")
+      val score = if (gk.contains("g0")) 0L               // all-zero group
+                  else if (gk.contains("g1")) 7L          // constant scores
+                  else rnd.nextInt(1000).toLong
+      (gk, i, score)
+    }
+    val df = rows.toDF("g", "id", "score")
+    for (p <- Seq(0.3, 0.5, 1.0); b <- Seq(2, 8, 32)) {
+      val plain = Curation.topPByScore(df, "g", "id", "score", p)
+      val fast = Curation.topPByScoreBucketed(df, "g", "id", "score", p, b)
+      assert(plain.except(fast).count() == 0 && fast.except(plain).count() == 0,
+        s"bucketed(b=$b) != plain at p=$p")
+    }
+  }
+
+  test("topPByScoreBucketed: null/negative scores raise; reserved names rejected") {
+    val bad = Seq(("g", 1L, -5L), ("g", 2L, 3L)).toDF("g", "id", "score")
+    val e = intercept[Exception] {
+      Curation.topPByScoreBucketed(bad, "g", "id", "score", 0.5).count()
+    }
+    assert(e.getMessage.contains("null/negative score"), e.getMessage)
+    val taken = Seq(("g", 1L, 1L)).toDF("g", "id", "__tp_b")
+    intercept[IllegalArgumentException] {
+      Curation.topPByScoreBucketed(taken, "g", "id", "__tp_b", 0.5)
+    }
+  }
+
+  test("topPByScoreBucketed plan: the exact window is partitioned by (group, band), " +
+    "never by the group alone") {
+    val df = spark.range(1000).select(
+      (col("id") % 3).cast("string").alias("g"), col("id").alias("id"),
+      (col("id") % 97).alias("score"))
+    val plan = Curation.topPByScoreBucketed(df, "g", "id", "score", 0.5, 16)
+      .queryExecution.optimizedPlan.toString
+    // every corpus-side Window node must carry the band in its partition
+    // spec; group-only windows are allowed only over the tiny band table
+    // (which aggregates first). The string check: each windowspecdefinition
+    // that orders by score DESC (the exact phase) must also partition by
+    // __tp_b.
+    val exactWindows = plan.split("\n").filter(l =>
+      l.contains("windowspecdefinition") && l.contains("DESC"))
+    assert(exactWindows.nonEmpty, plan)
+    exactWindows.foreach(l => assert(l.contains("__tp_b"),
+      s"exact window not band-partitioned:\n$l"))
+  }
+
   // ------------------------------------------------- randomized invariants
 
   test("topPByScore invariants on random groups: coverage, minimality, monotonicity") {
