@@ -1131,6 +1131,21 @@ object SparkEntry {
     // oracle strategy as q_multimodal_decode (WAV/PCM is lossless)
     "q_multimodal_audio" -> ((s, _) =>
       Multimodal.decodeAudioMeta(Multimodal.plantedAudio(s, 48))),
+    // perceptual image hashing: dHash (9x8 gray boxes, exact
+    // cross-multiplied mean comparisons) over 96 planted PNGs + 24
+    // perturbed clones; the oracle re-derives every hash from the pixel
+    // FORMULAS alone — hash VALUES byte-compared, not just pair recall
+    "q_image_dhash" -> ((s, _) =>
+      Multimodal.imageDHash(Multimodal.plantedImagesWithClones(s, 96, 24))),
+    // image near-dup pairs: dHash + the pigeonhole Hamming blocking
+    // shared with SimHash; blocked output must equal DuckDB's exhaustive
+    // xor-popcount pairs at maxDist=2 (clones sit at distance 0-1 of
+    // their base; a few structural collisions between distinct planted
+    // images are real pairs too, not noise — the formula corpus shares
+    // gradient structure across ids, exactly what dHash measures)
+    "q_image_neardup" -> ((s, _) =>
+      Multimodal.imageNearDupPairs(
+        Multimodal.plantedImagesWithClones(s, 96, 24), maxDist = 2)),
     // sources/sinks beyond parquet (free via DataFrameReader/Writer,
     // SURVEY §2.6): stage a table to CSV / JSON-lines and read it back —
     // the oracle reads the ORIGINAL parquet, so the hash compare checks
@@ -2004,6 +2019,53 @@ object SparkEntry {
        |  WHERE ${cols.map(_ + " IS NOT NULL").mkString(" AND ")}),
        |s AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM t)
        |${pairs.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
+  /** DuckDB re-derivation of the 64-bit image dHash from the planted
+    * pixel FORMULAS alone (never decoding a PNG — PNG is lossless, so
+    * the decoded pixels equal the formula): the same 9×8 integer box
+    * binning (`//` floor ≡ Java int division on non-negatives), the same
+    * exact cross-multiplied mean comparison, and bit 63 assembled in
+    * HUGEINT then folded to the signed BIGINT the Spark side emits
+    * (DuckDB raises on `1::BIGINT << 63`). Clone rows (asset_id =
+    * 100000 + base) apply the ±8 nudge on the (x+y)%37 lattice —
+    * mirroring Multimodal.perturbedRgb. */
+  private def dhashOracleCte(nOrig: Int, nClones: Int): String = {
+    def chan(expr: String): String =
+      s"""CASE WHEN pert = 1 AND (x.x + y.y) % 37 = 0
+         |      THEN (CASE WHEN ($expr) % 256 < 128 THEN ($expr) % 256 + 8
+         |            ELSE ($expr) % 256 - 8 END)
+         |      ELSE ($expr) % 256 END""".stripMargin
+    s"""ids AS (
+       |  SELECT i AS asset_id, i AS base, 0 AS pert
+       |  FROM generate_series(0, ${nOrig - 1}) t(i)
+       |  UNION ALL
+       |  SELECT 100000 + i, i, 1 FROM generate_series(0, ${nClones - 1}) t(i)),
+       |dims AS (
+       |  SELECT asset_id, base, pert, 32 + base % 64 AS w, 24 + base % 48 AS h
+       |  FROM ids),
+       |gray AS (
+       |  SELECT asset_id, (x.x * 9) // w AS bx, (y.y * 8) // h AS by,
+       |    (${chan("base + 3*x.x + 7*y.y")})
+       |    + (${chan("2*base + 5*x.x + y.y")})
+       |    + (${chan("3*base + x.x + 11*y.y")}) AS gray
+       |  FROM dims, generate_series(0, 94) x(x), generate_series(0, 70) y(y)
+       |  WHERE x.x < w AND y.y < h),
+       |box AS (SELECT asset_id, bx, by, SUM(gray) AS s, COUNT(*) AS c
+       |  FROM gray GROUP BY 1, 2, 3),
+       |bits AS (
+       |  SELECT l.asset_id, l.by, l.bx,
+       |    CASE WHEN r.s * l.c > l.s * r.c THEN 1 ELSE 0 END AS bit
+       |  FROM box l JOIN box r
+       |    ON l.asset_id = r.asset_id AND l.by = r.by AND r.bx = l.bx + 1
+       |  WHERE l.bx < 8),
+       |dh AS (
+       |  SELECT asset_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+       |      THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS dhash
+       |  FROM (SELECT asset_id,
+       |      SUM(CASE WHEN bit = 1 THEN 1::HUGEINT << (by*8 + bx)
+       |          ELSE 0::HUGEINT END) AS s
+       |    FROM bits GROUP BY asset_id) q)""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3074,6 +3136,18 @@ object SparkEntry {
           |  CAST(sample_sum AS BIGINT) AS sample_sum,
           |  CAST(energy AS BIGINT) AS energy
           |FROM s""".stripMargin,
+      // hash VALUES byte-compared — the strongest multimodal oracle form
+      "q_image_dhash" ->
+        s"""WITH ${dhashOracleCte(96, 24)}
+           |SELECT asset_id, dhash FROM dh""".stripMargin,
+      // pigeonhole-blocked pairs ≡ exhaustive xor-popcount pairs
+      "q_image_neardup" ->
+        s"""WITH ${dhashOracleCte(96, 24)},
+           |pairs AS (
+           |  SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+           |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+           |  FROM dh a, dh b WHERE a.asset_id < b.asset_id)
+           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2""".stripMargin,
       "q_knn_bruteforce" -> knnBruteSql,
       "q_embedding_neardup" -> embPairsSql("0.35"),
       "q_multimodal_meta" ->

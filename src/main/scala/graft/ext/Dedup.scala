@@ -726,27 +726,39 @@ object Dedup {
     * proof holds only when off) caps degenerate hot blocks at scale the
     * same way [[minhashCandidates]] does. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame =
+    hammingPairs(simhash(df, textCol, idCol), "simhash", idCol,
+      maxDist, maxBucketSize)
+
+  /** Hash-generic pigeonhole Hamming pairing — the [[simhashPairs]] core
+    * factored out so ANY 64-bit fingerprint column (simhash, image
+    * dHash, audio fingerprint) gets the same provably-total-recall
+    * blocking: the hash splits into maxDist+1 disjoint blocks; hashes at
+    * distance ≤ maxDist differ in at most maxDist blocks, so one block
+    * matches exactly. Blocked output ≡ the O(n²) cross join. */
+  def hammingPairs(hashed: DataFrame, hashCol: String, idCol: String,
                    maxDist: Int = 3, maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0 && maxDist < 32, s"maxDist must be in [0, 32), got $maxDist")
     val nBlocks = maxDist + 1
     val width = 64 / nBlocks
+    val hc = graft.ColName.topCol(hashCol)
     // block b = bits [b*width, (b+1)*width), last block extends to bit 63
     val blockVals = (0 until nBlocks).map { b =>
       val lo = b * width
       val w = if (b == nBlocks - 1) 64 - lo else width
-      val shifted = shiftrightunsigned(col("simhash"), lo)
+      val shifted = shiftrightunsigned(hc, lo)
       if (w >= 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1))
     }
-    // fence (same pattern as minhash): simhash computes once pre-shuffle
+    // fence (same pattern as minhash): the hash computes once pre-shuffle
     // and the id-hash exchange is AQE-reused by both self-join sides
-    val sh = simhash(df, textCol, idCol).repartition(col(idCol))
-    val blocked = sh.select(col(idCol), col("simhash"),
+    val sh = hashed.repartition(graft.ColName.topCol(idCol))
+    val blocked = sh.select(graft.ColName.topCol(idCol), hc.alias("__h"),
       posexplode(array(blockVals: _*)).as(Seq("__blk", "__bval")))
     val pruned = dropHotBuckets(blocked, Seq("__blk", "__bval"), maxBucketSize)
     val l = pruned.select(col("__blk"), col("__bval"),
-      col(idCol).alias("id_a"), col("simhash").alias("sh_a"))
+      col(idCol).alias("id_a"), col("__h").alias("sh_a"))
     val r = pruned.select(col("__blk"), col("__bval"),
-      col(idCol).alias("id_b"), col("simhash").alias("sh_b"))
+      col(idCol).alias("id_b"), col("__h").alias("sh_b"))
     l.join(r, Seq("__blk", "__bval")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         SimHash.hammingDist(col("sh_a"), col("sh_b")).alias("hamming"))

@@ -287,6 +287,132 @@ object Multimodal {
     }
   }
 
+  // ---- perceptual image hashing (dHash) ---------------------------------
+
+  /** Perturbed-clone pixel rule: the base image's channels, each nudged
+    * ±8 (away from the 0/255 rails, never wrapping) on the sparse lattice
+    * `(x + y) % 37 == 0` — ~3% of pixels move by ~3% of the range, the
+    * "re-encoded thumbnail" perturbation a perceptual hash must absorb.
+    * A pure formula of (baseId, x, y) so the DuckDB oracle recomputes
+    * clone pixels — and therefore clone dHashes — without decoding. */
+  private[ext] def perturbedRgb(baseId: Long, x: Int, y: Int): Int = {
+    val rgb = plantedRgb(baseId, x, y)
+    if ((x + y) % 37 != 0) rgb
+    else {
+      def nudge(c: Int): Int = if (c < 128) c + 8 else c - 8
+      (nudge((rgb >> 16) & 0xff) << 16) | (nudge((rgb >> 8) & 0xff) << 8) |
+        nudge(rgb & 0xff)
+    }
+  }
+
+  private[ext] def perturbedPng(baseId: Long): Array[Byte] = {
+    val (w, h) = plantedDims(baseId)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, perturbedRgb(baseId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Planted originals 0..n-1 plus perturbed near-duplicate clones of the
+    * first `nClones` (clone asset_id = cloneOffset + baseId), generated
+    * on the executors like [[plantedImages]]. The corpus every image
+    * near-dup gate runs on: clone↔original pairs are TRUE near-dups by
+    * construction, distinct planted images are far apart. */
+  def plantedImagesWithClones(spark: org.apache.spark.sql.SparkSession,
+                              n: Int, nClones: Int,
+                              cloneOffset: Long = 100000L,
+                              partitions: Int = 8): DataFrame = {
+    require(nClones <= n, s"nClones $nClones > n $n")
+    require(cloneOffset >= n, "cloneOffset must clear the original id range")
+    val rows = spark.range(0, n + nClones, 1, partitions).rdd.map { i =>
+      val (id, png) =
+        if (i < n) (i, plantedPng(i))
+        else (cloneOffset + (i - n), perturbedPng(i - n))
+      val (w, h) = plantedDims(if (i < n) i else i - n)
+      Row(id, png, Row("image/png", png.length.toLong, w, h))
+    }
+    spark.createDataFrame(rows, assetSchema)
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded image: 9×8 area-binned
+    * gray boxes (gray = r+g+b, box of pixel x = `x*9/w` — plain integer
+    * floor), bit `by*8+bx` set iff box (bx+1, by) has the strictly
+    * greater mean gray than box (bx, by). The mean comparison is EXACT
+    * cross-multiplied integer arithmetic (sumR·cntL > sumL·cntR — no
+    * float division), so an engine that can only see the pixel FORMULA
+    * (DuckDB) derives bit-identical hashes to one that decodes real PNG
+    * bytes (PNG is lossless). Products stay far below 2^63 (box sum ≤
+    * 765·boxPixels, boxPixels ≤ a few hundred at sane sizes). */
+  private[ext] def dhashFromImage(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 9 && h >= 8,
+      s"dhash needs at least 9x8 pixels, got ${w}x$h (resize first)")
+    val sums = Array.ofDim[Long](9, 8)
+    val cnts = Array.ofDim[Long](9, 8)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 9 / w
+        val rgb = img.getRGB(x, y)
+        sums(bx)(by) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        cnts(bx)(by) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (sums(bx + 1)(by) * cnts(bx)(by) > sums(bx)(by) * cnts(bx + 1)(by))
+          hash |= 1L << (by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    hash
+  }
+
+  /** Per-asset perceptual hash: decode → [[dhashFromImage]]. Same
+    * mapPartitions shape as [[decodeImageMeta]] — one decode pass, the
+    * payload column dies here, downstream moves (asset_id, dhash) longs
+    * only. Null payloads yield null hashes. */
+  def imageDHash(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("dhash", LongType)))
+    val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        if (r.isNullAt(1)) Row(id, null)
+        else Row(id, dhashFromImage(readImage(r.getAs[Array[Byte]](1))))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Image near-duplicate pairs: dHash + the pigeonhole Hamming blocking
+    * shared with SimHash ([[graft.ext.Dedup.hammingPairs]] — provably
+    * total recall, blocked ≡ exhaustive). Output (id_a, id_b, hamming),
+    * id_a < id_b. 100 TB shape: one decode pass, then only 8-byte hashes
+    * move; candidate generation is an equi-self-join on hash blocks,
+    * never an all-pairs product. */
+  def imageNearDupPairs(assets: DataFrame, maxDist: Int = 6,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame =
+    Dedup.hammingPairs(imageDHash(assets), "dhash", "asset_id",
+      maxDist, maxBucketSize)
+
   // ---- REAL audio codec (javax.sound.sampled — also JDK-built-in) ------
   // WAV/PCM16 is lossless like PNG, so the same oracle strategy applies:
   // samples are a pure formula of (id, t) that DuckDB recomputes without

@@ -103,6 +103,59 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("dHash from the decoded PNG equals an independent formula derivation") {
+    // recompute the hash straight from the pixel formulas — the same
+    // derivation the DuckDB oracle does, here in plain Scala
+    def formulaDhash(base: Long, perturbed: Boolean): Long = {
+      val (w, h) = Multimodal.plantedDims(base)
+      val sums = Array.ofDim[Long](9, 8); val cnts = Array.ofDim[Long](9, 8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = if (perturbed) Multimodal.perturbedRgb(base, x, y)
+                  else Multimodal.plantedRgb(base, x, y)
+        val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        sums(x * 9 / w)(y * 8 / h) += gray
+        cnts(x * 9 / w)(y * 8 / h) += 1
+      }
+      (for (by <- 0 until 8; bx <- 0 until 8
+            if sums(bx + 1)(by) * cnts(bx)(by) > sums(bx)(by) * cnts(bx + 1)(by))
+        yield 1L << (by * 8 + bx)).foldLeft(0L)(_ | _)
+    }
+    val got = Multimodal.imageDHash(
+      Multimodal.plantedImagesWithClones(spark, 12, 5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- 0L until 12L)
+      assert(got(id) == formulaDhash(id, perturbed = false), s"orig $id")
+    for (id <- 0L until 5L)
+      assert(got(100000L + id) == formulaDhash(id, perturbed = true), s"clone $id")
+  }
+
+  test("image near-dup: clones pair with their base; blocked ≡ exhaustive") {
+    val assets = Multimodal.plantedImagesWithClones(spark, 40, 10)
+    val blocked = Multimodal.imageNearDupPairs(assets, maxDist = 2)
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every clone is within distance 2 of its base (probe showed 0-1)
+    for (id <- 0L until 10L)
+      assert(got.contains((id, 100000L + id)), s"clone pair $id missing")
+    // blocked ≡ the exhaustive cross-join at the same distance
+    val h = Multimodal.imageDHash(assets)
+    val l = h.select(col("asset_id").alias("id_a"), col("dhash").alias("ha"))
+    val r = h.select(col("asset_id").alias("id_b"), col("dhash").alias("hb"))
+    val exhaustive = l.join(r, col("id_a") < col("id_b"))
+      .filter(graft.functions.SimHash.hammingDist(col("ha"), col("hb")) <= 2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exhaustive)
+  }
+
+  test("dHash rejects images smaller than the 9x8 box grid") {
+    val tiny = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.dhashFromImage(tiny)
+    }
+    assert(e.getMessage.contains("9x8"), e.getMessage)
+  }
+
   test("non-image payload fails loudly, not with a null deref") {
     val e = intercept[org.apache.spark.SparkException] {
       Multimodal.decodeImageMeta(
