@@ -610,6 +610,29 @@ object SparkEntry {
       Curation.lDiversify(table(s, dir, "customer"),
         Seq("c_nationkey"), "c_mktsegment", l = 4)
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))),
+    // k-anonymity by GENERALIZATION: walk the 4-state coarsening ladder
+    // over (balance bucket, nation group) and release the first state
+    // that is k-anonymous with NO suppression. The chosen level varies
+    // with sf (3 at sf0.001, 2 at sf0.01, 1 at sf0.1) — the oracle
+    // replays the whole ladder, so the choice logic itself is gated.
+    // Cents shifted +100000 (acctbal >= -999.99) so integer division is
+    // floor division on both engines.
+    "q_k_generalize" -> ((s, dir) => {
+      // integer DIV on the shifted non-negative cents == floor division
+      // on both engines (Column `/` on longs is DOUBLE division)
+      val cents = "(CAST(floor(c_acctbal * 100) AS BIGINT) + 100000)"
+      val ladder = Seq(
+        Seq("bal_b" -> expr(s"$cents DIV 10000"),
+          "nat_g" -> col("c_nationkey").cast("long")),
+        Seq("bal_b" -> expr(s"$cents DIV 100000"),
+          "nat_g" -> col("c_nationkey").cast("long")),
+        Seq("bal_b" -> expr(s"$cents DIV 100000"),
+          "nat_g" -> expr("CAST(c_nationkey DIV 5 AS BIGINT)")),
+        Seq("bal_b" -> expr(s"$cents DIV 1100000"),
+          "nat_g" -> expr("CAST(c_nationkey DIV 5 AS BIGINT)")))
+      Curation.kGeneralize(table(s, dir, "customer"), Seq("c_custkey"),
+        ladder, k = 10)
+    }),
     // the group-size histogram an anonymity policy reads to pick k
     "q_anonymity_profile" -> ((s, dir) =>
       Curation.anonymityProfile(table(s, dir, "customer"),
@@ -2438,6 +2461,42 @@ object SparkEntry {
           |    + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) >= 4)
           |SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
           |FROM customer c JOIN g USING (c_nationkey)""".stripMargin,
+      // the whole generalization ladder replayed in SQL: per-state min
+      // group size -> first state >= k -> release at that state (or
+      // suppress at the coarsest). Empty-corpus min coalesces to +inf so
+      // the finest state wins, matching the Spark side.
+      "q_k_generalize" ->
+        """WITH base AS (SELECT c_custkey,
+          |    (CAST(floor(c_acctbal * 100) AS BIGINT) + 100000) AS cents,
+          |    CAST(c_nationkey AS BIGINT) AS nat
+          |  FROM customer),
+          |m0 AS (SELECT coalesce(min(cnt), 9223372036854775807) AS m FROM
+          |  (SELECT count(*) AS cnt FROM base GROUP BY cents // 10000, nat) t),
+          |m1 AS (SELECT coalesce(min(cnt), 9223372036854775807) AS m FROM
+          |  (SELECT count(*) AS cnt FROM base GROUP BY cents // 100000, nat) t),
+          |m2 AS (SELECT coalesce(min(cnt), 9223372036854775807) AS m FROM
+          |  (SELECT count(*) AS cnt FROM base GROUP BY cents // 100000, nat // 5) t),
+          |m3 AS (SELECT coalesce(min(cnt), 9223372036854775807) AS m FROM
+          |  (SELECT count(*) AS cnt FROM base GROUP BY cents // 1100000, nat // 5) t),
+          |lvl AS (SELECT CASE
+          |    WHEN (SELECT m FROM m0) >= 10 THEN 0
+          |    WHEN (SELECT m FROM m1) >= 10 THEN 1
+          |    WHEN (SELECT m FROM m2) >= 10 THEN 2
+          |    WHEN (SELECT m FROM m3) >= 10 THEN 3
+          |    ELSE 4 END AS lvl),
+          |rel AS (SELECT c_custkey,
+          |    CASE WHEN (SELECT lvl FROM lvl) = 0 THEN cents // 10000
+          |         WHEN (SELECT lvl FROM lvl) IN (1, 2) THEN cents // 100000
+          |         ELSE cents // 1100000 END AS bal_b,
+          |    CASE WHEN (SELECT lvl FROM lvl) <= 1 THEN nat
+          |         ELSE nat // 5 END AS nat_g,
+          |    (SELECT lvl FROM lvl) AS gen_level
+          |  FROM base)
+          |SELECT r.c_custkey, r.bal_b, r.nat_g,
+          |  CAST(r.gen_level AS INT) AS gen_level
+          |FROM rel r JOIN (SELECT bal_b, nat_g FROM rel GROUP BY 1, 2
+          |  HAVING (SELECT lvl FROM lvl) < 4 OR count(*) >= 10) g
+          |  USING (bal_b, nat_g)""".stripMargin,
       "q_anonymity_profile" ->
         """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) AS group_size
           |  FROM customer GROUP BY 1, 2)

@@ -880,6 +880,65 @@ object Curation {
     df.join(diverse, cond, "left_semi")
   }
 
+  /** k-anonymity by GENERALIZATION — the privacy-utility trade
+    * [[kAnonymize]]'s pure suppression can't express (Samarati's global
+    * recoding): walk an ordered ladder of ever-coarser quasi-identifier
+    * projections (finest first) and release the FIRST state where every
+    * QI group already holds ≥ k rows — no rows dropped, the QI columns
+    * just get coarser. Only if even the coarsest state fails does the
+    * operator fall back to suppression AT that state (the kAnonymize
+    * null-safe semi-join). Output: `keep` columns + the chosen state's
+    * named QI columns + `gen_level` (ladder index; ladder size = fell
+    * back to suppression).
+    *
+    * Every state must bind the SAME output names, and each state's
+    * expressions must be engine-portable (integral bucketing — shift
+    * negatives non-negative first so `//`-style floor and truncating
+    * DIV agree; the q_k_generalize oracle replays the whole ladder).
+    *
+    * 100 TB shape: ONE corpus pass computes the cross-product of ALL
+    * ladder expressions into a counts table bounded by DISTINCT raw QI
+    * combinations; every ladder state is then probed by re-aggregating
+    * that TINY table (each state's keys are functions of the raw QI, so
+    * its groups are unions of the fine groups) — the ladder walk never
+    * rescans the corpus. The release projection is the only second
+    * corpus touch. */
+  def kGeneralize(df: DataFrame, keep: Seq[String],
+                  states: Seq[Seq[(String, Column)]], k: Int): DataFrame = {
+    require(states.nonEmpty, "kGeneralize: need at least one ladder state")
+    require(k >= 1, s"kGeneralize: k must be >= 1, got $k")
+    val names = states.head.map(_._1)
+    require(names.distinct == names && names.nonEmpty,
+      s"kGeneralize: state names must be non-empty and distinct: $names")
+    require(states.forall(_.map(_._1) == names),
+      "kGeneralize: every ladder state must bind the same output names")
+    require(names.intersect(keep).isEmpty,
+      s"kGeneralize: keep and state names overlap: ${names.intersect(keep)}")
+    // one corpus pass: counts over the cross-product of every state's
+    // expressions (bounded by distinct raw QI combos)
+    val allCols = states.zipWithIndex.flatMap { case (st, i) =>
+      st.map { case (n, e) => e.alias(s"__kg_${i}_$n") } }
+    val staged = df.select(allCols: _*)
+    val fine = staged.groupBy(staged.columns.map(graft.ColName.topCol): _*)
+      .agg(count(lit(1)).alias("__kg_n"))
+      .localCheckpoint(true) // the ladder walk probes this tiny table
+    val chosen = states.indices.find { i =>
+      val keys = states(i).map { case (n, _) => col(s"__kg_${i}_$n") }
+      val m = fine.groupBy(keys: _*).agg(sum(col("__kg_n")).alias("__n"))
+        .agg(min(col("__n"))).collect()(0)
+      m.isNullAt(0) || m.getLong(0) >= k // empty corpus: finest state wins
+    }
+    def release(i: Int, level: Int): DataFrame = df.select(
+      keep.map(c => graft.ColName.topCol(c)) ++
+        states(i).map { case (n, e) => e.alias(n) } :+
+        lit(level).alias("gen_level"): _*)
+    chosen match {
+      case Some(i) => release(i, i)
+      case None => // coarsest state still under k: suppress at it
+        kAnonymize(release(states.size - 1, states.size), names, k)
+    }
+  }
+
   /** Per-group size profile behind [[kAnonymize]]: for each group size
     * observed over the QI key, how many groups and rows carry it —
     * the histogram an anonymity policy reads to pick k. Output:

@@ -262,6 +262,58 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     assert(kept == Set(2L, 5L))
   }
 
+  // ---------------------------------------------------------- kGeneralize
+
+  test("kGeneralize: releases the FIRST ladder state that is k-anonymous, no rows lost") {
+    // ages 10,11,20,21,30,31 ×2 rows each; level 0 = exact age (groups of
+    // 2), level 1 = decade (groups of 4) -> k=3 picks level 1
+    val df = (0 until 12).map(i => (i.toLong, 10L + (i % 6) / 2 * 10 + i % 2))
+      .toDF("id", "age")
+    val got = Curation.kGeneralize(df, Seq("id"), Seq(
+      Seq("age_g" -> col("age")),
+      Seq("age_g" -> expr("age DIV 10 * 10")),
+      Seq("age_g" -> lit(0L))), k = 3)
+    assert(got.count() == 12)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.forall(_._3 == 1), rows.mkString(","))
+    assert(rows.map(_._2).toSet == Set(10L, 20L, 30L))
+    // k=2 is satisfied at the finest state already
+    val fine = Curation.kGeneralize(df, Seq("id"), Seq(
+      Seq("age_g" -> col("age")), Seq("age_g" -> lit(0L))), k = 2)
+    assert(fine.collect().forall(_.getInt(2) == 0))
+  }
+
+  test("kGeneralize: coarsest-state failure falls back to suppression AT that state") {
+    // 5 rows: decade groups {10:4 rows, 90:1 row}; even the coarsest
+    // state (decade) leaves the lone 90 under k=2 -> suppression drops it
+    val df = Seq((1L, 11L), (2L, 12L), (3L, 13L), (4L, 14L), (5L, 95L))
+      .toDF("id", "age")
+    val got = Curation.kGeneralize(df, Seq("id"), Seq(
+      Seq("age_g" -> col("age")),
+      Seq("age_g" -> expr("age DIV 10 * 10"))), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == 4 && got.forall(_._3 == 2), got.mkString(","))
+    assert(got.forall(_._2 == 10L))
+  }
+
+  test("kGeneralize: validation — name mismatch, keep overlap, empty ladder") {
+    val df = Seq((1L, 2L)).toDF("id", "age")
+    intercept[IllegalArgumentException] {
+      Curation.kGeneralize(df, Seq("id"), Seq(
+        Seq("a" -> col("age")), Seq("b" -> col("age"))), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.kGeneralize(df, Seq("id"), Seq(Seq("id" -> col("age"))), 2)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.kGeneralize(df, Seq("id"), Nil, 2)
+    }
+    // empty corpus: the finest state wins vacuously
+    val empty = Curation.kGeneralize(df.filter(lit(false)), Seq("id"),
+      Seq(Seq("age_g" -> col("age")), Seq("age_g" -> lit(0L))), 2)
+    assert(empty.count() == 0)
+  }
+
   // ------------------------------------------------ topPByScoreBucketed
 
   test("topPByScoreBucketed ≡ plain topPByScore: random groups, dominant group, " +
