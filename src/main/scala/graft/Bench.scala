@@ -506,6 +506,31 @@ object Bench {
     }
   }
 
+  /** Per-entry repeat tiers for FORKED scenarios (round 10, closing the
+    * chronic split_join_parent_dominant_2k flag):
+    *  - the `_2k` giant-group pair runs best-of-3 with the inter-run GC
+    *    [[runsOfN]] already performs — their documented 2-6x GC/spill
+    *    band means a best-of-2 still samples the slow tail often enough
+    *    to flag in every capture (4 consecutive rounds); their committed
+    *    reference is refreshed from THIS protocol;
+    *  - the other giant-group entries keep best-of-2 (the round-9
+    *    protocol: measured runs vector [41.7, 9.4, 6.7] s after two
+    *    warmups on a calm box);
+    *  - everything else takes ONE timed run in the driver profile — the
+    *    flag + isolated-rerun net adjudicates tail samples, and the
+    *    saved pass per entry is what lets the contended driver box reach
+    *    n_skipped=0 (BENCH_r09 skipped 23 entries at budget).
+    * The FULL profile keeps repeat=3 everywhere (floor of these maxima). */
+  private[graft] val bestOf3Names = Set(
+    "parity_pack_parent_dominant_2k", "parity_pack_split_join_parent_dominant_2k",
+    "auto_pack_parent_dom_2k")
+  private[graft] val bestOf2Names = Set(
+    "parity_pack_large", "parity_pack_very_large", "auto_pack_skewed")
+  private[graft] def repeatFor(name: String, base: Int): Int =
+    if (bestOf3Names.contains(name)) math.max(base, 3)
+    else if (bestOf2Names.contains(name)) math.max(base, 2)
+    else base
+
   // Non-parity scenario names, single-sourced: the scenario blocks below
   // and the SPARK_GRAFT_ONLY typo warning both read THESE, so a renamed
   // or added scenario can't silently drift the known-name list.
@@ -640,7 +665,10 @@ object Bench {
     // entry beside a slow adjacent floor is load; beside a clean floor
     // it's a regression)
     def measured(name: String)(f: => DataFrame): (String, Double) = {
-      val runs = runsOfN(repeat, e => errMsgs(name) =
+      // repeatFor: the variance-prone forked names keep their best-of-N
+      // tier even when re-run in-process (the isolated-rerun child runs
+      // with SPARK_GRAFT_FORK=0 and lands here)
+      val runs = runsOfN(repeatFor(name, repeat), e => errMsgs(name) =
         s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300))(f)
       runsLog(name) = runs
       floorsLog(name) = time(materialize(floorJob(spark)))
@@ -694,13 +722,13 @@ object Bench {
       flushPartial()
       name -> r.sec
     }
-    // Forked scenarios take best-of-2 even in the driver profile: the
-    // giant-group scenarios (parent_dominant_2k, pack_large) carry 2-6x
-    // run-to-run variance inside one JVM (measured runs vector
-    // [41.7, 9.4, 6.7] s after TWO warmups on a calm box) — a single
-    // timed run regularly samples the slow tail and records noise as
-    // regression. The dataset-grouped forks pay for the extra pass.
-    val forkRepeat = if (fullProfile) repeat else math.max(repeat, 2)
+    // Per-entry repeat tiers (see [[repeatFor]]): the chronic-variance
+    // giant-group entries take best-of-3/2 in EVERY profile; the rest
+    // take the profile's base repeat (1 in the driver profile — the
+    // flag + isolated-rerun net adjudicates tail samples, and the saved
+    // pass per forked entry is the driver-budget headroom that gets
+    // n_skipped to 0). The child applies repeatFor per name.
+    val forkRepeat = repeat
     def runForkedAndRecord(name: String): (String, Double) =
       record(name, BenchScenario.runForked(name, cpus, forkRepeat, sfDir, childWarmups))
     // a fork costs child-JVM + session startup + dataset build on top of
@@ -1066,7 +1094,9 @@ object BenchScenario {
         try Bench.materializeDf(prepared.query())
         catch { case _: Throwable => }
       var errMsg = ""
-      val runs = Bench.runsOfN(repeat, e => errMsg =
+      // per-name repeat tier: the documented-variance giant-group entries
+      // keep best-of-N regardless of the parent's profile repeat
+      val runs = Bench.runsOfN(Bench.repeatFor(name, repeat), e => errMsg =
         s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
           .take(300).replaceAll("[\\r\\n\\t]", " "))(prepared.query())
       val sec = if (runs.exists(_ < 0)) -1.0 else runs.min
