@@ -614,9 +614,14 @@ object Bench {
     if (onlyFilters.nonEmpty)
       System.err.println(s"[bench] SPARK_GRAFT_ONLY selected " +
         s"${knownNames.count(selected)} of ${knownNames.size} entries")
+    // SPARK_GRAFT_SHUFFLE: shuffle-partition override for scale runs
+    // (sf1.0/sf10 proof sweeps) — at sf10 the default cpus=32 leaves ~2M
+    // rows per reduce partition and the giant-list pack sorts degrade
+    // super-linearly; 100 TB sizing targets ~128 MB per partition.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -1072,7 +1077,9 @@ object BenchScenario {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // same SPARK_GRAFT_SHUFFLE override as the parent (scale sweeps)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
