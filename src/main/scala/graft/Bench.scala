@@ -618,7 +618,9 @@ object Bench {
     // (sf1.0/sf10 proof sweeps) — at sf10 the default cpus=32 leaves ~2M
     // rows per reduce partition and the giant-list pack sorts degrade
     // super-linearly; 100 TB sizing targets ~128 MB per partition.
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // "auto" = sized from the sf dir's actual bytes (ext.Tuning).
+    val shufflePartitions = ext.Tuning.resolveShuffleSetting(
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus), sfDir, cpus.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -1077,9 +1079,10 @@ object BenchScenario {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      // same SPARK_GRAFT_SHUFFLE override as the parent (scale sweeps)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      // same SPARK_GRAFT_SHUFFLE override as the parent (scale sweeps;
+      // "auto" = data-proportional via ext.Tuning)
+      .config("spark.sql.shuffle.partitions", ext.Tuning.resolveShuffleSetting(
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus), sfDir, cpus.toInt))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -72,9 +72,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // SPARK_GRAFT_SHUFFLE: shuffle-partition override for the sf10
-      // (100x) proof sweeps — default cpus matches the driver contract
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      // (100x) proof sweeps — default cpus matches the driver contract;
+      // "auto" = data-proportional via ext.Tuning
+      .config("spark.sql.shuffle.partitions", ext.Tuning.resolveShuffleSetting(
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus), sfDir, cpus.toInt))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,97 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Shuffle-partition sizing from input bytes (the sf10 partition lesson
+  * as library code): exact arithmetic, clamping, real FS byte walks,
+  * session application, and the harness env contract. */
+class TuningSpec extends SparkSpec {
+
+  // ------------------------------------------------- partitionsForBytes
+
+  test("partitionsForBytes: ceil division, exact at boundaries") {
+    val bpp = 128L << 20
+    assert(Tuning.partitionsForBytes(0L, bpp) == 1)
+    assert(Tuning.partitionsForBytes(1L, bpp) == 1)
+    assert(Tuning.partitionsForBytes(bpp, bpp) == 1)
+    assert(Tuning.partitionsForBytes(bpp + 1, bpp) == 2)
+    assert(Tuning.partitionsForBytes(10 * bpp, bpp) == 10)
+    // the sf10 shape: 2.3 GB of parquet at 128 MB -> 19 partitions raw,
+    // floored by a 32-core parallelism to 32
+    assert(Tuning.partitionsForBytes(2_300L << 20, bpp, minPartitions = 32) == 32)
+  }
+
+  test("partitionsForBytes: clamping and expansion factor") {
+    val bpp = 1L << 20
+    assert(Tuning.partitionsForBytes(100L << 20, bpp, minPartitions = 200) == 200)
+    assert(Tuning.partitionsForBytes(100L << 20, bpp, maxPartitions = 50) == 50)
+    // 4x decompression expansion quadruples the width
+    assert(Tuning.partitionsForBytes(100L << 20, bpp, expansion = 4.0) == 400)
+    // loud on nonsense inputs
+    intercept[IllegalArgumentException](Tuning.partitionsForBytes(-1L, bpp))
+    intercept[IllegalArgumentException](Tuning.partitionsForBytes(1L, 0L))
+    intercept[IllegalArgumentException](
+      Tuning.partitionsForBytes(1L, bpp, minPartitions = 5, maxPartitions = 4))
+    intercept[IllegalArgumentException](
+      Tuning.partitionsForBytes(1L, bpp, expansion = 0.0))
+  }
+
+  // -------------------------------------------------------- inputBytes
+
+  test("inputBytes: sums real file sizes recursively; missing path raises") {
+    val dir = java.nio.file.Files.createTempDirectory("tuning").toFile
+    try {
+      val sub = new java.io.File(dir, "t.parquet"); sub.mkdirs()
+      java.nio.file.Files.write(new java.io.File(sub, "part-0").toPath,
+        Array.fill[Byte](1000)(1))
+      java.nio.file.Files.write(new java.io.File(sub, "part-1").toPath,
+        Array.fill[Byte](500)(2))
+      assert(Tuning.inputBytes(spark, Seq(sub.getPath)) == 1500L)
+      intercept[Exception](
+        Tuning.inputBytes(spark, Seq(dir.getPath + "/nope.parquet")))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  // ----------------------------------------------------- scaleShuffleTo
+
+  test("scaleShuffleTo: sets shuffle width and AQE initial width from bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("tuning2").toFile
+    try {
+      val sub = new java.io.File(dir, "t.parquet"); sub.mkdirs()
+      java.nio.file.Files.write(new java.io.File(sub, "part-0").toPath,
+        Array.fill[Byte](4096)(1))
+      val before = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        // 4 KB at 1 KB per partition -> 4, above a min of 1
+        val n = Tuning.scaleShuffleTo(spark, Seq(sub.getPath),
+          bytesPerPartition = 1024L, maxPartitions = 100)
+        val expected = math.max(4, spark.sparkContext.defaultParallelism)
+        assert(n == expected)
+        assert(spark.conf.get("spark.sql.shuffle.partitions") == n.toString)
+        assert(spark.conf.get(
+          "spark.sql.adaptive.coalescePartitions.initialPartitionNum") == n.toString)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  // ------------------------------------------- resolveShuffleSetting env
+
+  test("resolveShuffleSetting: literal passes through, auto sizes from the sf dir") {
+    assert(Tuning.resolveShuffleSetting("64", "/nowhere", 32) == "64")
+    // the real testdata dir: tiny parquet floors at minPartitions
+    val auto = Tuning.resolveShuffleSetting("auto", "/root/testdata/sf0.001", 32)
+    assert(auto == "32")
+    intercept[IllegalArgumentException](
+      Tuning.resolveShuffleSetting("auto", "/tmp", 32)) // no parquet tables
+  }
+}
