@@ -1632,6 +1632,15 @@ object SparkEntry {
         Seq("l_extendedprice", "l_orderkey", "l_linenumber"), out, numFiles = 6)
       s.read.parquet(out)
     }),
+    // windowless global row index: stable 0-based example ids in
+    // (o_orderdate, o_orderkey) order with ONE corpus exchange — no
+    // row_number() OVER () single-task funnel; the composite key is a
+    // total order, so the index is partition-membership-independent
+    "q_global_index" -> ((s, dir) =>
+      ext.Layout.globalRowIndex(
+        table(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        Seq("o_orderdate", "o_orderkey"), outCol = "row_idx", partitions = 8)
+        .select(col("o_orderkey"), col("row_idx"))),
     // fixed-width histogram: one partial-aggregatable groupBy over a
     // codegen'd bucket expression — shuffle carries ≤ buckets rows per
     // partition. (110000-0)/20 = 5500 exactly, so the bucket arithmetic
@@ -3618,6 +3627,10 @@ object SparkEntry {
       "q_sorted_export" ->
         """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
           |FROM lineitem""".stripMargin,
+      "q_global_index" ->
+        """SELECT o_orderkey,
+          |  row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS row_idx
+          |FROM orders""".stripMargin,
       // same bucket arithmetic, same closed top edge, same exclusions
       "q_histogram" ->
         """WITH b AS (

@@ -117,6 +117,81 @@ object Layout {
    * single-task global sort) + `sortWithinPartitions` — the only
    * scalable way to a totally ordered layout.
    */
+  /**
+   * Windowless GLOBAL row index: assign each row its 0-based position in
+   * the total order defined by `sortCols` — stable example ids / shard
+   * offsets for training exports — WITHOUT `row_number() OVER ()`, which
+   * moves the whole corpus into ONE window task (the WindowExec
+   * single-partition warning; a non-starter at scale). The distributed
+   * zipWithIndex, kept entirely in DataFrame land:
+   *
+   *  1. `repartitionByRange` + `sortWithinPartitions` on the sort key —
+   *     ascending key ranges land on ascending partition ids (one
+   *     sampling pass, the [[sortedExport]] cost class), and that is the
+   *     ONLY corpus exchange;
+   *  2. `monotonically_increasing_id()` evaluated AFTER the local sort
+   *     encodes exactly (partitionId << 33) | localRank — the per-
+   *     partition rank for free, no second window/exchange (the
+   *     nondeterministic marking pins it behind the sort, so Catalyst
+   *     cannot reorder it above the ordering it must observe);
+   *  3. per-partition counts (a partial-aggregatable groupBy on the id's
+   *     high bits — the exchange carries ≤ `partitions` pre-aggregated
+   *     rows) get cumulative offsets through one bounded window and
+   *     broadcast-join back: global index = offset(pid) + localRank.
+   *
+   * `sortCols` must be a TOTAL order (include a unique tie-breaker like
+   * the row's id): the index is partition-membership-INDEPENDENT given a
+   * total order — any split of a sorted sequence into consecutive runs
+   * enumerates identically (the [[graft.ext.Curation.topPByScoreBucketed]]
+   * banding argument), so the range sampler's boundary choices never
+   * leak into the result and it is bit-reproducible across retries,
+   * partition counts, and engines (the q_global_index oracle). Ties,
+   * by contrast, WOULD be numbered by sampler-chosen membership — hence
+   * the total-order contract. Local ranks are 33-bit (Spark's id
+   * layout): > 8.5 B rows in ONE partition would wrap — unreachable at
+   * sane partition sizing.
+   */
+  def globalRowIndex(df: DataFrame, sortCols: Seq[String],
+                     outCol: String = "row_idx",
+                     partitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "globalRowIndex needs at least one sort column")
+    val reserved = df.columns.filter(_.startsWith("__gri_"))
+    require(reserved.isEmpty,
+      s"globalRowIndex: input uses reserved __gri_* names: ${reserved.mkString(",")}")
+    require(!df.columns.contains(outCol),
+      s"globalRowIndex: output column '$outCol' already exists")
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val keys = sortCols.map(graft.ColName.topCol)
+    import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: the id column is consumed by TWO subtrees (the
+    // offsets aggregation and the final join). Without a lineage pin,
+    // each subtree could re-execute the range shuffle with its own
+    // boundary sample and disagree on partition membership — offsets
+    // from one partitioning applied to ranks from another. Materializing
+    // once makes the nondeterministic id a fact, not a recipe (the
+    // Dedup/kGeneralize idiom); cost class = one extra corpus write to
+    // executor-local storage, same as a shuffle spill.
+    val tagged = df.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__gri_mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val pidOf = shiftright(col("__gri_mid"), 33)
+    val localOf = col("__gri_mid").bitwiseAND(lit((1L << 33) - 1))
+    // offsets table: ≤ n pre-aggregated rows — the one unpartitioned
+    // window is provably bounded (the seq-packing two-phase idiom)
+    val offsets = tagged.groupBy(pidOf.as("__gri_pid"))
+      .agg(count(lit(1)).as("__gri_cnt"))
+      .withColumn("__gri_off",
+        coalesce(sum(col("__gri_cnt")).over(
+          Window.orderBy(col("__gri_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__gri_cnt")
+    tagged.join(broadcast(offsets), pidOf === col("__gri_pid"))
+      .withColumn(outCol, col("__gri_off") + localOf)
+      .drop("__gri_pid", "__gri_mid", "__gri_off")
+  }
+
   def sortedExport(df: DataFrame, sortCols: Seq[String], path: String,
                    numFiles: Int): Unit = {
     require(sortCols.nonEmpty, "sortedExport needs at least one sort column")

@@ -95,4 +95,39 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(nIn == 1 && nOut == 1)
     assertSameRows(sp.read.parquet(out), src)
   }
+
+  test("globalRowIndex == window row_number at several partition counts") {
+    val sp = spark
+    import org.apache.spark.sql.expressions.Window
+    // scrambled input, unique composite (k, id) total order
+    val src = sp.range(5000).select(
+      col("id"), ((col("id") * 7919) % 257).alias("k")).repartition(13)
+    val expected = src.withColumn("row_idx",
+      row_number().over(Window.orderBy(col("k"), col("id"))).cast("long") - 1)
+    for (n <- Seq(1, 3, 8, 64)) { // 64 > shuffle partitions -> empty parts
+      val got = Layout.globalRowIndex(src, Seq("k", "id"), partitions = n)
+      assertSameRows(got, expected)
+    }
+  }
+
+  test("globalRowIndex: deterministic across retries, contiguous, 0-based") {
+    val sp = spark
+    val src = sp.range(777).select(col("id"), (col("id") % 5).alias("g"))
+    val a = Layout.globalRowIndex(src, Seq("g", "id"), partitions = 4)
+    val b = Layout.globalRowIndex(src, Seq("g", "id"), partitions = 4)
+    assertSameRows(a, b)
+    val idx = a.select("row_idx").collect().map(_.getLong(0)).sorted
+    assert(idx.toSeq == (0L until 777L))
+  }
+
+  test("globalRowIndex: reserved/existing/empty-key inputs raise loudly") {
+    val sp = spark
+    val src = sp.range(10).toDF("id")
+    intercept[IllegalArgumentException](
+      Layout.globalRowIndex(src, Nil))
+    intercept[IllegalArgumentException](
+      Layout.globalRowIndex(src.withColumn("row_idx", lit(1)), Seq("id")))
+    intercept[IllegalArgumentException](
+      Layout.globalRowIndex(src.withColumn("__gri_mid", lit(1)), Seq("id")))
+  }
 }
