@@ -483,6 +483,33 @@ object Bench {
             skewed, "g", "id", "score", p = 0.5, buckets = 32)
         else graft.ext.Curation.topPByScore(skewed, "g", "id", "score", p = 0.5)
       }, () => ())
+      // the hub pair: a co-occurrence graph with one planted hub (node
+      // 25000 — a MID-RANGE id — joins 30% of the groups → degree ~15k;
+      // everyone else ~5). The id-oriented wedge join's fan-out through
+      // a middle vertex v is indeg(v)×outdeg(v) under the arbitrary id
+      // order — for a mid-id hub that is ~(deg/2)² ≈ 56M wedge rows
+      // through one join key; the degree-ordered form points every hub
+      // edge INTO the hub (out-degree 0) so the wedge bound is Σ outdeg²
+      // over the sparse background only (~300k). Same cached edge list,
+      // same exact triangle count (GraphSpec hub test) — the pair
+      // measures exactly the orientation delta.
+      case n @ (NmScaleTriPlain | NmScaleTriOrdered) =>
+        val groups = 30000L
+        val per = 5L
+        val nNodes = 50000L
+        val members = spark.range(groups * per).select(
+          (col("id") / per).cast("long").alias("g"),
+          (abs(hash(col("id"))).cast("long") % nNodes + 1L).alias("n"))
+        val hub = spark.range(groups).filter(col("id") % 10 < 3)
+          .select(col("id").alias("g"), lit(nNodes / 2).alias("n"))
+        val edges = graft.ext.Graph.coOccurrenceEdges(
+          members.unionByName(hub), "g", "n")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        Prepared(() =>
+          if (n == NmScaleTriOrdered) graft.ext.Graph.triangleStats(edges)
+          else graft.ext.Graph.triangleStatsIdOriented(edges),
+          () => { edges.unpersist(); () })
       // Lloyd training + narrow assignment at nlist=64: the clustering
       // cost model is iters x (broadcast crossJoin + per-centroid mean);
       // the assignment itself adds NO shuffle on top
@@ -548,6 +575,8 @@ object Bench {
   private[graft] val NmScaleTopPSkewBuck = "scale_top_p_skewed_bucketed"
   private[graft] val NmScaleKmeans = "scale_kmeans"
   private[graft] val NmScaleQuality = "scale_quality_report"
+  private[graft] val NmScaleTriPlain = "scale_triangle_hub_plain"
+  private[graft] val NmScaleTriOrdered = "scale_triangle_hub_ordered"
   private[graft] val seqPackingShards = Seq(8, 64)
   private[graft] val knnQueryCounts = Seq(100, 1000)
   private[graft] val autoPackKeys = Seq("parent_dom_2k", "skewed")
@@ -555,7 +584,8 @@ object Bench {
     Seq(NmScaleDedup, NmScaleHotBucket, NmScaleSemDedup, NmScaleSpans,
       NmScaleDropSpans, NmScalePackMerge, NmScaleJoinPlain, NmScaleJoinBloom,
       NmScaleSegDedup, NmScaleTopP, NmScaleTopPSkewPlain, NmScaleTopPSkewBuck,
-      NmScaleKmeans, NmScaleQuality) ++
+      NmScaleKmeans, NmScaleQuality,
+      NmScaleTriPlain, NmScaleTriOrdered) ++
     seqPackingShards.map(s => s"scale_seq_packing_$s") ++
     knnQueryCounts.map(n => s"scale_knn_${n}q") ++
     autoPackKeys.map(k => s"auto_pack_$k")

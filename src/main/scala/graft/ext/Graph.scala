@@ -9,15 +9,19 @@ import org.apache.spark.sql.functions._
  * (suppliers co-serving an order, users co-editing a doc): degree
  * statistics and EXACT triangle counting.
  *
- * Triangle counting is the classic distributed-join benchmark: with
- * edges canonicalized `a < b`, triangles are exactly the matches of
- * e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a < b < c — two equi-joins, integer-
- * exact, no iteration. Scale notes: the wedge join (e ⋈ e on the
- * middle vertex) is the quadratic step — its fan-out is Σ_v deg(v)²,
- * so the canonical a<b orientation matters (it bounds each wedge list
- * by the HIGHER-degree endpoint's out-neighbors, the standard
- * degree-ordering trick that keeps hub vertices from exploding), and
- * the closing edge joins as a semi-join-shaped probe.
+ * Triangle counting is the classic distributed-join benchmark:
+ * triangles are exactly the matches of a wedge self-join plus a
+ * closing-edge probe — two equi-joins, integer-exact, no iteration.
+ * Scale notes: the wedge join (e ⋈ e on the pivot vertex) is the
+ * quadratic step — its fan-out is Σ_v outdeg(v)², so the EDGE
+ * ORIENTATION decides whether a hub explodes. Orienting each edge
+ * lower-degree → higher-degree endpoint (tie-break by id) bounds
+ * every out-adjacency list by O(√m) and the total wedge count by
+ * O(m^1.5) — the standard degree-ordering trick. A plain id-canonical
+ * `a < b` orientation does NOT have this property: a hub with a small
+ * id keeps ~its full degree as out-neighbors and fans out deg(hub)²
+ * (kept here only as the bench counter-example,
+ * [[triangleStatsIdOriented]]).
  */
 object Graph {
 
@@ -25,27 +29,89 @@ object Graph {
     * `nodeCol` sharing a `groupCol` value. The pair fan-out is map-side
     * (self-join within groups), reduced by `distinct` before anything
     * downstream — bounded by groups × k² for k co-members, the
-    * relational-graph norm. */
-  def coOccurrenceEdges(df: DataFrame, groupCol: String, nodeCol: String): DataFrame = {
+    * relational-graph norm.
+    *
+    * `maxGroupSize` is the per-group fan-out guard (same shape as the
+    * LSH hot-bucket cap): a single 100k-member group would emit 5×10⁹
+    * pairs map-side before the distinct can reduce anything. Groups
+    * with more than `maxGroupSize` distinct members are DROPPED (their
+    * edges are boilerplate co-membership, the graph analog of an empty-
+    * doc LSH bucket) via the bounded two-pass count + anti-join guard
+    * shared with [[Dedup.dropHotBuckets]]. Default keeps every group —
+    * exactness first; set a cap for power-law corpora. */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, nodeCol: String,
+                        maxGroupSize: Int = Int.MaxValue): DataFrame = {
     val q = (n: String) => graft.ColName.topCol(n)
-    val l = df.select(q(groupCol).alias("__g"), q(nodeCol).alias("a")).distinct()
-    val r = df.select(q(groupCol).alias("__g"), q(nodeCol).alias("b")).distinct()
+    val m0 = df.select(q(groupCol).alias("__g"), q(nodeCol).alias("__n")).distinct()
+    val m = Dedup.dropHotBuckets(m0, Seq("__g"), maxGroupSize)
+    val l = m.select(col("__g"), col("__n").alias("a"))
+    val r = m.select(col("__g"), col("__n").alias("b"))
     l.join(r, "__g").filter(col("a") < col("b"))
       .select("a", "b").distinct()
   }
 
+  /** Edges oriented lower-degree → higher-degree endpoint (ties broken
+    * by id): `(src, dst, dst_deg, dst key struct ordering material)`.
+    * Every triangle then has exactly ONE pivot (the node smallest in
+    * the (degree, id) total order) with out-edges to the other two, so
+    * the wedge self-join on `src` counts each triangle once and its
+    * fan-out is Σ outdeg² = O(m^1.5) — hub-proof by construction. */
+  private[ext] def orientByDegree(edges: DataFrame): DataFrame = {
+    val deg = degrees(edges)
+    val da = deg.select(col("node").alias("a"), col("degree").alias("__da"))
+    val db = deg.select(col("node").alias("b"), col("degree").alias("__db"))
+    val j = edges.join(da, "a").join(db, "b")
+    // lexicographic (degree, id) — Spark orders structs field-by-field
+    val aKey = struct(col("__da"), col("a"))
+    val bKey = struct(col("__db"), col("b"))
+    val aFirst = aKey < bKey
+    j.select(
+      when(aFirst, col("a")).otherwise(col("b")).alias("src"),
+      when(aFirst, col("b")).otherwise(col("a")).alias("dst"),
+      when(aFirst, col("__db")).otherwise(col("__da")).alias("dst_deg"))
+  }
+
   /** Exact triangle count plus node/edge counts, one row. Edges must be
-    * canonical (a < b, distinct) — [[coOccurrenceEdges]] output. */
+    * canonical (a < b, distinct) — [[coOccurrenceEdges]] output.
+    *
+    * Degree-ordered: edges are re-oriented lower-degree → higher-degree
+    * ([[orientByDegree]]) so the wedge join's fan-out is O(m^1.5)
+    * regardless of hubs; the closing edge probes the same oriented list
+    * (between the two wedge tips x ≺ z, the oriented edge — if present —
+    * is x→z by construction). Two degree equi-joins + one wedge join +
+    * one probe join, all partial-aggregation-free equi-joins. */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // the oriented list feeds BOTH wedge sides and the closing probe —
+    // pin it once (eager localCheckpoint) so the degree aggregation +
+    // orientation joins run once, not three times
+    val o = orientByDegree(edges).localCheckpoint(true)
+    val e1 = o.select(col("src"), col("dst").alias("x"), col("dst_deg").alias("__dx"))
+    val e2 = o.select(col("src"), col("dst").alias("z"), col("dst_deg").alias("__dz"))
+    // each unordered out-pair once: tips ordered by the same (deg, id) key
+    val wedges = e1.join(e2, "src")
+      .filter(struct(col("__dx"), col("x")) < struct(col("__dz"), col("z")))
+    val closing = o.select(col("src").alias("x"), col("dst").alias("z"))
+    val triangles = wedges.join(closing, Seq("x", "z"))
+    statsRow(edges, triangles.count())
+  }
+
+  /** The naive id-canonical wedge join (`a < b < c`). Correct, but the
+    * wedge fan-out is bounded only by deg(hub)² — a hub with a small id
+    * keeps its whole adjacency as out-edges. Kept as the bench
+    * counter-example for [[triangleStats]]'s degree ordering
+    * (scale_triangle_hub_plain vs _ordered); not for production graphs. */
+  private[graft] def triangleStatsIdOriented(edges: DataFrame): DataFrame = {
     val e1 = edges.select(col("a").alias("x"), col("b").alias("y"))
     val e2 = edges.select(col("a").alias("y"), col("b").alias("z"))
     val e3 = edges.select(col("a").alias("x"), col("b").alias("z"))
-    val wedges = e1.join(e2, "y") // x < y < z by construction
-    val triangles = wedges.join(e3, Seq("x", "z"))
+    val triangles = e1.join(e2, "y").join(e3, Seq("x", "z"))
+    statsRow(edges, triangles.count())
+  }
+
+  private def statsRow(edges: DataFrame, nTri: Long): DataFrame = {
     val nNodes = edges.select(col("a").alias("n"))
       .union(edges.select(col("b").alias("n"))).distinct().count()
     val nEdges = edges.count()
-    val nTri = triangles.count()
     val spark = edges.sparkSession
     import spark.implicits._
     Seq((nNodes, nEdges, nTri)).toDF("n_nodes", "n_edges", "n_triangles")

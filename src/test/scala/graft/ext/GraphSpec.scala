@@ -120,6 +120,48 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(x - r(v)) < 1e-6, s"node $v: $x vs ${r(v)}") }
   }
 
+  test("coOccurrenceEdges: maxGroupSize drops oversized groups only") {
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L), (1L, 40L), // group 1: 4 members
+      (2L, 10L), (2L, 20L),                       // group 2: 2 members
+      (3L, 20L), (3L, 30L)).toDF("g", "n")        // group 3: 2 members
+    val capped = Graph.coOccurrenceEdges(df, "g", "n", maxGroupSize = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((10L, 20L), (20L, 30L)), capped)
+    // default cap keeps everything
+    val full = Graph.coOccurrenceEdges(df, "g", "n")
+      .as[(Long, Long)].collect().toSet
+    assert(full.size == 6 + 2 - 2 + 0, full) // C(4,2)=6 ∪ {(10,20),(20,30)}
+  }
+
+  test("orientByDegree: lower-degree endpoint first, ties broken by id") {
+    // star 1-{2,3} plus edge 2-3: deg(1)=2, deg(2)=2, deg(3)=2 → all ties,
+    // orientation falls back to id order
+    val tie = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val ot = Graph.orientByDegree(tie).select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(ot == Set((1L, 2L), (1L, 3L), (2L, 3L)), ot)
+    // hub 1 (degree 3) vs leaves (degree 1) + pendant: edges point AT the hub
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val os = Graph.orientByDegree(star).select("src", "dst")
+      .as[(Long, Long)].collect().toSet
+    assert(os == Set((2L, 1L), (3L, 1L), (4L, 1L)), os)
+  }
+
+  test("degree-ordered triangleStats ≡ id-oriented form on a hub graph") {
+    // hub 0 connected to everyone + a sparse ring: the exact shape where
+    // the id-canonical wedge join fans out deg(hub)²
+    val n = 40L
+    val hub = (1L to n).map(x => (0L, x))
+    val ring = (1L until n).map(x => (x, x + 1))
+    val edges = (hub ++ ring).toDF("a", "b")
+    val fast = Graph.triangleStats(edges).as[(Long, Long, Long)].collect()(0)
+    val slow = Graph.triangleStatsIdOriented(edges)
+      .as[(Long, Long, Long)].collect()(0)
+    assert(fast == slow, s"ordered $fast != id-oriented $slow")
+    assert(fast._3 == n - 1) // each ring edge closes with the hub
+  }
+
   test("degrees: undirected degree per node") {
     val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     val d = Graph.degrees(e).as[(Long, Long)].collect().toMap
