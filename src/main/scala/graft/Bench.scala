@@ -625,8 +625,6 @@ object Bench {
     // round-7 verdict's #1 complaint). The main passes stop early enough
     // that the adjudication phase always gets its window.
     val rerunReserve = if (budgetSec <= 0) 0.0 else math.min(300.0, budgetSec * 0.2)
-    def mainBudgetLeft: Double =
-      if (budgetSec <= 0) Double.MaxValue else budgetLeft - rerunReserve
     // Optional comma-separated substring filter over entry names
     // (SPARK_GRAFT_ONLY="q_pack,scale_"): focused reruns for regression
     // attribution, and sf1.0 runs that skip the sf-independent synthetic
@@ -676,6 +674,50 @@ object Bench {
     val skipped = scala.collection.mutable.ListBuffer.empty[String]
     // results accumulated so far, for the incremental partial flush
     val partialResults = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-entry floor-sample age in ENTRIES (0 = probed adjacent to this
+    // entry; 1-3 = reused from up-to-3-entries earlier — the driver
+    // profile's every-4th sampling). Emitted as "floor_age" so the
+    // adjudicator can tell a live canary from a dated one.
+    val floorAge = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+
+    // committed-reference artifact, read BEFORE the main pass: the flag
+    // predicate now also steers the budget (see mainBudgetLeft)
+    val refPath = sys.env.getOrElse("SPARK_GRAFT_REF", "BENCH_REFERENCE.json")
+    val refFile = new java.io.File(refPath)
+    val refTimes = readQueryTimes(refFile)
+    val refFloorSec = readFloorSec(refFile)
+    val flagFactor = sys.env.getOrElse("SPARK_GRAFT_FLAG_FACTOR", "2.0").toDouble
+    // FLOOR-NORMALIZED flagging: a 0.5 s entry is ~60% scheduling floor,
+    // so a mildly warm box (floor 0.31 → 0.39 s) pushes every cheap entry
+    // past 2x its committed value while the heavy entries sit at 1x — the
+    // round-6 capture reproduced exactly this signature. When the
+    // committed reference records its floor, compare floor-SUBTRACTED
+    // work (t - adjacentFloor vs factor × (ref - refFloor)); entries whose
+    // computed work is sub-floor can never flag. Falls back to the raw
+    // ratio when the reference artifact predates floor recording.
+    def entryFlagged(name: String, t: Double, fallbackFloor: Double): Boolean =
+      t > 0 && refTimes.get(name).exists { r =>
+        val rawFlag = t > r * flagFactor && t - r > 0.4
+        if (refFloorSec <= 0) rawFlag
+        else {
+          val fNow = floorsLog.getOrElse(name, fallbackFloor)
+          val work = t - math.min(if (fNow > 0) fNow else t, t)
+          val refWork = math.max(r - refFloorSec, 0.05)
+          rawFlag && work > refWork * flagFactor
+        }
+      }
+    def anyFlagPending: Boolean = partialResults.exists { case (n, t) =>
+      entryFlagged(n, t, refFloorSec) }
+    // Reserve release (VERDICT r10 #1): the reserve guarantees the
+    // end-of-run adjudication window, but holding it while NOTHING is
+    // flag-worthy starved the scale_ family two rounds running
+    // (BENCH_r09/r10 n_skipped=20 with the reserve unspent). While no
+    // measured entry flags, the main pass may spend the whole budget;
+    // the reserve re-engages the moment a flag appears.
+    def mainBudgetLeft: Double =
+      if (budgetSec <= 0) Double.MaxValue
+      else if (!anyFlagPending) budgetLeft
+      else budgetLeft - rerunReserve
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     def writeJson(path: String, json: String): Boolean = try {
       val w = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
@@ -716,8 +758,9 @@ object Bench {
       val runs = runsOfN(repeatFor(name, repeat), e => errMsgs(name) =
         s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300))(f)
       runsLog(name) = runs
-      if (fullProfile || floorEntryIdx % 4 == 0 || lastFloorSample < 0)
-        lastFloorSample = time(materialize(floorJob(spark)))
+      val freshFloor = fullProfile || floorEntryIdx % 4 == 0 || lastFloorSample < 0
+      if (freshFloor) lastFloorSample = time(materialize(floorJob(spark)))
+      floorAge(name) = if (freshFloor) 0 else floorEntryIdx % 4
       floorEntryIdx += 1
       floorsLog(name) = lastFloorSample
       val v = if (runs.exists(_ < 0)) -1.0 else runs.min
@@ -764,7 +807,7 @@ object Bench {
     def record(name: String, r: BenchScenario.ForkResult): (String, Double) = {
       rss(name) = r.rssMb
       if (r.runs.nonEmpty) runsLog(name) = r.runs
-      if (r.floor > 0) floorsLog(name) = r.floor
+      if (r.floor > 0) { floorsLog(name) = r.floor; floorAge(name) = 0 }
       r.err.foreach(m => errMsgs(name) = m)
       partialResults(name) = r.sec
       flushPartial()
@@ -783,6 +826,42 @@ object Bench {
     // the passes themselves — reserve 90 s before starting one
     def forkBudgetOk(name: String): Boolean =
       if (mainBudgetLeft >= 90) true else { skipped += name; false }
+    // non-parity scale/auto scenarios (definitions + rationale in
+    // [[prepareScale]]): forked per scenario by default, like parity. The
+    // driver profile shares one child JVM across chunks of 8 (they don't
+    // share datasets, but the ~10-15 s JVM + session startup amortizes;
+    // chunking bounds what one child death can lose).
+    // ORDER (VERDICT r10 #1): scale_/auto_ run BEFORE the parity family —
+    // the parity entries have ten rounds of committed evidence, the scale
+    // entries are the 100TB-design measurements and were the ones budget-
+    // skipped two rounds running when they came last.
+    val scaleResults: Seq[(String, Double)] =
+      if (forkMode && !fullProfile)
+        scaleScenarioNames.filter(selected).grouped(8).toSeq.flatMap { chunk =>
+          if (mainBudgetLeft < 90) { skipped ++= chunk; Nil }
+          else {
+            val results = BenchScenario.runForkedGroup(chunk, cpus,
+              forkRepeat, sfDir, childWarmups)
+            chunk.map(n => record(n, results.getOrElse(n,
+              BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
+                Some("no result line from grouped child")))))
+          }
+        }
+      else scaleScenarioNames.filter(selected).flatMap { name =>
+        if (forkMode) {
+          if (forkBudgetOk(name)) Some(runForkedAndRecord(name)) else None
+        } else if (mainBudgetLeft < 30) { skipped += name; None }
+        else {
+          val p = try prepareScale(spark, name, sfDir) catch {
+            case e: Throwable =>
+              errMsgs(name) = s"prepare failed: ${e.getMessage}".take(300)
+              Prepared(() => throw e, () => ())
+          }
+          try Some(scenario(name)(p.query())) finally p.cleanup()
+        }
+      }
+
+
     val activeParity = parityScenarios.filter(s => selected(s._1))
     val parityResults: Seq[(String, Double)] =
       if (forkMode && !fullProfile) {
@@ -837,68 +916,17 @@ object Bench {
         }
       }
 
-    // non-parity scale/auto scenarios (definitions + rationale in
-    // [[prepareScale]]): forked per scenario by default, like parity. The
-    // driver profile shares one child JVM across chunks of 8 (they don't
-    // share datasets, but the ~10-15 s JVM + session startup amortizes;
-    // chunking bounds what one child death can lose).
-    val scaleResults: Seq[(String, Double)] =
-      if (forkMode && !fullProfile)
-        scaleScenarioNames.filter(selected).grouped(8).toSeq.flatMap { chunk =>
-          if (mainBudgetLeft < 90) { skipped ++= chunk; Nil }
-          else {
-            val results = BenchScenario.runForkedGroup(chunk, cpus,
-              forkRepeat, sfDir, childWarmups)
-            chunk.map(n => record(n, results.getOrElse(n,
-              BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
-                Some("no result line from grouped child")))))
-          }
-        }
-      else scaleScenarioNames.filter(selected).flatMap { name =>
-        if (forkMode) {
-          if (forkBudgetOk(name)) Some(runForkedAndRecord(name)) else None
-        } else if (mainBudgetLeft < 30) { skipped += name; None }
-        else {
-          val p = try prepareScale(spark, name, sfDir) catch {
-            case e: Throwable =>
-              errMsgs(name) = s"prepare failed: ${e.getMessage}".take(300)
-              Prepared(() => throw e, () => ())
-          }
-          try Some(scenario(name)(p.query())) finally p.cleanup()
-        }
-      }
-
-    val all0 = queryTimes ++ parityResults ++ scaleResults
+    val all0 = queryTimes ++ scaleResults ++ parityResults
 
     // ---- noise-robust finalization (see scaladoc: NOISE ROBUSTNESS) ----
     // BENCH_REFERENCE.json is the committed known-good artifact; entries
     // slower than flagFactor x their reference (with 0.4 s absolute slack
     // so scheduling-floor entries never flag) re-run in a clean child JVM.
-    val refPath = sys.env.getOrElse("SPARK_GRAFT_REF", "BENCH_REFERENCE.json")
-    val refFile = new java.io.File(refPath)
-    val refTimes = readQueryTimes(refFile)
-    val refFloorSec = readFloorSec(refFile)
-    val flagFactor = sys.env.getOrElse("SPARK_GRAFT_FLAG_FACTOR", "2.0").toDouble
+    // The flag predicate itself ([[entryFlagged]]) is defined up top —
+    // it also steers the main pass's budget reserve.
     val rerunEnabled = !sys.env.get("SPARK_GRAFT_RERUN").contains("0")
-    // FLOOR-NORMALIZED flagging: a 0.5 s entry is ~60% scheduling floor,
-    // so a mildly warm box (floor 0.31 → 0.39 s) pushes every cheap entry
-    // past 2x its committed value while the heavy entries sit at 1x — the
-    // round-6 capture reproduced exactly this signature. When the
-    // committed reference records its floor, compare floor-SUBTRACTED
-    // work (t - adjacentFloor vs factor × (ref - refFloor)); entries whose
-    // computed work is sub-floor can never flag. Falls back to the raw
-    // ratio when the reference artifact predates floor recording.
     val flagged = all0.collect {
-      case (name, t) if t > 0 && refTimes.get(name).exists { r =>
-        val rawFlag = t > r * flagFactor && t - r > 0.4
-        if (refFloorSec <= 0) rawFlag
-        else {
-          val fNow = floorsLog.getOrElse(name, floorSec)
-          val work = t - math.min(fNow, t)
-          val refWork = math.max(r - refFloorSec, 0.05)
-          rawFlag && work > refWork * flagFactor
-        }
-      } => name
+      case (name, t) if entryFlagged(name, t, floorSec) => name
     }
     // floor-gate (VERDICT r5 #4): before burning isolated re-runs, check
     // whether the BOX is hot — re-running 13 entries under the same
@@ -1009,6 +1037,11 @@ object Bench {
       s""""$k":[${v.mkString(",")}]""" }.mkString("{", ",", "}")
     val floorsJson = floorsLog.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
+    // floor-sample age per entry (0 = probed adjacent; 1-3 = reused from
+    // up to 3 entries earlier) — lets the adjudicator distinguish a live
+    // ambient canary from a dated one
+    val floorAgeJson = floorAge.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}")
     val isoJson = isolated.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val flaggedJson = flagged.map(n => s""""$n"""").mkString("[", ",", "]")
     val inprocJson = all0.filter(p => flagged.contains(p._1))
@@ -1037,7 +1070,7 @@ object Bench {
       s""""flagged":$flaggedJson,"inprocess":$inprocJson,""" +
       s""""isolated_rerun":$isoJson,"rerun_floor":$rerunFloor,""" +
       s""""floor_hot":$floorHotJson,"errors":$errsJson,""" +
-      s""""floors":$floorsJson,"runs":$runsJson,""" +
+      s""""floors":$floorsJson,"floor_age":$floorAgeJson,"runs":$runsJson,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
     // Full metrics go to FILES (lossless — round-2's stdout capture
     // truncated the tail, losing the total and ~15 timings):
