@@ -7,10 +7,15 @@ materializing both sides into pandas and stringify-sorting them.
 pandas compare is fine at the driver's sf0.01 gate but takes tens of
 minutes and ~60 GB on a 60M-row packed frame; EXCEPT ALL streams.
 
-Float columns are compared exactly, like the driver gate: every oracle
-either emits integral/rounded values by construction or documents why
-exactness holds (see BASELINE.md sf1.0 notes). List/struct columns
-compare exactly too (DuckDB EXCEPT ALL supports nested types).
+Float handling mirrors the small gate's dtype tolerance (which
+stringifies via pandas): a Spark float32 column vs a DuckDB double
+recompute must not false-FAIL on representation alone. Scalar
+float/double columns are compared as round(CAST(x AS DOUBLE), 6) on
+BOTH sides — 6 dp is the surface-wide float-equality contract (every
+float-valued oracle already rounds to <= 6 dp by construction, see
+BASELINE.md sf1.0 notes). Nested types containing floats are cast to
+their DOUBLE-ized type on both sides (exact widening — fixes dtype
+coercion without rounding). Everything else compares exactly.
 """
 import duckdb, json, sys, glob
 
@@ -37,12 +42,23 @@ for name, sql in sorted(oracle.items()):
     try:
         con.sql(f"CREATE OR REPLACE VIEW __got AS SELECT * FROM read_parquet({files!r})")
         con.sql(f"CREATE OR REPLACE VIEW __exp AS ({sql})")
-        gcols = [d[0] for d in con.sql("DESCRIBE __got").fetchall()]
-        ecols = [d[0] for d in con.sql("DESCRIBE __exp").fetchall()]
+        gtypes = {d[0]: d[1] for d in con.sql("DESCRIBE __got").fetchall()}
+        etypes = {d[0]: d[1] for d in con.sql("DESCRIBE __exp").fetchall()}
+        gcols, ecols = list(gtypes), list(etypes)
         if sorted(gcols) != sorted(ecols):
             print(f"FAIL {name}: columns {sorted(gcols)} vs {sorted(ecols)}", flush=True)
             fail += 1; continue
-        cols = ", ".join(f'"{c}"' for c in sorted(gcols))
+        def norm(c):
+            ts = {gtypes[c].upper(), etypes[c].upper()}
+            if not any(("FLOAT" in t or "DOUBLE" in t or "REAL" in t) for t in ts):
+                return f'"{c}"'
+            if all(t in ("FLOAT", "DOUBLE", "REAL") for t in ts):
+                return f'round(CAST("{c}" AS DOUBLE), 6) AS "{c}"'
+            # nested type containing floats: exact widening, no rounding
+            wide = (gtypes[c].upper().replace("FLOAT", "DOUBLE")
+                    .replace("REAL", "DOUBLE"))
+            return f'CAST("{c}" AS {wide}) AS "{c}"'
+        cols = ", ".join(norm(c) for c in sorted(gcols))
         ng = con.sql("SELECT count(*) FROM __got").fetchone()[0]
         ne = con.sql("SELECT count(*) FROM __exp").fetchone()[0]
         if ng != ne:

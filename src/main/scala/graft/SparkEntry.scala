@@ -1636,10 +1636,12 @@ object SparkEntry {
     // (o_orderdate, o_orderkey) order with ONE corpus exchange — no
     // row_number() OVER () single-task funnel; the composite key is a
     // total order, so the index is partition-membership-independent
+    // (which is also why partitions may follow the session width — the
+    // SPARK_GRAFT_SHUFFLE=auto scale knob reaches this entry)
     "q_global_index" -> ((s, dir) =>
       ext.Layout.globalRowIndex(
         table(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
-        Seq("o_orderdate", "o_orderkey"), outCol = "row_idx", partitions = 8)
+        Seq("o_orderdate", "o_orderkey"), outCol = "row_idx")
         .select(col("o_orderkey"), col("row_idx"))),
     // fixed-width histogram: one partial-aggregatable groupBy over a
     // codegen'd bucket expression — shuffle carries ≤ buckets rows per

@@ -90,12 +90,22 @@ object Tuning {
                             minPartitions: Int): String =
     if (setting != "auto") setting
     else {
-      val dir = new java.io.File(sfDir)
-      val tables = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
+      // Hadoop FS listing (consistent with [[inputBytes]]) so an
+      // hdfs:// / s3a:// / local sfDir all resolve; the layout contract
+      // is still an sf-style directory of top-level <table>.parquet
+      // entries (files or directories)
+      val conf = new Configuration()
+      val dir = new Path(sfDir)
+      val fs = dir.getFileSystem(conf)
+      require(fs.exists(dir), s"SPARK_GRAFT_SHUFFLE=auto: $sfDir does not exist")
+      val tables = fs.listStatus(dir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq
       require(tables.nonEmpty,
-        s"SPARK_GRAFT_SHUFFLE=auto: no parquet tables under $sfDir")
-      partitionsForBytes(inputBytes(tables, new Configuration()),
+        s"SPARK_GRAFT_SHUFFLE=auto: no top-level *.parquet tables under " +
+          s"$sfDir (auto expects an sf-style directory of <table>.parquet " +
+          "files or directories)")
+      partitionsForBytes(inputBytes(tables, conf),
         minPartitions = minPartitions).toString
     }
 

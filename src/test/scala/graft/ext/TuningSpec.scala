@@ -88,10 +88,32 @@ class TuningSpec extends SparkSpec {
 
   test("resolveShuffleSetting: literal passes through, auto sizes from the sf dir") {
     assert(Tuning.resolveShuffleSetting("64", "/nowhere", 32) == "64")
-    // the real testdata dir: tiny parquet floors at minPartitions
-    val auto = Tuning.resolveShuffleSetting("auto", "/root/testdata/sf0.001", 32)
-    assert(auto == "32")
-    intercept[IllegalArgumentException](
-      Tuning.resolveShuffleSetting("auto", "/tmp", 32)) // no parquet tables
+    val dir = java.nio.file.Files.createTempDirectory("tuning3").toFile
+    try {
+      // a tiny sf-style layout: one table as a bare file, one as a
+      // directory of parts — both count, the non-parquet entry doesn't
+      java.nio.file.Files.write(new java.io.File(dir, "a.parquet").toPath,
+        Array.fill[Byte](2048)(1))
+      val sub = new java.io.File(dir, "b.parquet"); sub.mkdirs()
+      java.nio.file.Files.write(new java.io.File(sub, "part-0").toPath,
+        Array.fill[Byte](2048)(1))
+      java.nio.file.Files.write(new java.io.File(dir, "notes.txt").toPath,
+        Array.fill[Byte](9999)(1))
+      // 4 KB of parquet bytes floors at minPartitions
+      assert(Tuning.resolveShuffleSetting("auto", dir.getPath, 32) == "32")
+      // empty-of-parquet dir fails loudly with the layout explanation
+      val empty = java.nio.file.Files.createTempDirectory("tuning4").toFile
+      try intercept[IllegalArgumentException](
+        Tuning.resolveShuffleSetting("auto", empty.getPath, 32))
+      finally { empty.delete(); () }
+      // missing dir fails loudly too
+      intercept[IllegalArgumentException](
+        Tuning.resolveShuffleSetting("auto", s"${dir.getPath}/missing", 32))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
   }
 }
