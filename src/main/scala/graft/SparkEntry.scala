@@ -984,19 +984,29 @@ object SparkEntry {
           countDistinct(col("rolling_hash")).alias("n_distinct_rolling"),
           countDistinct(col("fp")).alias("n_distinct_fp"))
     }),
-    // SimHash pigeonhole-blocked pairs ≡ the exhaustive O(n²) pairs:
-    // hamming ≤ 3 with 4 disjoint 16-bit blocks guarantees ≥1 exact block
-    // match, so both diff counts are provably zero
+    // Pigeonhole-blocked Hamming pairs, CROSS-ENGINE: the signature is a
+    // planted 60-bit value both engines derive identically from md5
+    // (base = md5 of the doc's group, XOR up to 3 flipped bits at
+    // doc-determined positions — so near pairs exist by construction,
+    // unlike raw md5 where hamming ≤ 3 never fires). Spark runs the
+    // provably-total-recall blocked join (hammingPairs, 4 disjoint
+    // blocks); DuckDB recomputes the EXHAUSTIVE O(n²) pair set from the
+    // same derivation — a real value-level recomputation of the pair
+    // list, not a shape check. (Blocked ≡ exhaustive on REAL simhash
+    // values stays gated by PropertySpec + q_dedup_simhash.)
     "q_simhash_pairs" -> ((s, dir) => {
       val d = table(s, dir, "documents").filter(col("doc_id") < 2000)
-      val blocked = Dedup.simhashPairs(d, "text", "doc_id", maxDist = 3)
-        .select(col("id_a"), col("id_b"))
-      val exhaustive = Dedup.simhashPairsExhaustive(d, "text", "doc_id", maxDist = 3)
-        .select(col("id_a"), col("id_b"))
-      exhaustive.join(blocked, Seq("id_a", "id_b"), "left_anti")
-        .agg(count(lit(1)).alias("n_missed"))
-        .crossJoin(blocked.join(exhaustive, Seq("id_a", "id_b"), "left_anti")
-          .agg(count(lit(1)).alias("n_extra")))
+      val base = conv(substring(md5((col("doc_id") % 40).cast("string")),
+        1, 15), 16, 10).cast("long")
+      val k = col("doc_id") % 4
+      val sig = (0 until 3).foldLeft(base)((acc, j) =>
+        acc.bitwiseXOR(when(lit(j) < k,
+          call_function("shiftleft", lit(1L),
+            ((col("doc_id") + 16L * j) % 60L).cast("int"))).otherwise(lit(0L))))
+      Dedup.hammingPairs(d.select(col("doc_id"), sig.alias("sig")),
+          "sig", "doc_id", maxDist = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").alias("hamming"))
     }),
     // brute-force cosine top-k (exact ANN baseline)
     "q_knn_bruteforce" -> ((s, dir) => {
@@ -3111,8 +3121,25 @@ object SparkEntry {
           | count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct_rolling,
           | count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_distinct_fp
           |FROM documents WHERE doc_id < 1000""".stripMargin,
+      // exhaustive recomputation of the planted-signature pair set: same
+      // md5-derived base + bit flips, O(n²) hamming via bit_count(xor)
       "q_simhash_pairs" ->
-        "SELECT CAST(0 AS BIGINT) AS n_missed, CAST(0 AS BIGINT) AS n_extra",
+        """WITH d AS (
+          |  SELECT doc_id,
+          |    ('0x' || substr(md5(CAST(doc_id % 40 AS VARCHAR)), 1, 15))::BIGINT AS base,
+          |    doc_id % 4 AS k
+          |  FROM documents WHERE doc_id < 2000),
+          |s AS (
+          |  SELECT doc_id,
+          |    xor(xor(xor(base,
+          |      CASE WHEN k > 0 THEN 1::BIGINT << CAST((doc_id + 0) % 60 AS INTEGER) ELSE 0 END),
+          |      CASE WHEN k > 1 THEN 1::BIGINT << CAST((doc_id + 16) % 60 AS INTEGER) ELSE 0 END),
+          |      CASE WHEN k > 2 THEN 1::BIGINT << CAST((doc_id + 32) % 60 AS INTEGER) ELSE 0 END) AS sig
+          |  FROM d)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+          |FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
       "q_knn_ivf" -> knnBruteSql,
       "q_knn_ivf_trained" -> knnBruteSql,
       "q_knn_ivf_persisted" -> knnBruteSql,
