@@ -383,6 +383,53 @@ object Bench {
         Prepared(() => graft.ext.Similarity.bruteForceTopK(
           emb, emb.filter(col("vec_id") < nq), 10, "vec_id", "embedding"),
           () => { emb.unpersist(); () })
+      // image near-dup at corpus scale (beyond the 120-image oracle
+      // lattice): sfDir-proportional planted PNG corpus — documents-table
+      // sizing, 50k originals + 12.5k perturbed clones at sf1.0 — with
+      // REAL JDK decode. Untimed: generation + persist. Timed: the full
+      // operator path — repartitionBySize hash-spread, one decode pass
+      // (payload column dies there), 8-byte dhashes, pigeonhole-blocked
+      // Hamming join under the production hot-block cap. Clone-pair
+      // recall at this scale is gated by MultimodalCodecSpec; value-level
+      // cross-engine equality stays with q_image_dhash/q_image_neardup.
+      case NmScaleImageNeardup =>
+        val n = math.max(1000L, math.min(docs.count(), 50000L)).toInt
+        val assets = graft.ext.Multimodal.plantedImagesWithClones(
+          spark, n, n / 4, cloneOffset = 1000000L, partitions = 64)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        assets.count()
+        Prepared(() => graft.ext.Multimodal.imageNearDupPairs(
+            graft.ext.Multimodal.repartitionBySize(assets, 64),
+            maxDist = 2, maxBucketSize = 2000),
+          () => { assets.unpersist(); () })
+      // probe-sized shuffle width vs the session default, on the one pack
+      // shape the sf10 sweep showed going super-linear at a fixed width
+      // (q_pack_split_join): the sized arm applies planPack's
+      // recommendation (a recommend-only API — applied here exactly as a
+      // pipeline author would, via session conf) around the SAME pack on
+      // the SAME cached input. At sf <= 1.0 the estimated payload floors
+      // the recommendation at the session parallelism so the arms tie by
+      // design; the separation is the sf10 sweep (BASELINE.md).
+      case n @ (`NmAutoPackLineDefault` | `NmAutoPackLineSized`) =>
+        val flat = Tpch.flatOrderLines(spark, sfDir)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        flat.count()
+        val pk = Tpch.orderPacker
+        val before = spark.conf.get("spark.sql.shuffle.partitions")
+        if (n == NmAutoPackLineSized) {
+          val plan = pk.planPack(flat)
+          System.err.println(s"[bench] $n: planPack estimated " +
+            s"${plan.estimatedShuffleBytes / (1 << 20)} MB -> " +
+            s"${plan.recommendedPartitions} partitions (was $before)")
+          spark.conf.set("spark.sql.shuffle.partitions",
+            plan.recommendedPartitions.toString)
+        }
+        Prepared(() => pk.unpack(pk.pack(flat, "lineitem",
+            parentStrategy = ParentStrategy.SplitJoin), "lineitem"),
+          () => {
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+            flat.unpersist(); ()
+          })
       // auto strategy selection: the probe + the strategy it picks, on the
       // presets where the choice matters (compare the manual parity_pack_*
       // entries on the same datasets)
@@ -577,6 +624,9 @@ object Bench {
   private[graft] val NmScaleQuality = "scale_quality_report"
   private[graft] val NmScaleTriPlain = "scale_triangle_hub_plain"
   private[graft] val NmScaleTriOrdered = "scale_triangle_hub_ordered"
+  private[graft] val NmAutoPackLineDefault = "auto_pack_lineitem_default"
+  private[graft] val NmAutoPackLineSized = "auto_pack_lineitem_sized"
+  private[graft] val NmScaleImageNeardup = "scale_image_neardup"
   private[graft] val seqPackingShards = Seq(8, 64)
   private[graft] val knnQueryCounts = Seq(100, 1000)
   private[graft] val autoPackKeys = Seq("parent_dom_2k", "skewed")
@@ -585,10 +635,11 @@ object Bench {
       NmScaleDropSpans, NmScalePackMerge, NmScaleJoinPlain, NmScaleJoinBloom,
       NmScaleSegDedup, NmScaleTopP, NmScaleTopPSkewPlain, NmScaleTopPSkewBuck,
       NmScaleKmeans, NmScaleQuality,
-      NmScaleTriPlain, NmScaleTriOrdered) ++
+      NmScaleTriPlain, NmScaleTriOrdered, NmScaleImageNeardup) ++
     seqPackingShards.map(s => s"scale_seq_packing_$s") ++
     knnQueryCounts.map(n => s"scale_knn_${n}q") ++
-    autoPackKeys.map(k => s"auto_pack_$k")
+    autoPackKeys.map(k => s"auto_pack_$k") ++
+    Seq(NmAutoPackLineDefault, NmAutoPackLineSized)
 
   def main(args: Array[String]): Unit = {
     val startNs = System.nanoTime()

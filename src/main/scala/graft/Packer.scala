@@ -21,6 +21,17 @@ object PackStrategy {
   case object SplitJoin extends PackStrategy
 }
 
+/** Full pack recommendation from [[Packer.planPack]]: the strategy pick
+  * plus a probe-estimated shuffle payload and the partition count it
+  * implies. ADVICE, deliberately not auto-applied — partition sizing
+  * follows the operator's shuffle payload and the pipeline author's
+  * session, so the caller decides (set `spark.sql.shuffle.partitions`,
+  * or pass the count to a repartition) exactly like
+  * [[graft.ext.Tuning.scaleShuffleTo]]. */
+final case class PackPlan(strategy: PackStrategy,
+                          estimatedShuffleBytes: Long,
+                          recommendedPartitions: Int)
+
 /** Root-attribute strategy for pack (reference: ParentStrategy). */
 sealed trait ParentStrategy
 object ParentStrategy {
@@ -692,6 +703,50 @@ final class Packer(
     if (row.getDouble(0) >= splitJoinWidthFactor * row.getDouble(1))
       PackStrategy.SplitJoin
     else PackStrategy.Plain
+  }
+
+  /** [[choosePackStrategy]] plus a SHUFFLE-WIDTH recommendation from the
+    * probe's own sampled bytes: estimated payload = full row count ×
+    * sampled mean serialized row width ([[Packer.widthOf]] — the same
+    * estimator the strategy ratio uses), partitions =
+    * [[graft.ext.Tuning.partitionsForBytes]] at the ~128 MB per-reducer
+    * target, floored at the session's parallelism. This closes the sf10
+    * lesson ("partition sizing follows the operator's shuffle payload")
+    * as library advice: a pack's groupBy drags the whole payload through
+    * one exchange, so a session width tuned for one scale factor goes
+    * super-linear at the next (q_pack_split_join, 16.2× → 5.4× at 10×
+    * data once sized). RECOMMEND-ONLY — apply via
+    * `spark.conf.set("spark.sql.shuffle.partitions", plan
+    * .recommendedPartitions)` around the pack (the auto_pack_sized bench
+    * arm), or ignore it: salted packs at coarse widths measurably PREFER
+    * the session default (BASELINE.md sf10 notes), which is exactly why
+    * this never self-applies.
+    *
+    * EAGER like the strategy probe, plus one keys-free `count` and one
+    * sampled width pass. */
+  def planPack(df: DataFrame, skewFactor: Double = 8.0,
+               sampleFraction: Double = 0.01,
+               splitJoinWidthFactor: Double = 1.0,
+               minChildrenPerRoot: Double = 4.0,
+               bytesPerPartition: Long = graft.ext.Tuning.DefaultBytesPerPartition,
+               maxPartitions: Int = graft.ext.Tuning.DefaultMaxPartitions): PackPlan = {
+    val strategy = choosePackStrategy(df, skewFactor, sampleFraction,
+      splitJoinWidthFactor, minChildrenPerRoot)
+    val (prepared, _) = prepareFrame(df)
+    val cols = prepared.schema.fieldNames.toIndexedSeq.filterNot(_ == RowIdCol)
+    val widthExpr = cols.map(c =>
+      Packer.widthOf(prepared.schema(c).dataType, topCol(c))).reduce(_ + _)
+    val s = (if (sampleFraction >= 1.0) prepared
+             else prepared.sample(sampleFraction, seed = 42))
+      .limit(Packer.WidthProbeRows)
+    val meanWidth = Option(s.agg(avg(widthExpr)).collect()(0).get(0))
+      .map(_.asInstanceOf[Double]).getOrElse(0.0)
+    val rows = prepared.count()
+    val est = math.max(0L, (rows * meanWidth).toLong)
+    val minParts = df.sparkSession.sparkContext.defaultParallelism
+    val rec = graft.ext.Tuning.partitionsForBytes(est, bytesPerPartition,
+      minPartitions = math.max(1, minParts), maxPartitions = maxPartitions)
+    PackPlan(strategy, est, rec)
   }
 
   /** Auto strategy dispatch: run [[choosePackStrategy]]'s pick. Contents

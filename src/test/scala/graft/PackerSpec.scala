@@ -452,6 +452,35 @@ class PackerSpec extends SparkSpec {
     assertSameRows(p.packAuto(fat, "city", sampleFraction = 1.0), p.pack(fat, "city"))
   }
 
+  test("planPack recommends bytes-proportional partitions alongside the strategy") {
+    val spec = HierarchySpec(Seq(
+      LevelSpec("p", Seq(NamedField("id"))),
+      LevelSpec("c", Seq(NamedField("id")))))
+    val pk = new Packer(spec)
+    // 2000 rows x ~1 KB payload ≈ 2 MB estimated shuffle
+    val df = spark.range(2000).select(
+      (col("id") / 20).cast("long").cast("string").alias("p.id"),
+      concat_ws("", (0 until 1024).map(_ => lit("x")): _*).alias("p.c.payload"),
+      col("id").cast("string").alias("p.c.id"))
+    // 64 KB per partition -> bytes drive the count past the parallelism
+    // floor: ~2 MB / 64 KB = ~32+, capped at 40
+    val plan = pk.planPack(df, sampleFraction = 1.0,
+      bytesPerPartition = 64L << 10, maxPartitions = 40)
+    assert(plan.strategy == PackStrategy.Plain, plan)
+    assert(plan.estimatedShuffleBytes > 1900000L &&
+      plan.estimatedShuffleBytes < 2600000L, plan)
+    val expected = math.min(40L, math.max(
+      spark.sparkContext.defaultParallelism.toLong,
+      math.ceil(plan.estimatedShuffleBytes / (64.0 * 1024)).toLong))
+    assert(plan.recommendedPartitions == expected, plan)
+    // big per-partition target floors at the session parallelism
+    val floored = pk.planPack(df, sampleFraction = 1.0)
+    assert(floored.recommendedPartitions ==
+      spark.sparkContext.defaultParallelism, floored)
+    // strategy pick matches the strategy-only probe
+    assert(floored.strategy == pk.choosePackStrategy(df, sampleFraction = 1.0))
+  }
+
   test("choosePackStrategy children-per-root survives a small sample " +
     "(regression: sampled ratio collapses toward 1)") {
     val spec = HierarchySpec(Seq(

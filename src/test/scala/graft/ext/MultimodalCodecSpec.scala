@@ -147,6 +147,26 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSpec {
     assert(got == exhaustive)
   }
 
+  test("image near-dup at corpus scale: planted clone pairs survive the " +
+    "full scale_image_neardup path (spread + decode + capped blocked join)") {
+    // the scale_image_neardup bench shape at unit-test size: proportional
+    // corpus, REAL decode, hash-spread repartition, production hot-block
+    // cap — proves the cap doesn't destroy planted-pair recall beyond the
+    // 40-image lattice
+    val n = 2000
+    val assets = Multimodal.plantedImagesWithClones(spark, n, n / 4,
+      cloneOffset = 1000000L, partitions = 16)
+    val pairs = Multimodal.imageNearDupPairs(
+      Multimodal.repartitionBySize(assets, 16), maxDist = 2,
+      maxBucketSize = 2000)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missing = (0L until (n / 4).toLong)
+      .filterNot(id => got.contains((id, 1000000L + id)))
+    assert(missing.isEmpty,
+      s"${missing.size}/${n / 4} clone pairs missing, e.g. ${missing.take(5)}")
+  }
+
   test("dHash rejects images smaller than the 9x8 box grid") {
     val tiny = new java.awt.image.BufferedImage(
       8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
