@@ -834,10 +834,12 @@ object Dedup {
     * (corpus/nlist)² not corpus². */
   def semDedupSurvivors(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, nlist: Int = 16,
-                        trainIters: Int = 2): DataFrame = {
+                        trainIters: Int = 2,
+                        trainSampleMult: Int = 0): DataFrame = {
     require(nlist >= 1, s"nlist must be >= 1, got $nlist")
     val sp = df.sparkSession
-    val cents = Similarity.trainCentroids(df, idCol, vecCol, nlist, trainIters)
+    val cents = Similarity.trainCentroids(df, idCol, vecCol, nlist, trainIters,
+      trainSampleMult)
     // fence (the shingleFrame idiom): assignment + norms compute once
     // pre-shuffle and the exchange serves both self-join sides
     val withN = Similarity.nearestCentroid(sp, df, idCol, vecCol, cents)

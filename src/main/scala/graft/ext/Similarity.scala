@@ -146,19 +146,77 @@ object Similarity {
     df.select(col(idCol), posexplode(keys).as(Seq("__band", "__bucket")))
   }
 
+  /** Cluster-count sizing rule for corpus-quadratic cluster-local work
+    * (SemDeDup within-cluster all-pairs, IVF list scans): bound the
+    * EXPECTED cluster size so per-cluster O(size²) stays constant as the
+    * corpus grows — `ceil(rows / targetClusterSize)` clamped to
+    * [minNlist, maxNlist]. A FIXED nlist is quadratic in the corpus:
+    * the round-11 sweep measured scale_semdedup at 56× for 10× data
+    * with nlist=16 pinned (200k vectors → 12.5k-vector clusters →
+    * 1.25G within-cluster pairs); sized by this rule the same corpus
+    * runs linear. The SemDeDup paper's web-scale run uses 50k clusters
+    * for the same reason. Companion of [[graft.ext.Tuning
+    * .partitionsForBytes]] — the same "work per unit must not grow with
+    * the corpus" principle, applied to cluster population instead of
+    * reducer bytes.
+    *
+    * Asymptotics: this rule makes within-cluster work linear but leaves
+    * the assignment pass at rows×nlist = rows²/target — negligible below
+    * ~target² rows (≈1M at the default), where pair rows dominate. Past
+    * that, pass `targetClusterSize ≈ sqrt(rows)` so nlist ≈ sqrt(rows)
+    * balances both terms at O(rows^1.5) — the FAISS `4√N..16√N` nlist
+    * guideline — and train on a sample ([[trainCentroids]]
+    * trainSampleMult) so the Lloyd loop never multiplies it. */
+  def nlistForCorpus(rows: Long, targetClusterSize: Long = 1024L,
+                     minNlist: Int = 16, maxNlist: Int = 1 << 18): Int = {
+    require(rows >= 0, s"nlistForCorpus: negative row count $rows")
+    require(targetClusterSize >= 1,
+      s"nlistForCorpus: targetClusterSize must be >= 1, got $targetClusterSize")
+    require(minNlist >= 1 && maxNlist >= minNlist,
+      s"nlistForCorpus: need 1 <= min <= max, got [$minNlist, $maxNlist]")
+    val raw = (rows + targetClusterSize - 1) / targetClusterSize
+    math.min(maxNlist.toLong, math.max(minNlist.toLong, raw)).toInt
+  }
+
   /** Deterministic k-means (Lloyd) refinement of IVF centroids, entirely
     * in DataFrame ops: assign each vector to its nearest centroid, then
     * recompute centroids as element-wise means via
     * posexplode → groupBy(cent, pos) → avg → re-collect sorted by pos.
     * Two small shuffles per iteration; the corpus never collects to the
-    * driver. Seeds = the nlist lowest-id corpus vectors. */
+    * driver. Seeds = the nlist lowest-id corpus vectors.
+    *
+    * `trainSampleMult` > 0 trains on a deterministic, PARTITION-
+    * INDEPENDENT hash-stride sample of ~nlist×mult vectors (the
+    * hash-predicate sampling idiom — `xxhash64(id) % k == 0`) instead of
+    * the full corpus. Every training pass is a corpus×nlist scan, so
+    * with [[nlistForCorpus]]-sized nlist a full-corpus Lloyd loop is
+    * quadratic in the corpus — exactly what FAISS avoids by training on
+    * a bounded sample (its default is 256 points per centroid; means
+    * converge on a representative sample). The final ASSIGNMENT of all
+    * vectors stays exact and full-corpus in the callers. Falls back to
+    * full-corpus training when the sample would under-fill the seed list
+    * (< 4×nlist rows). Default 0 preserves exact legacy behavior. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                     nlist: Int, iters: Int): DataFrame = {
+                     nlist: Int, iters: Int,
+                     trainSampleMult: Int = 0): DataFrame = {
     val sp = corpus.sparkSession
-    var cents = corpus.orderBy(col(idCol).asc).limit(nlist)
+    val train =
+      if (trainSampleMult <= 0 || iters <= 0) corpus
+      else {
+        val n = corpus.count()
+        val target = nlist.toLong * trainSampleMult
+        if (n <= target) corpus
+        else {
+          val stride = n / target
+          val sampled = corpus.filter(
+            pmod(xxhash64(graft.ColName.topCol(idCol)), lit(stride)) === 0)
+          if (sampled.count() < 4L * nlist) corpus else sampled
+        }
+      }
+    var cents = train.orderBy(col(idCol).asc).limit(nlist)
       .select(col(idCol).alias("cent_id"), col(vecCol).alias("cent_vec"))
     (0 until iters).foreach { _ =>
-      val assigned = nearestCentroid(sp, corpus, idCol, vecCol, cents)
+      val assigned = nearestCentroid(sp, train, idCol, vecCol, cents)
       cents = assigned
         .select(col("cent_id"), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
         .groupBy(col("cent_id"), col("__pos"))
@@ -210,10 +268,12 @@ object Similarity {
     * crossJoin+max_by shape because IVF needs the vectors regrouped by
     * centroid afterwards; a label-only pass does not.) */
   def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                   nlist: Int, trainIters: Int = 0): DataFrame = {
+                   nlist: Int, trainIters: Int = 0,
+                   trainSampleMult: Int = 0): DataFrame = {
     require(nlist >= 1, s"kmeansAssign: nlist must be >= 1, got $nlist")
     val sp = corpus.sparkSession
-    val centRows = trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
+    val centRows = trainCentroids(corpus, idCol, vecCol, nlist, trainIters,
+      trainSampleMult)
       .select(col("cent_id").cast("long").alias("c"),
         col("cent_vec").cast("array<double>").alias("v"))
       .orderBy(col("c")).collect()

@@ -606,4 +606,34 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     // with this seed the argmax gaps are comfortably above 1e-6
     assert(labels == want)
   }
+
+  test("trainCentroids sample mode: bounded training set, full assignment intact") {
+    val rnd = new scala.util.Random(7)
+    // two well-separated blobs: +1-ish and -1-ish vectors
+    val vecs = (0L until 2000L).map { i =>
+      val sign = if (i % 2 == 0) 1f else -1f
+      (i, Array.fill(8)(sign * (0.8f + rnd.nextFloat() * 0.2f)))
+    }.toDF("vec_id", "embedding")
+    // mult=8, nlist=2 -> ~16-row training sample out of 2000
+    val cents = Similarity.trainCentroids(vecs, "vec_id", "embedding",
+      nlist = 2, iters = 2, trainSampleMult = 8)
+    assert(cents.count() == 2) // sample still seeds the full nlist
+    // the blobs are so separated that sample-trained centroids label the
+    // FULL corpus identically to full-corpus training
+    val sampleLabels = Similarity.kmeansAssign(vecs, "vec_id", "embedding",
+      nlist = 2, trainIters = 2, trainSampleMult = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullLabels = Similarity.kmeansAssign(vecs, "vec_id", "embedding",
+      nlist = 2, trainIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // label ids may differ; the PARTITION must match
+    def parts(m: Map[Long, Long]) =
+      m.groupBy(_._2).values.map(_.keySet).toSet
+    assert(parts(sampleLabels) == parts(fullLabels))
+    // degenerate stride (sample would under-fill) falls back to corpus:
+    // 40 rows at mult=1, nlist=8 -> target 8 < 4*nlist -> full corpus
+    val tiny = vecs.limit(40)
+    assert(Similarity.trainCentroids(tiny, "vec_id", "embedding",
+      nlist = 8, iters = 1, trainSampleMult = 1).count() == 8)
+  }
 }

@@ -38,6 +38,24 @@ class TuningSpec extends SparkSpec {
 
   // -------------------------------------------------------- inputBytes
 
+  test("nlistForCorpus: bounded-cluster rule, ceil + clamps") {
+    // below the floor: tiny corpora keep the minimum cluster count
+    assert(Similarity.nlistForCorpus(0) == 16)
+    assert(Similarity.nlistForCorpus(2000) == 16)
+    // proportional past the floor: ceil(rows / target)
+    assert(Similarity.nlistForCorpus(200000) == 196)
+    assert(Similarity.nlistForCorpus(1024 * 50) == 50)
+    assert(Similarity.nlistForCorpus(1024 * 50 + 1) == 51)
+    // cap
+    assert(Similarity.nlistForCorpus(Long.MaxValue / 4) == (1 << 18))
+    // custom target/clamps
+    assert(Similarity.nlistForCorpus(10000, targetClusterSize = 100,
+      minNlist = 1, maxNlist = 64) == 64)
+    intercept[IllegalArgumentException](Similarity.nlistForCorpus(-1))
+    intercept[IllegalArgumentException](
+      Similarity.nlistForCorpus(10, targetClusterSize = 0))
+  }
+
   test("inputBytes: sums real file sizes recursively; missing path raises") {
     val dir = java.nio.file.Files.createTempDirectory("tuning").toFile
     try {
