@@ -1653,6 +1653,15 @@ object SparkEntry {
         table(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
         Seq("o_orderdate", "o_orderkey"), outCol = "row_idx")
         .select(col("o_orderkey"), col("row_idx"))),
+    // deterministic global corpus shuffle (training-export epoch order):
+    // the same windowless one-exchange zipWithIndex as q_global_index,
+    // over an md5-derived total order — reproducible across engines,
+    // retries, and partition counts, unlike orderBy(rand(seed))
+    "q_shuffled_export" -> ((s, dir) =>
+      ext.Layout.shuffledIndex(
+        table(s, dir, "orders").select(col("o_orderkey")),
+        Seq("o_orderkey"), outCol = "shuffle_idx")
+        .select(col("o_orderkey"), col("shuffle_idx"))),
     // fixed-width histogram: one partial-aggregatable groupBy over a
     // codegen'd bucket expression — shuffle carries ≤ buckets rows per
     // partition. (110000-0)/20 = 5500 exactly, so the bucket arithmetic
@@ -3659,6 +3668,16 @@ object SparkEntry {
       "q_global_index" ->
         """SELECT o_orderkey,
           |  row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS row_idx
+          |FROM orders""".stripMargin,
+      // the identical permutation recomputed from the ids alone: md5 is
+      // the cross-engine hash, ids break (cryptographically unreachable)
+      // ties — the windowed form here IS the semantics the windowless
+      // Spark operator must reproduce
+      "q_shuffled_export" ->
+        """SELECT o_orderkey,
+          |  row_number() OVER (
+          |    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) - 1
+          |    AS shuffle_idx
           |FROM orders""".stripMargin,
       // same bucket arithmetic, same closed top edge, same exclusions
       "q_histogram" ->

@@ -192,6 +192,41 @@ object Layout {
       .drop("__gri_pid", "__gri_mid", "__gri_off")
   }
 
+  /**
+   * Deterministic GLOBAL corpus shuffle for training export: every row
+   * gets its 0-based position in a pseudo-random-but-reproducible total
+   * order — the "shuffle once, globally, and make it replayable" step
+   * every epoch-0 training pipeline needs. The order key is
+   * `md5(concat_ws(...idCols))` (cross-engine stable — any engine
+   * recomputes the identical permutation from the ids alone) with the
+   * ids as tie-breakers, so the order is a TOTAL one and
+   * [[globalRowIndex]]'s partition-membership-independence argument
+   * applies verbatim: bit-reproducible across retries, partition
+   * counts, and engines; ONE corpus exchange; no row_number() OVER ()
+   * single-task funnel. md5 of distinct id tuples collides only
+   * cryptographically-negligibly, and the tie-breaker makes even that
+   * harmless.
+   *
+   * Contrast with `orderBy(rand(seed))`: rand() is per-partition-seeded
+   * and partition-count-DEPENDENT, so a retry or repartition reshuffles
+   * the corpus — exactly the nondeterminism this operator exists to
+   * remove.
+   */
+  def shuffledIndex(df: DataFrame, idCols: Seq[String],
+                    outCol: String = "shuffle_idx",
+                    partitions: Int = 0): DataFrame = {
+    require(idCols.nonEmpty, "shuffledIndex needs at least one id column")
+    // same total-order contract as globalRowIndex: idCols must uniquely
+    // identify a row (they are the tie-breakers under the md5 key)
+    val keyCol = "__shuffle_key"
+    require(!df.columns.contains(keyCol),
+      s"shuffledIndex: input already has a '$keyCol' column")
+    val keyed = df.withColumn(keyCol,
+      md5(concat_ws("", idCols.map(graft.ColName.topCol): _*)))
+    globalRowIndex(keyed, keyCol +: idCols, outCol, partitions)
+      .drop(keyCol)
+  }
+
   def sortedExport(df: DataFrame, sortCols: Seq[String], path: String,
                    numFiles: Int): Unit = {
     require(sortCols.nonEmpty, "sortedExport needs at least one sort column")

@@ -120,6 +120,31 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     assert(idx.toSeq == (0L until 777L))
   }
 
+  test("shuffledIndex: md5-order permutation, partition-independent, scrambling") {
+    val sp = spark
+    import org.apache.spark.sql.expressions.Window
+    val src = sp.range(3000).toDF("id").repartition(7)
+    // semantics = the windowed md5 order (the q_shuffled_export oracle)
+    val expected = src.withColumn("shuffle_idx",
+      row_number().over(Window.orderBy(
+        md5(col("id").cast("string")), col("id"))).cast("long") - 1)
+    for (n <- Seq(1, 5, 64)) {
+      val got = Layout.shuffledIndex(src, Seq("id"), partitions = n)
+      assertSameRows(got, expected)
+    }
+    // it actually scrambles: the permutation is far from the identity
+    val fixed = Layout.shuffledIndex(src, Seq("id"))
+      .filter(col("id") === col("shuffle_idx")).count()
+    assert(fixed < 30, s"$fixed fixed points looks like no shuffle")
+    // and it is a permutation of 0..n-1
+    val idx = Layout.shuffledIndex(src, Seq("id"))
+      .select("shuffle_idx").collect().map(_.getLong(0)).sorted
+    assert(idx.toSeq == (0L until 3000L))
+    // key-column collision raises loudly
+    intercept[IllegalArgumentException](
+      Layout.shuffledIndex(src.withColumn("__shuffle_key", lit(1)), Seq("id")))
+  }
+
   test("globalRowIndex: reserved/existing/empty-key inputs raise loudly") {
     val sp = spark
     val src = sp.range(10).toDF("id")
