@@ -1008,6 +1008,28 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").alias("hamming"))
     }),
+    // SQ8 scalar quantization roundtrip, value-exact: every decoded
+    // component equals zero + code·scale where the code derivation is
+    // explicit floor(t + 0.5) double arithmetic — DuckDB recomputes the
+    // identical values from the raw floats (no engine round-half modes)
+    "q_sq8_roundtrip" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.sq8Compress(e, "vec_id", "embedding")
+        .select(col("vec_id"),
+          graft.functions.Sq8.decode(s, col("sq8")).alias("__d"))
+        .select(col("vec_id"), posexplode(col("__d")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos").cast("long").alias("pos"),
+          round(col("val"), 6).alias("val"))
+    }),
+    // asymmetric SQ8 search: full-precision queries against the
+    // quantized corpus — the oracle recomputes the decoded corpus AND
+    // the full ranking independently, so this is a hard value-level
+    // gate on the whole compress → decode → score → top-k path
+    "q_sq8_topk" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.sq8TopK(Similarity.sq8Compress(e, "vec_id", "embedding"),
+        e.filter(col("vec_id") < 10), 10, "vec_id", "embedding")
+    }),
     // brute-force cosine top-k (exact ANN baseline)
     "q_knn_bruteforce" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
@@ -3255,6 +3277,47 @@ object SparkEntry {
            |  FROM dh a, dh b WHERE a.asset_id < b.asset_id)
            |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2""".stripMargin,
       "q_knn_bruteforce" -> knnBruteSql,
+      // SQ8: codes and decoded values recomputed from the raw floats via
+      // the same explicit floor(t + 0.5) double arithmetic
+      "q_sq8_roundtrip" ->
+        """WITH x AS (SELECT vec_id,
+          |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+          |  FROM embeddings),
+          |s AS (SELECT vec_id, xs, list_min(xs) AS mn,
+          |    (list_max(xs) - list_min(xs)) / 255.0 AS scale FROM x)
+          |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+          |  round(CASE WHEN scale = 0 THEN mn
+          |        ELSE mn + least(floor((xs[i] - mn) / scale + 0.5), 255) * scale
+          |        END, 6) AS val
+          |FROM s, unnest(range(1, len(xs) + 1)) AS u(i)""".stripMargin,
+      // the knnBruteSql ranking, corpus side re-derived through the SQ8
+      // decode formula — the whole asymmetric search is recomputed
+      "q_sq8_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id,
+          |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qe
+          |  FROM embeddings WHERE vec_id < 10),
+          |x AS (SELECT vec_id,
+          |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+          |  FROM embeddings),
+          |sz AS (SELECT vec_id, xs, list_min(xs) AS mn,
+          |    (list_max(xs) - list_min(xs)) / 255.0 AS scale FROM x),
+          |c AS (SELECT vec_id,
+          |    list_transform(xs, v -> CASE WHEN scale = 0 THEN mn
+          |      ELSE mn + least(floor((v - mn) / scale + 0.5), 255) * scale END) AS ce
+          |  FROM sz),
+          |scored AS (
+          |  SELECT query_id, vec_id,
+          |    round(
+          |      list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i]))
+          |      / (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))
+          |       * sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))),
+          |      6) AS cosine
+          |  FROM q, c WHERE query_id != vec_id),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+          |  FROM scored)
+          |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+          |FROM ranked WHERE rank <= 10""".stripMargin,
       "q_embedding_neardup" -> embPairsSql("0.35"),
       "q_multimodal_meta" ->
         """SELECT doc_id AS asset_id, 'image/fake' AS mime,

@@ -92,6 +92,41 @@ object Similarity {
     topKRank(scored, k)
   }
 
+  /** SQ8-compressed corpus: (idCol, `sq8` blob) via
+    * [[graft.functions.Sq8Encode]] — 16 + dim bytes per vector, ~4× less
+    * to store/shuffle/cache than float32. One narrow codegen'd scan. */
+  def sq8Compress(df: DataFrame, idCol: String, vecCol: String,
+                  outCol: String = "sq8"): DataFrame = {
+    val sp = df.sparkSession
+    df.select(col(idCol),
+      graft.functions.Sq8.encode(sp, graft.ColName.topCol(vecCol)).alias(outCol))
+  }
+
+  /** Brute-force cosine top-k over an SQ8-compressed corpus: asymmetric
+    * search — full-precision queries against decoded (zero + code·scale)
+    * corpus vectors, the FAISS SQ8 serving shape. Same join/heap plan as
+    * [[bruteForceTopK]] (broadcast queries, bounded-heap top-k, 6-dp
+    * rounded scores): the decode is a per-corpus-row projection BELOW
+    * the broadcast join, so the blob is expanded once per corpus row,
+    * never per (query, row) pair. Recall loss is bounded by the
+    * quantization step (≤ scale/2 per component) — gated by
+    * q_sq8_recall's overlap floor against the uncompressed ranking. */
+  def sq8TopK(compressed: DataFrame, queries: DataFrame, k: Int,
+              idCol: String, vecCol: String, codesCol: String = "sq8"): DataFrame = {
+    val sp = compressed.sparkSession
+    val c = compressed
+      .select(col(idCol).alias("vec_id"),
+        graft.functions.Sq8.decode(sp, graft.ColName.topCol(codesCol)).alias("__cv"))
+      .select(col("vec_id"), col("__cv"), fastL2(sp, col("__cv")).alias("__cn"))
+    val q = queries.select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"),
+      fastL2(sp, col(vecCol)).alias("__qn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(try_divide(fastDot(sp, col("__qv"), col("__cv")), col("__qn") * col("__cn")), 6)
+          .alias("cosine"))
+    topKRank(scored, k)
+  }
+
   /** Deterministic pseudo-random hyperplanes: planes × dim doubles seeded
     * from (plane, dim) — reproducible across sessions with no RNG state. */
   private[graft] def planeLiterals(planes: Int, dim: Int): Column = {
