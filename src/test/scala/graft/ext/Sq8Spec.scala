@@ -58,6 +58,28 @@ class Sq8Spec extends SparkSpec {
     assert(short.getMessage != null)
   }
 
+  test("sq8TopK plan: ONE decode per corpus row, staged below the join; map-side top-k") {
+    // Range source keeps the plan symbolic (a local fixture would be
+    // eagerly folded by ConvertToLocalRelation and hide the projection)
+    val corpus = spark.range(100).select(col("id").alias("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => ((col("id") * 7 + i) % 13).cast("float")).alias("embedding"))
+    val q = corpus.filter(col("vec_id") < 3)
+    val plan = Similarity.sq8TopK(
+        Similarity.sq8Compress(corpus, "vec_id", "embedding"),
+        q, 5, "vec_id", "embedding")
+      .queryExecution.optimizedPlan.toString
+    // the blob expands exactly once per corpus row — not once per
+    // (query, row) pair and not once per consumer of the decoded column
+    assert("sq8_decode".r.findAllIn(plan).length == 1, plan)
+    val phys = Similarity.sq8TopK(
+        Similarity.sq8Compress(corpus, "vec_id", "embedding"),
+        q, 5, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    // bounded-heap top-k combines map-side before the one exchange
+    assert(phys.contains("partial_top_k_by_score"), phys)
+  }
+
   test("sq8TopK ranking matches bruteForceTopK over the decoded corpus") {
     val rnd = new scala.util.Random(3)
     val corpus = (0L until 200L).map(i =>
