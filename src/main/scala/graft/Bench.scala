@@ -379,6 +379,23 @@ object Bench {
         val shards = n.stripPrefix("scale_seq_packing_").toInt
         Prepared(() => graft.ext.Curation.packSequences(docs,
           "doc_id", "text", maxTokens = 2048, numShards = shards), () => ())
+      // the ANN scale path against the brute-force baseline above: IVF
+      // with nlistForCorpus-sized lists, sampled Lloyd training, and
+      // nprobe ≈ nlist/16 — each query scans ~6% of the corpus instead
+      // of all of it (recall-vs-brute gated at q_knn_ivf_recall; this
+      // times the scale shape). MUST precede the generic scale_knn_
+      // prefix case.
+      case n if n.startsWith("scale_knn_ivf_") =>
+        val nq = n.stripPrefix("scale_knn_ivf_").stripSuffix("q").toInt
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val cnt = emb.count()
+        val nlist = graft.ext.Similarity.nlistForCorpus(cnt)
+        Prepared(() => graft.ext.Similarity.ivfTopK(
+            emb, emb.filter(col("vec_id") < nq), 10, "vec_id", "embedding",
+            nlist = nlist, nprobe = math.max(4, nlist / 16),
+            trainIters = 1, trainSampleMult = 256),
+          () => { emb.unpersist(); () })
       // top-k query-count scaling over a PRE-CACHED corpus: with the
       // bounded-heap TopKByScore the cost model is one corpus scan +
       // (k × queries) heap entries per partition, so time grows far
@@ -650,6 +667,7 @@ object Bench {
       NmScaleTriPlain, NmScaleTriOrdered, NmScaleImageNeardup) ++
     seqPackingShards.map(s => s"scale_seq_packing_$s") ++
     knnQueryCounts.map(n => s"scale_knn_${n}q") ++
+    Seq("scale_knn_ivf_1000q") ++
     autoPackKeys.map(k => s"auto_pack_$k") ++
     Seq(NmAutoPackLineDefault, NmAutoPackLineSized)
 

@@ -338,9 +338,11 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String, vecCol: String,
-              nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0,
+              trainSampleMult: Int = 0): DataFrame = {
     val sp = corpus.sparkSession
-    val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters,
+      trainSampleMult)
     // one-pass assignment: nearest centroid per corpus vector (max_by agg)
     val assigned = nearestCentroid(sp, corpus, idCol, vecCol, cents)
       .select(col(idCol).alias("vec_id"), col(vecCol).alias("__cv"),
