@@ -48,15 +48,28 @@ for name, sql in sorted(oracle.items()):
         if sorted(gcols) != sorted(ecols):
             print(f"FAIL {name}: columns {sorted(gcols)} vs {sorted(ecols)}", flush=True)
             fail += 1; continue
+        SCALAR_NUM = ("FLOAT", "DOUBLE", "REAL", "TINYINT", "SMALLINT",
+                      "INTEGER", "BIGINT", "HUGEINT", "UTINYINT",
+                      "USMALLINT", "UINTEGER", "UBIGINT")
         def norm(c):
-            ts = {gtypes[c].upper(), etypes[c].upper()}
-            if not any(("FLOAT" in t or "DOUBLE" in t or "REAL" in t) for t in ts):
+            gt, et = gtypes[c].upper(), etypes[c].upper()
+            ts = {gt, et}
+            def floaty(t):
+                return "FLOAT" in t or "DOUBLE" in t or "REAL" in t
+            if not any(floaty(t) for t in ts):
                 return f'"{c}"'
-            if all(t in ("FLOAT", "DOUBLE", "REAL") for t in ts):
+            if all(t in SCALAR_NUM for t in ts):
+                # at least one scalar side is float-class: widen BOTH to
+                # DOUBLE and round. (Deriving the widening from the got
+                # side alone could CAST a float expected side to an
+                # INTEGER got type, silently rounding a real cross-engine
+                # mismatch into a pass.)
                 return f'round(CAST("{c}" AS DOUBLE), 6) AS "{c}"'
-            # nested type containing floats: exact widening, no rounding
-            wide = (gtypes[c].upper().replace("FLOAT", "DOUBLE")
-                    .replace("REAL", "DOUBLE"))
+            # nested type containing floats: exact widening, no rounding —
+            # widen from the FLOAT-BEARING side's type so an integer-typed
+            # other side is promoted rather than the float side truncated
+            src = gt if floaty(gt) else et
+            wide = src.replace("FLOAT", "DOUBLE").replace("REAL", "DOUBLE")
             return f'CAST("{c}" AS {wide}) AS "{c}"'
         cols = ", ".join(norm(c) for c in sorted(gcols))
         ng = con.sql("SELECT count(*) FROM __got").fetchone()[0]

@@ -380,11 +380,12 @@ object Bench {
         Prepared(() => graft.ext.Curation.packSequences(docs,
           "doc_id", "text", maxTokens = 2048, numShards = shards), () => ())
       // the ANN scale path against the brute-force baseline above: IVF
-      // with nlistForCorpus-sized lists, sampled Lloyd training, and
-      // nprobe ≈ nlist/16 — each query scans ~6% of the corpus instead
-      // of all of it (recall-vs-brute gated at q_knn_ivf_recall; this
-      // times the scale shape). MUST precede the generic scale_knn_
-      // prefix case.
+      // with nlistForCorpus-sized lists, sampled Lloyd training, and the
+      // nprobe sizing RULE (nprobeForRecall — ~1/16 of the lists, so each
+      // query scans ~6% of the corpus instead of all of it; the rule owns
+      // the recall/latency knob the way nlistForCorpus owns cluster
+      // count). Recall-vs-brute gated at q_knn_ivf_recall; this times the
+      // scale shape. MUST precede the generic scale_knn_ prefix case.
       case n if n.startsWith("scale_knn_ivf_") =>
         val nq = n.stripPrefix("scale_knn_ivf_").stripSuffix("q").toInt
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -393,7 +394,7 @@ object Bench {
         val nlist = graft.ext.Similarity.nlistForCorpus(cnt)
         Prepared(() => graft.ext.Similarity.ivfTopK(
             emb, emb.filter(col("vec_id") < nq), 10, "vec_id", "embedding",
-            nlist = nlist, nprobe = math.max(4, nlist / 16),
+            nlist = nlist, nprobe = graft.ext.Similarity.nprobeForRecall(nlist),
             trainIters = 1, trainSampleMult = 256),
           () => { emb.unpersist(); () })
       // top-k query-count scaling over a PRE-CACHED corpus: with the
@@ -609,16 +610,29 @@ object Bench {
     }
   }
 
-  /** Per-entry repeat tiers for FORKED scenarios (round 10, closing the
-    * chronic split_join_parent_dominant_2k flag):
+  /** Per-entry repeat tiers (round 10, closing the chronic
+    * split_join_parent_dominant_2k flag; round 12 extends the tier to the
+    * JIT-warmup-dominated in-process q_ entries):
     *  - the `_2k` giant-group pair runs best-of-3 with the inter-run GC
     *    [[runsOfN]] already performs — their documented 2-6x GC/spill
     *    band means a best-of-2 still samples the slow tail often enough
     *    to flag in every capture (4 consecutive rounds); their committed
     *    reference is refreshed from THIS protocol;
-    *  - the other giant-group entries keep best-of-2 (the round-9
-    *    protocol: measured runs vector [41.7, 9.4, 6.7] s after two
-    *    warmups on a calm box);
+    *  - JIT-dominated q_ entries (many tiny driver-loop jobs over small
+    *    data: Lloyd/label-propagation/span passes) read 3-4x their calm
+    *    value on their FIRST run in any JVM — the round-11 adjudication
+    *    measured q_drop_repeated_spans at [4.46, 1.49, 1.38] s cold.
+    *    A single-run sample can only flag and then the best-of-2 rerun
+    *    child re-reads the same warmup; best-of-3 settles them in the
+    *    main pass AND in the rerun child (the child runs with
+    *    SPARK_GRAFT_FORK=0 and lands in [[repeatFor]] too);
+    *  - the streaming parity trio joined the tier in round 12: all three
+    *    flagged in BENCH_r11 from grouped-child samples 4.7-7.9x their
+    *    references that the isolated rerun then cleared to ~1x — their
+    *    runs are ~1 s, so two extra passes cost less than one rerun child;
+    *  - auto_pack_skewed was promoted best-of-2 → best-of-3 after its
+    *    round-11 rerun read 18.5 s on a hot floor vs 3.06 s calm
+    *    best-of-3 (probe + salted two-phase is GC-band bimodal);
     *  - everything else takes ONE timed run in the driver profile — the
     *    flag + isolated-rerun net adjudicates tail samples, and the
     *    saved pass per entry is what lets the contended driver box reach
@@ -626,13 +640,26 @@ object Bench {
     * The FULL profile keeps repeat=3 everywhere (floor of these maxima). */
   private[graft] val bestOf3Names = Set(
     "parity_pack_parent_dominant_2k", "parity_pack_split_join_parent_dominant_2k",
-    "auto_pack_parent_dom_2k")
+    "auto_pack_parent_dom_2k", "auto_pack_skewed",
+    "parity_pack_streaming_8", "parity_pack_streaming_32",
+    "parity_pack_streaming_64",
+    // the JIT-dominated q_ tier (VERDICT r11 #2)
+    "q_drop_repeated_spans", "q_semdedup", "q_semdedup_recall",
+    "q_dedup_survivors", "q_knn_ivf_trained", "q_shuffled_export",
+    "q_sq8_recall")
   private[graft] val bestOf2Names = Set(
-    "parity_pack_large", "parity_pack_very_large", "auto_pack_skewed")
+    "parity_pack_large", "parity_pack_very_large")
   private[graft] def repeatFor(name: String, base: Int): Int =
     if (bestOf3Names.contains(name)) math.max(base, 3)
     else if (bestOf2Names.contains(name)) math.max(base, 2)
     else base
+
+  /** Untimed child warmups per forked scenario: the best-of-3 tier's
+    * GC-band entries get two even in the driver profile (their first
+    * post-warmup run otherwise still carries JIT tail — the r11
+    * auto_pack_skewed grouped-child sample read 9.4 s vs 3.06 s calm). */
+  private[graft] def warmupsFor(name: String, base: Int): Int =
+    if (bestOf3Names.contains(name)) math.max(base, 2) else base
 
   // Non-parity scenario names, single-sourced: the scenario blocks below
   // and the SPARK_GRAFT_ONLY typo warning both read THESE, so a renamed
@@ -946,13 +973,28 @@ object Bench {
     val activeParity = parityScenarios.filter(s => selected(s._1))
     val parityResults: Seq[(String, Double)] =
       if (forkMode && !fullProfile) {
-        // driver profile: ONE child per dataset key — the 5 "large"
-        // scenarios share a single JVM + session + dataset build instead of
-        // paying that ~15-20 s cost each. The full profile keeps strict
-        // per-scenario forks for clean per-process VmHWM.
+        // driver profile: grouped children. Round 9 grouped by dataset key
+        // (the 5 "large" scenarios share one JVM + session + dataset
+        // build); round 12 additionally COALESCES consecutive dataset
+        // groups into shared children of <= 6 scenarios — BENCH_r10/r11
+        // budget-skipped exactly the 3 tail dataset groups (5 scenarios:
+        // skewed/salted_skewed, parent_heavy pair, very_large) because
+        // each paid its own ~15-20 s JVM + session cost. BenchScenario's
+        // dsCache already shares one child across datasets (and evicts a
+        // dataset once its last scenario ran, so peak heap stays one
+        // dataset deep). The full profile keeps strict per-scenario forks
+        // for clean per-process VmHWM.
         val groups = activeParity.groupBy(_._2).toSeq
           .sortBy { case (k, _) => activeParity.indexWhere(_._2 == k) }
-        groups.flatMap { case (_, defs) =>
+        val chunks = groups.foldLeft(
+          List.empty[Vector[(String, String, DataFrame => DataFrame)]]) {
+          (acc, g) => acc match {
+            case head :: tail if head.size + g._2.size <= 6 =>
+              (head ++ g._2) :: tail
+            case _ => g._2.toVector :: acc
+          }
+        }.reverse
+        chunks.flatMap { defs =>
           val names = defs.map(_._1)
           if (mainBudgetLeft < 90) { skipped ++= names; Nil }
           else {
@@ -1049,8 +1091,13 @@ object Bench {
         catch { case _: Throwable => }
         spark.stop()
         System.gc()
+        // no absolute slack: the r11 rerun floor was 0.556 s = 1.65x the
+        // committed 0.338 s floor, yet the old `> ref*1.5 + 0.05` gate
+        // missed by 0.5 ms and the 9.77/18.5 s hot-child values stood
+        // unannotated (VERDICT r11 "What's wrong" #1a). The ratio itself
+        // is emitted as rerun_floor_ratio either way.
         def hot(f: Double): Boolean =
-          refFloor > 0 && f > 0 && f > refFloor * 1.5 + 0.05
+          refFloor > 0 && f > 0 && f > refFloor * 1.5
         rerunFloor = BenchScenario.runForked("__floor__", cpus,
           math.max(repeat, 3), sfDir, childWarmups).sec
         if (hot(rerunFloor)) {
@@ -1150,6 +1197,9 @@ object Bench {
       s""""flag_factor":$flagFactor,"reference":$refJson,""" +
       s""""flagged":$flaggedJson,"inprocess":$inprocJson,""" +
       s""""isolated_rerun":$isoJson,"rerun_floor":$rerunFloor,""" +
+      s""""rerun_floor_ratio":${
+        if (refFloor > 0 && rerunFloor > 0)
+          math.round(rerunFloor / refFloor * 1000) / 1000.0 else -1.0},""" +
       s""""floor_hot":$floorHotJson,"errors":$errsJson,""" +
       s""""floors":$floorsJson,"floor_age":$floorAgeJson,"runs":$runsJson,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
@@ -1241,7 +1291,7 @@ object BenchScenario {
       ds
     })
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
-    names.foreach { name =>
+    names.zipWithIndex.foreach { case (name, idx) =>
       val prepared: Bench.Prepared =
         if (name == "__floor__") Bench.Prepared(() => Bench.floorJob(spark), () => ())
         else Bench.parityScenarios.find(_._1 == name) match {
@@ -1253,9 +1303,11 @@ object BenchScenario {
       // Untimed warmup passes — the first scenario in a cold JVM otherwise
       // absorbs all JIT/GC warmup (observed 9.1 s → 2.4 s after one pass);
       // the definitive "full" profile uses two, the driver profile one
-      // (SPARK_GRAFT_WARMUP, set by the parent). Later scenarios in a
-      // grouped child still warm up: each query shape has its own codegen.
-      for (_ <- 1 to warmups)
+      // (SPARK_GRAFT_WARMUP, set by the parent; the GC-band best-of-3 tier
+      // keeps two in every profile — [[Bench.warmupsFor]]). Later scenarios
+      // in a grouped child still warm up: each query shape has its own
+      // codegen.
+      for (_ <- 1 to Bench.warmupsFor(name, warmups))
         try Bench.materializeDf(prepared.query())
         catch { case _: Throwable => }
       var errMsg = ""
@@ -1272,6 +1324,15 @@ object BenchScenario {
       println(s"SCENARIO_RESULT $name $sec ${Bench.vmHwmMb()} $floor " +
         runs.mkString(",") + (if (errMsg.nonEmpty) s" ERR $errMsg" else ""))
       prepared.cleanup()
+      // evict parity datasets no later scenario in this child needs —
+      // a coalesced multi-dataset child (driver profile, round 12) peaks
+      // at one live dataset instead of accumulating them all in the heap
+      val stillNeeded = names.drop(idx + 1)
+        .flatMap(n => Bench.parityScenarios.find(_._1 == n).map(_._2)).toSet
+      dsCache.keys.toList.filterNot(stillNeeded.contains).foreach { k =>
+        dsCache.remove(k).foreach(df =>
+          try { df.unpersist(); () } catch { case _: Throwable => })
+      }
     }
     dsCache.values.foreach(ds => try { ds.unpersist(); () } catch { case _: Throwable => })
     spark.stop()

@@ -732,6 +732,21 @@ final class Packer(
                maxPartitions: Int = graft.ext.Tuning.DefaultMaxPartitions): PackPlan = {
     val strategy = choosePackStrategy(df, skewFactor, sampleFraction,
       splitJoinWidthFactor, minChildrenPerRoot)
+    val (est, rec) = estimatedShuffle(df, sampleFraction, bytesPerPartition,
+      maxPartitions)
+    PackPlan(strategy, est, rec)
+  }
+
+  /** The width-probe half of [[planPack]]: (estimated shuffle bytes,
+    * recommended partitions) without the strategy probe — shared with
+    * [[packStreaming]]'s derived default width. Estimate 0 (empty frame /
+    * all-null sample) signals "no usable probe" to callers. */
+  private[graft] def estimatedShuffle(df: DataFrame,
+                                      sampleFraction: Double = 0.01,
+                                      bytesPerPartition: Long =
+                                        graft.ext.Tuning.DefaultBytesPerPartition,
+                                      maxPartitions: Int =
+                                        graft.ext.Tuning.DefaultMaxPartitions): (Long, Int) = {
     val (prepared, _) = prepareFrame(df)
     val cols = prepared.schema.fieldNames.toIndexedSeq.filterNot(_ == RowIdCol)
     val widthExpr = cols.map(c =>
@@ -746,7 +761,7 @@ final class Packer(
     val minParts = df.sparkSession.sparkContext.defaultParallelism
     val rec = graft.ext.Tuning.partitionsForBytes(est, bytesPerPartition,
       minPartitions = math.max(1, minParts), maxPartitions = maxPartitions)
-    PackPlan(strategy, est, rec)
+    (est, rec)
   }
 
   /** Auto strategy dispatch: run [[choosePackStrategy]]'s pick. Contents
@@ -861,12 +876,40 @@ final class Packer(
     * root key and packs each bucket via Parquet staging to bound single-node
     * memory; in Spark the pack's own hash shuffle already bounds per-task
     * memory, so this is `repartition(partitions, rootKeys)` + pack. The
-    * repartition pre-shards groups exactly like the reference's buckets. */
-  def packStreaming(df: DataFrame, toLevel: String, partitions: Int = 64,
+    * repartition pre-shards groups exactly like the reference's buckets.
+    *
+    * `partitions = 0` (the default since round 12) DERIVES the shard
+    * count from the frame's own estimated shuffle payload
+    * ([[estimatedShuffle]] — the planPack width probe at the ~128 MB
+    * per-reducer target, floored at the session parallelism), so the one
+    * remaining fixed width in the pack family follows the data like
+    * every other shuffle this library sizes. The reference's literal 64
+    * (hierarchical_packer.py:1106 `num_buckets=64`) remains ONLY the
+    * fallback when the probe is disabled or unusable
+    * (`sampleFraction <= 0`, or an empty/all-null sample estimating 0
+    * bytes). Explicit `partitions >= 1` passes through untouched — the
+    * probe is EAGER (two Spark jobs), so callers who know their width
+    * should keep passing it. */
+  def packStreaming(df: DataFrame, toLevel: String, partitions: Int = 0,
                     extraColumns: ExtraColumns = ExtraColumns.Preserve,
-                    sinkPath: Option[String] = None): DataFrame = {
-    if (partitions < 1) throw new HierarchyConfigError(
-      s"partitions must be >= 1, got $partitions")
+                    sinkPath: Option[String] = None,
+                    sampleFraction: Double = 0.01): DataFrame = {
+    if (partitions < 0) throw new HierarchyConfigError(
+      s"partitions must be >= 1 (or 0 = derive from the width probe), " +
+        s"got $partitions")
+    val derived =
+      if (partitions >= 1) partitions
+      else if (sampleFraction <= 0) Packer.DefaultStreamingPartitions
+      else {
+        val (est, rec) = estimatedShuffle(df, sampleFraction)
+        if (est <= 0) Packer.DefaultStreamingPartitions else rec
+      }
+    packStreamingAt(df, toLevel, derived, extraColumns, sinkPath)
+  }
+
+  private def packStreamingAt(df: DataFrame, toLevel: String, partitions: Int,
+                              extraColumns: ExtraColumns,
+                              sinkPath: Option[String]): DataFrame = {
     val (prepared, added) = prepareFrame(df) // assign row ids BEFORE the shuffle
     val rootKeys = metas.head.idColumns.filter(hasCol(prepared, _))
     val sharded =
@@ -1143,6 +1186,11 @@ object Packer {
   val AuditPrefix = "__hier_audit_"
   /** Row cap for the choosePackStrategy width probe. */
   val WidthProbeRows = 1000
+  /** [[Packer.packStreaming]]'s fallback shard count when the width probe
+    * is disabled or unusable — the reference's literal `num_buckets=64`
+    * (hierarchical_packer.py:1106). The probed default sizes from the
+    * frame's estimated shuffle bytes instead. */
+  val DefaultStreamingPartitions = 64
 
   /** Schema-aware per-row serialized-width estimate (bytes, Double) for
     * the [[Packer.choosePackStrategy]] probe. Fixed-width scalars are

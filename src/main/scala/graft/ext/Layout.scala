@@ -221,8 +221,24 @@ object Layout {
     val keyCol = "__shuffle_key"
     require(!df.columns.contains(keyCol),
       s"shuffledIndex: input already has a '$keyCol' column")
+    // Key construction contract (both enforced, not assumed):
+    //  - ids join under an explicit \u0001 separator so distinct
+    //    multi-id tuples can never concatenate identically (under a
+    //    bare concat, ("1","23") and ("12","3") would share a key and
+    //    such colliding groups would fall back to raw-id, locally
+    //    unshuffled, order);
+    //  - a NULL id raises at row level: concat_ws silently DROPS nulls,
+    //    which would both collide keys and break the unique-tie-breaker
+    //    contract the total order rests on. DuckDB oracle form of the
+    //    same derivation: md5(concat_ws(chr(1), ids...)).
+    val checkedIds = idCols.map { c =>
+      val cc = graft.ColName.topCol(c)
+      when(cc.isNull, raise_error(lit(
+        s"shuffledIndex: null id in '$c' - idCols must be non-null " +
+          "unique row identifiers"))).otherwise(cc.cast("string"))
+    }
     val keyed = df.withColumn(keyCol,
-      md5(concat_ws("", idCols.map(graft.ColName.topCol): _*)))
+      md5(concat_ws("\u0001", checkedIds: _*)))
     globalRowIndex(keyed, keyCol +: idCols, outCol, partitions)
       .drop(keyCol)
   }

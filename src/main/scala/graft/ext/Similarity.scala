@@ -109,8 +109,10 @@ object Similarity {
     * rounded scores): the decode is a per-corpus-row projection BELOW
     * the broadcast join, so the blob is expanded once per corpus row,
     * never per (query, row) pair. Recall loss is bounded by the
-    * quantization step (≤ scale/2 per component) — gated by
-    * q_sq8_recall's overlap floor against the uncompressed ranking. */
+    * quantization step (≤ scale/2 per component) — gated by q_sq8_recall
+    * (the uncompressed top-1, recomputed independently by the DuckDB
+    * oracle's own float ranking, must appear in the quantized top-10)
+    * plus Sq8Spec's ranking-equivalence test. */
   def sq8TopK(compressed: DataFrame, queries: DataFrame, k: Int,
               idCol: String, vecCol: String, codesCol: String = "sq8"): DataFrame = {
     val sp = compressed.sparkSession
@@ -211,6 +213,29 @@ object Similarity {
       s"nlistForCorpus: need 1 <= min <= max, got [$minNlist, $maxNlist]")
     val raw = (rows + targetClusterSize - 1) / targetClusterSize
     math.min(maxNlist.toLong, math.max(minNlist.toLong, raw)).toInt
+  }
+
+  /** Probe-width sizing rule companion to [[nlistForCorpus]]: IVF recall
+    * tracks the FRACTION of the corpus scanned (each probed list holds
+    * ~rows/nlist vectors, so nprobe/nlist IS the scan fraction), so the
+    * recall/latency knob should follow the cluster count instead of being
+    * hand-picked per corpus — `ceil(nlist × scanFraction)` clamped to
+    * [minProbe, nlist]. The default 1/16 scan fraction reproduces both
+    * committed operating points: nlist=16 → nprobe=4 (q_knn_ivf_recall's
+    * gated setting, total top-1 recall on the test corpora) and the sf10
+    * scale arm's nlist/16 (scale_knn_ivf_1000q, 4.1× over brute force at
+    * recall gated ≥ the q gate). minProbe=4 keeps small corpora honest:
+    * below ~64 lists a single probe is a coin flip near centroid
+    * boundaries, and 4 lists there still scans ≥ the default fraction.
+    * nprobe = nlist degrades gracefully to exact search. */
+  def nprobeForRecall(nlist: Int, scanFraction: Double = 1.0 / 16,
+                      minProbe: Int = 4): Int = {
+    require(nlist >= 1, s"nprobeForRecall: nlist must be >= 1, got $nlist")
+    require(scanFraction > 0 && scanFraction <= 1.0,
+      s"nprobeForRecall: scanFraction must be in (0, 1], got $scanFraction")
+    require(minProbe >= 1, s"nprobeForRecall: minProbe must be >= 1, got $minProbe")
+    math.min(nlist.toLong,
+      math.max(minProbe.toLong, math.ceil(nlist * scanFraction).toLong)).toInt
   }
 
   /** Deterministic k-means (Lloyd) refinement of IVF centroids, entirely
@@ -335,11 +360,18 @@ object Similarity {
    * Same null-candidate contract as [[bruteForceTopK]]: null-cosine
    * (zero-norm) candidates are dropped, and a query with fewer than k
    * non-null candidates in its probed lists emits fewer than k rows.
+   *
+   * `nprobe = 0` (the default) derives the probe width from the sizing
+   * rule [[nprobeForRecall]](nlist) — so a caller who sizes nlist with
+   * [[nlistForCorpus]] gets a matched recall/latency operating point
+   * without hand-picking the knob. Explicit values pass through.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String, vecCol: String,
-              nlist: Int = 16, nprobe: Int = 4, trainIters: Int = 0,
+              nlist: Int = 16, nprobe: Int = 0, trainIters: Int = 0,
               trainSampleMult: Int = 0): DataFrame = {
+    require(nprobe >= 0, s"ivfTopK: nprobe must be >= 0 (0 = derive), got $nprobe")
+    val np = if (nprobe > 0) nprobe else nprobeForRecall(nlist)
     val sp = corpus.sparkSession
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters,
       trainSampleMult)
@@ -347,7 +379,7 @@ object Similarity {
     val assigned = nearestCentroid(sp, corpus, idCol, vecCol, cents)
       .select(col(idCol).alias("vec_id"), col(vecCol).alias("__cv"),
         fastL2(sp, col(vecCol)).alias("__cn"), col("cent_id"))
-    probeRank(sp, cents, assigned, queries, k, idCol, vecCol, nprobe)
+    probeRank(sp, cents, assigned, queries, k, idCol, vecCol, np)
   }
 
   /** Probe-and-rank core shared by [[ivfTopK]] and [[ivfTopKIndexed]]:

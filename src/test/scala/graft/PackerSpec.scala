@@ -232,12 +232,38 @@ class PackerSpec extends SparkSpec {
     assertSameRows(p.packStreaming(df, "country", 8), p.pack(df, "country"))
   }
 
-  test("pack_streaming rejects non-positive partitions " +
-    "(reference test_pack_streaming_rejects_bad_partitions)") {
+  test("pack_streaming rejects negative partitions " +
+    "(reference test_pack_streaming_rejects_bad_partitions; 0 = derive)") {
     val p = new Packer(streamingSpec)
     val df = streamingDf(spark)
-    assertThrows[HierarchyConfigError](p.packStreaming(df, "city", 0))
     assertThrows[HierarchyConfigError](p.packStreaming(df, "city", -3))
+  }
+
+  test("pack_streaming default width derives from the estimated shuffle " +
+    "payload, falling back to 64 only when the probe is disabled") {
+    val p = new Packer(streamingSpec)
+    val df = streamingDf(spark)
+    // decision rule: tiny frame → estimate floors at session parallelism,
+    // never at the reference's literal 64
+    val (est, rec) = p.estimatedShuffle(df, sampleFraction = 1.0)
+    assert(est > 0, s"width probe estimated no bytes on a non-empty frame ($est)")
+    assert(rec == spark.sparkContext.defaultParallelism,
+      s"tiny frame should floor at parallelism, got $rec")
+    // derived default (partitions = 0 + probe) lands on the probe's
+    // recommendation; contents still equal plain pack
+    val derived = p.packStreaming(df, "country", sampleFraction = 1.0)
+    assert(derived.rdd.getNumPartitions == rec,
+      s"derived width ${derived.rdd.getNumPartitions} != probe rec $rec")
+    assertSameRows(derived, p.pack(df, "country"))
+    // probe disabled (sampleFraction <= 0) → the reference's literal 64
+    val fallback = p.packStreaming(df, "country", sampleFraction = 0.0)
+    assert(fallback.rdd.getNumPartitions == Packer.DefaultStreamingPartitions,
+      s"probe-disabled width should be 64, got ${fallback.rdd.getNumPartitions}")
+    // a synthetic ~wide frame recommends MORE than parallelism once the
+    // estimated payload crosses the 128 MB target (pure rule check via
+    // Tuning — the probe feeds the same arithmetic)
+    assert(graft.ext.Tuning.partitionsForBytes(90L << 30,
+      minPartitions = spark.sparkContext.defaultParallelism) == 720)
   }
 
   test("pack_streaming parquet source and eager sink both equal plain pack " +

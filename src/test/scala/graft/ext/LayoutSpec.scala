@@ -145,6 +145,36 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
       Layout.shuffledIndex(src.withColumn("__shuffle_key", lit(1)), Seq("id")))
   }
 
+  test("shuffledIndex: multi-id tuples that concatenate identically get " +
+    "DISTINCT keys (explicit separator); null ids raise") {
+    val sp = spark
+    import sp.implicits._
+    // ("1","23") vs ("12","3") — identical under bare concatenation; the
+    // \u0001-separated key must keep them apart, so the pair's relative
+    // order follows md5(a<sep>b), not a raw-id fallback. The output must
+    // still be a permutation of 0..n-1 with all rows present.
+    val rows = Seq(("1", "23"), ("12", "3"), ("4", "56"), ("45", "6"),
+      ("7", "8"), ("78", ""))
+    val df = rows.toDF("a", "b")
+    val got = Layout.shuffledIndex(df, Seq("a", "b"))
+    val idx = got.select("shuffle_idx").collect().map(_.getLong(0)).sorted
+    assert(idx.toSeq == (0L until rows.size.toLong),
+      s"not a permutation: ${idx.mkString(",")}")
+    // cross-engine semantics: the windowed md5(a || \u0001 || b) order
+    import org.apache.spark.sql.expressions.Window
+    val expected = df.withColumn("shuffle_idx",
+      row_number().over(Window.orderBy(
+        md5(concat_ws("\u0001", col("a"), col("b"))), col("a"), col("b")))
+        .cast("long") - 1)
+    assertSameRows(got, expected)
+    // a null id must raise, not silently vanish from the key
+    val withNull = Seq(("x", Option("y")), ("z", Option.empty[String]))
+      .toDF("a", "b")
+    val ex = intercept[Exception](
+      Layout.shuffledIndex(withNull, Seq("a", "b")).collect())
+    assert(ex.getMessage != null)
+  }
+
   test("globalRowIndex: reserved/existing/empty-key inputs raise loudly") {
     val sp = spark
     val src = sp.range(10).toDF("id")

@@ -56,6 +56,27 @@ class TuningSpec extends SparkSpec {
       Similarity.nlistForCorpus(10, targetClusterSize = 0))
   }
 
+  test("nprobeForRecall: scan-fraction rule reproduces both committed " +
+    "operating points, clamps to [minProbe, nlist]") {
+    // the gated q_knn_ivf_recall setting: nlist=16 → nprobe=4 (the old
+    // hand-picked literal falls out of the rule)
+    assert(Similarity.nprobeForRecall(16) == 4)
+    // the sf10 scale arm's ~nlist/16 (ceil, so never under-probing)
+    assert(Similarity.nprobeForRecall(1953) == 123)
+    assert(Similarity.nprobeForRecall(1024) == 64)
+    // floors at minProbe for small list counts, caps at nlist (exact
+    // search is the graceful degenerate)
+    assert(Similarity.nprobeForRecall(1) == 1)
+    assert(Similarity.nprobeForRecall(3) == 3)
+    assert(Similarity.nprobeForRecall(8) == 4)
+    assert(Similarity.nprobeForRecall(64, scanFraction = 1.0) == 64)
+    intercept[IllegalArgumentException](Similarity.nprobeForRecall(0))
+    intercept[IllegalArgumentException](
+      Similarity.nprobeForRecall(16, scanFraction = 0.0))
+    intercept[IllegalArgumentException](
+      Similarity.nprobeForRecall(16, minProbe = 0))
+  }
+
   test("inputBytes: sums real file sizes recursively; missing path raises") {
     val dir = java.nio.file.Files.createTempDirectory("tuning").toFile
     try {
