@@ -648,18 +648,28 @@ object Bench {
     "q_dedup_survivors", "q_knn_ivf_trained", "q_shuffled_export",
     "q_sq8_recall")
   private[graft] val bestOf2Names = Set(
-    "parity_pack_large", "parity_pack_very_large")
+    "parity_pack_large", "parity_pack_very_large",
+    // giant-single-list pack (hot key owns 50% of leaf rows) — same
+    // GC-band class as the _2k pair; first-ever driver measurement in
+    // round 12, so sample the band at least twice
+    "parity_pack_skewed")
   private[graft] def repeatFor(name: String, base: Int): Int =
     if (bestOf3Names.contains(name)) math.max(base, 3)
     else if (bestOf2Names.contains(name)) math.max(base, 2)
     else base
 
-  /** Untimed child warmups per forked scenario: the best-of-3 tier's
-    * GC-band entries get two even in the driver profile (their first
-    * post-warmup run otherwise still carries JIT tail — the r11
-    * auto_pack_skewed grouped-child sample read 9.4 s vs 3.06 s calm). */
+  /** Untimed child warmups per forked scenario: the JIT-shaped best-of-3
+    * entries get two even in the driver profile (their first post-warmup
+    * run otherwise still carries JIT tail — the r11 auto_pack_skewed
+    * grouped-child sample read 9.4 s vs 3.06 s calm). The _2k giants are
+    * EXCLUDED: their variance is GC-band, not JIT — an extra 20-30 s
+    * warmup run there buys nothing best-of-3 doesn't already handle and
+    * costs exactly the budget headroom n_skipped=0 needs. */
+  private[graft] val extraWarmupNames: Set[String] = bestOf3Names -- Set(
+    "parity_pack_parent_dominant_2k", "parity_pack_split_join_parent_dominant_2k",
+    "auto_pack_parent_dom_2k")
   private[graft] def warmupsFor(name: String, base: Int): Int =
-    if (bestOf3Names.contains(name)) math.max(base, 2) else base
+    if (extraWarmupNames.contains(name)) math.max(base, 2) else base
 
   // Non-parity scenario names, single-sourced: the scenario blocks below
   // and the SPARK_GRAFT_ONLY typo warning both read THESE, so a renamed
@@ -976,20 +986,23 @@ object Bench {
         // driver profile: grouped children. Round 9 grouped by dataset key
         // (the 5 "large" scenarios share one JVM + session + dataset
         // build); round 12 additionally COALESCES consecutive dataset
-        // groups into shared children of <= 6 scenarios — BENCH_r10/r11
+        // groups into shared children of <= 5 scenarios — BENCH_r10/r11
         // budget-skipped exactly the 3 tail dataset groups (5 scenarios:
         // skewed/salted_skewed, parent_heavy pair, very_large) because
-        // each paid its own ~15-20 s JVM + session cost. BenchScenario's
-        // dsCache already shares one child across datasets (and evicts a
-        // dataset once its last scenario ran, so peak heap stays one
-        // dataset deep). The full profile keeps strict per-scenario forks
-        // for clean per-process VmHWM.
+        // each paid its own ~15-20 s JVM + session cost. At cap 5 the
+        // full family lands in THREE children and the third IS that
+        // 5-scenario tail; it also keeps the GC-band skewed pack out of
+        // the _2k giants' child (heap residue reads as regression).
+        // BenchScenario's dsCache already shares one child across
+        // datasets (and evicts a dataset once its last scenario ran, so
+        // peak heap stays one dataset deep). The full profile keeps
+        // strict per-scenario forks for clean per-process VmHWM.
         val groups = activeParity.groupBy(_._2).toSeq
           .sortBy { case (k, _) => activeParity.indexWhere(_._2 == k) }
         val chunks = groups.foldLeft(
           List.empty[Vector[(String, String, DataFrame => DataFrame)]]) {
           (acc, g) => acc match {
-            case head :: tail if head.size + g._2.size <= 6 =>
+            case head :: tail if head.size + g._2.size <= 5 =>
               (head ++ g._2) :: tail
             case _ => g._2.toVector :: acc
           }

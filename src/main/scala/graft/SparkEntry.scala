@@ -1074,6 +1074,27 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(Similarity.loadIvf(s, idx),
         e.filter(col("vec_id") < 10), 10, "vec_id", "embedding", nprobe = 16)
     }),
+    // IVF over the SQ8-COMPRESSED inverted file (the FAISS IVF,SQ8 tier),
+    // exact mode: nprobe = nlist makes the probed union total, so the
+    // whole quantize → invert → probe → decode → rank path must EQUAL the
+    // flat quantized ranking the oracle recomputes from the raw floats —
+    // the q_knn_ivf idiom composed with q_sq8_topk's
+    "q_knn_ivf_sq8" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfTopKSq8(e, e.filter(col("vec_id") < 10), 10,
+        "vec_id", "embedding", nlist = 16, nprobe = 16)
+    }),
+    // persisted compressed serving: save (centroids + cent_id-partitioned
+    // sq8 blobs), reload, serve at nprobe = nlist — proves the blob
+    // round-trips parquet exactly and the served ranking still equals the
+    // independently recomputed quantized ranking
+    "q_knn_ivf_sq8_persisted" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val idx = stagingDir("ivf_sq8_index", dir)
+      Similarity.saveIvfSq8(e, "vec_id", "embedding", idx, nlist = 16, trainIters = 1)
+      Similarity.ivfTopKSq8Indexed(Similarity.loadIvfSq8(s, idx),
+        e.filter(col("vec_id") < 10), 10, "vec_id", "embedding", nprobe = 16)
+    }),
     // the APPROXIMATE path's quality gate: IVF probing 4/16 lists
     // (nprobe derived by the nprobeForRecall sizing rule) must recall the
     // true nearest neighbor within its top-10 for EVERY probe query.
@@ -2233,6 +2254,36 @@ object SparkEntry {
       .replace("SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank",
         "SELECT query_id, vec_id AS top1_recalled")
       .replace("FROM ranked WHERE rank <= 10", "FROM ranked WHERE rank = 1")
+    // the knnBruteSql ranking with the corpus side re-derived through the
+    // SQ8 decode formula (same explicit floor(t+0.5) double arithmetic as
+    // q_sq8_roundtrip) — the independently recomputed QUANTIZED ranking.
+    // Shared by the flat search gate and both IVF-SQ8 exact-mode gates.
+    val sq8TopKSql =
+      """WITH q AS (SELECT vec_id AS query_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qe
+        |  FROM embeddings WHERE vec_id < 10),
+        |x AS (SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+        |  FROM embeddings),
+        |sz AS (SELECT vec_id, xs, list_min(xs) AS mn,
+        |    (list_max(xs) - list_min(xs)) / 255.0 AS scale FROM x),
+        |c AS (SELECT vec_id,
+        |    list_transform(xs, v -> CASE WHEN scale = 0 THEN mn
+        |      ELSE mn + least(floor((v - mn) / scale + 0.5), 255) * scale END) AS ce
+        |  FROM sz),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))),
+        |      6) AS cosine
+        |  FROM q, c WHERE query_id != vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin
     // click→purchase band-join aggregate — gates BOTH the batch
     // intervalJoin (q_interval_join) and the stream-stream
     // intervalJoinStreams run (q_interval_stream)
@@ -3340,33 +3391,13 @@ object SparkEntry {
           |        END, 6) AS val
           |FROM s, unnest(range(1, len(xs) + 1)) AS u(i)""".stripMargin,
       // the knnBruteSql ranking, corpus side re-derived through the SQ8
-      // decode formula — the whole asymmetric search is recomputed
-      "q_sq8_topk" ->
-        """WITH q AS (SELECT vec_id AS query_id,
-          |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qe
-          |  FROM embeddings WHERE vec_id < 10),
-          |x AS (SELECT vec_id,
-          |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
-          |  FROM embeddings),
-          |sz AS (SELECT vec_id, xs, list_min(xs) AS mn,
-          |    (list_max(xs) - list_min(xs)) / 255.0 AS scale FROM x),
-          |c AS (SELECT vec_id,
-          |    list_transform(xs, v -> CASE WHEN scale = 0 THEN mn
-          |      ELSE mn + least(floor((v - mn) / scale + 0.5), 255) * scale END) AS ce
-          |  FROM sz),
-          |scored AS (
-          |  SELECT query_id, vec_id,
-          |    round(
-          |      list_sum(list_transform(range(1, 65), i -> qe[i] * ce[i]))
-          |      / (sqrt(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))
-          |       * sqrt(list_sum(list_transform(range(1, 65), i -> ce[i] * ce[i])))),
-          |      6) AS cosine
-          |  FROM q, c WHERE query_id != vec_id),
-          |ranked AS (
-          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
-          |  FROM scored)
-          |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
-          |FROM ranked WHERE rank <= 10""".stripMargin,
+      // decode formula — the whole asymmetric search is recomputed.
+      // Shared by the flat search (q_sq8_topk) AND both IVF-SQ8 exact-mode
+      // gates (nprobe = nlist ⇒ the probed union is total ⇒ the compressed
+      // inverted file must reproduce this exact ranking).
+      "q_sq8_topk" -> sq8TopKSql,
+      "q_knn_ivf_sq8" -> sq8TopKSql,
+      "q_knn_ivf_sq8_persisted" -> sq8TopKSql,
       "q_embedding_neardup" -> embPairsSql("0.35"),
       "q_multimodal_meta" ->
         """SELECT doc_id AS asset_id, 'image/fake' AS mime,

@@ -447,13 +447,111 @@ object Similarity {
       .withColumn("cent_id", col("cent_id").cast("long")))
 
   /** [[ivfTopK]] served from a persisted index — no corpus scan, no
-    * training; same null-candidate and tiebreak contract. */
+    * training; same null-candidate and tiebreak contract. `nprobe = 0`
+    * derives from [[nprobeForRecall]] over the index's own centroid count
+    * (a bounded driver-side count of the tiny centroid table). */
   def ivfTopKIndexed(index: IvfIndex, queries: DataFrame, k: Int,
-                     idCol: String, vecCol: String, nprobe: Int = 4): DataFrame = {
+                     idCol: String, vecCol: String, nprobe: Int = 0): DataFrame = {
+    require(nprobe >= 0,
+      s"ivfTopKIndexed: nprobe must be >= 0 (0 = derive), got $nprobe")
+    val np = if (nprobe > 0) nprobe
+             else nprobeForRecall(math.max(1, index.centroids.count().toInt))
     val sp = queries.sparkSession
     val assigned = index.assignments.select(col("vec_id"),
       col("vec").alias("__cv"), col("norm").alias("__cn"), col("cent_id"))
-    probeRank(sp, index.centroids, assigned, queries, k, idCol, vecCol, nprobe)
+    probeRank(sp, index.centroids, assigned, queries, k, idCol, vecCol, np)
+  }
+
+  // -------------------------------------- IVF over an SQ8 inverted file
+
+  /**
+   * IVF-SQ8: IVF probing over an SQ8-QUANTIZED inverted file — the FAISS
+   * `IVF<n>,SQ8` tier, and the storage shape a 100 TB serving index
+   * actually wants: each probed list holds 16 + dim BYTES per vector
+   * (~4× less to read/cache/shuffle than float32) and probing still
+   * prunes the scan to ~nprobe/nlist of the corpus, so the two
+   * compressions multiply. Training and centroid assignment run on the
+   * FULL-PRECISION vectors (assignment fidelity costs nothing extra —
+   * the corpus is being scanned to encode anyway); scoring is the same
+   * asymmetric search as [[sq8TopK]]: full-precision queries against
+   * decoded (zero + code·scale) corpus vectors, decode projected once
+   * per probed row.
+   *
+   * Provable gate (the nprobe = nlist idiom): probing every list makes
+   * the candidate set total, so the result must EQUAL [[sq8TopK]] over
+   * the same compressed corpus — q_knn_ivf_sq8 pins exactly that against
+   * the oracle's independently recomputed quantized ranking; recall at
+   * approximate nprobe is bounded by IVF recall (q_knn_ivf_recall) plus
+   * the quantization step (q_sq8_recall), each gated separately.
+   */
+  def ivfTopKSq8(corpus: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String, vecCol: String,
+                 nlist: Int = 16, nprobe: Int = 0, trainIters: Int = 0,
+                 trainSampleMult: Int = 0): DataFrame = {
+    require(nprobe >= 0, s"ivfTopKSq8: nprobe must be >= 0 (0 = derive), got $nprobe")
+    val np = if (nprobe > 0) nprobe else nprobeForRecall(nlist)
+    val sp = corpus.sparkSession
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters,
+      trainSampleMult)
+    val inverted = nearestCentroid(sp, corpus, idCol, vecCol, cents)
+      .select(col(idCol).alias("vec_id"),
+        graft.functions.Sq8.encode(sp, graft.ColName.topCol(vecCol)).alias("sq8"),
+        col("cent_id"))
+    probeRank(sp, cents, decodedAssignments(sp, inverted), queries, k,
+      idCol, vecCol, np)
+  }
+
+  /** (vec_id, sq8, cent_id) → the probeRank-shaped (vec_id, __cv, __cn,
+    * cent_id): ONE decode projection per inverted-file row, norm over the
+    * decoded vector (the quantized ranking's norm, matching [[sq8TopK]]). */
+  private def decodedAssignments(sp: org.apache.spark.sql.SparkSession,
+                                 inverted: DataFrame): DataFrame =
+    inverted
+      .select(col("vec_id"),
+        graft.functions.Sq8.decode(sp, col("sq8")).alias("__cv"), col("cent_id"))
+      .select(col("vec_id"), col("__cv"), fastL2(sp, col("__cv")).alias("__cn"),
+        col("cent_id"))
+
+  /** Persist an IVF-SQ8 index: `$path/centroids` plus the COMPRESSED
+    * inverted file `$path/assignments` = (vec_id, sq8 binary, cent_id),
+    * cent_id-partitioned — the serving scan reads ~nprobe/nlist of a
+    * ~4×-smaller index (parquet round-trips the blob bytes exactly, so
+    * served rankings are bit-identical to [[ivfTopKSq8]] with the same
+    * centroids). */
+  def saveIvfSq8(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+                 nlist: Int = 16, trainIters: Int = 0): Unit = {
+    val sp = corpus.sparkSession
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    nearestCentroid(sp, corpus, idCol, vecCol, cents)
+      .select(col(idCol).alias("vec_id"),
+        graft.functions.Sq8.encode(sp, graft.ColName.topCol(vecCol)).alias("sq8"),
+        col("cent_id").cast("long"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/assignments")
+  }
+
+  /** Load an index written by [[saveIvfSq8]] (same int-narrowing re-cast
+    * as [[loadIvf]]). The assignments frame is the compressed inverted
+    * file; [[ivfTopKSq8Indexed]] decodes at probe time. */
+  def loadIvfSq8(sp: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      sp.read.parquet(s"$path/centroids"),
+      sp.read.parquet(s"$path/assignments")
+        .withColumn("cent_id", col("cent_id").cast("long")))
+
+  /** [[ivfTopKSq8]] served from a persisted compressed index — no corpus
+    * scan, no training, no re-encode; `nprobe = 0` derives like
+    * [[ivfTopKIndexed]]. */
+  def ivfTopKSq8Indexed(index: IvfIndex, queries: DataFrame, k: Int,
+                        idCol: String, vecCol: String,
+                        nprobe: Int = 0): DataFrame = {
+    require(nprobe >= 0,
+      s"ivfTopKSq8Indexed: nprobe must be >= 0 (0 = derive), got $nprobe")
+    val np = if (nprobe > 0) nprobe
+             else nprobeForRecall(math.max(1, index.centroids.count().toInt))
+    val sp = queries.sparkSession
+    probeRank(sp, index.centroids, decodedAssignments(sp, index.assignments),
+      queries, k, idCol, vecCol, np)
   }
 
   // ------------------------------------------------ product quantization

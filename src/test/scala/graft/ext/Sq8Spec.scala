@@ -96,4 +96,41 @@ class Sq8Spec extends SparkSpec {
       10, "vec_id", "embedding")
     assertSameRows(got, want)
   }
+
+  test("ivfTopKSq8 at nprobe = nlist equals flat sq8TopK (total probed " +
+    "union); persisted index serves the identical ranking") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 300L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    val flat = Similarity.sq8TopK(
+      Similarity.sq8Compress(corpus, "vec_id", "embedding"),
+      queries, 8, "vec_id", "embedding")
+    // exact mode: every list probed — the compressed inverted file must
+    // reproduce the flat quantized ranking (trained centroids change the
+    // partition of the corpus, never the probed union)
+    val ivf = Similarity.ivfTopKSq8(corpus, queries, 8, "vec_id", "embedding",
+      nlist = 8, nprobe = 8, trainIters = 1)
+    assertSameRows(ivf, flat)
+    // save → load → serve round-trips the blob bytes exactly
+    val path = java.nio.file.Files.createTempDirectory("ivf_sq8").toString
+    Similarity.saveIvfSq8(corpus, "vec_id", "embedding", path,
+      nlist = 8, trainIters = 1)
+    val served = Similarity.ivfTopKSq8Indexed(
+      Similarity.loadIvfSq8(spark, path), queries, 8, "vec_id", "embedding",
+      nprobe = 8)
+    assertSameRows(served, flat)
+    // the stored inverted file IS compressed: binary blob column, 16+dim
+    // bytes per vector
+    val blob = spark.read.parquet(s"$path/assignments")
+    assert(blob.schema("sq8").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val maxLen = blob.select(max(octet_length(col("sq8")))).collect()(0).getInt(0)
+    assert(maxLen == 16 + 16, s"blob should be 16 header + dim bytes, got $maxLen")
+    // derived nprobe (0) comes from the rule over the index's centroid
+    // count — mechanically serveable, top-1 well-separated queries agree
+    val derived = Similarity.ivfTopKSq8Indexed(
+      Similarity.loadIvfSq8(spark, path), queries, 8, "vec_id", "embedding")
+    assert(derived.count() > 0)
+  }
 }
