@@ -1144,22 +1144,67 @@ object SparkEntry {
     // the compressed path's quality gate at REALISTIC parameters: m=16
     // subspaces of 4 dims x 32 codes = 16 bytes/vector (16x compression),
     // ADC shortlist of 80 re-ranked exactly to top-10 (the production
-    // shortlist+refine shape). The true nearest neighbor (brute-force
-    // top-1) must appear in the refined top-10 for >= 80% of probe
-    // queries; measured 10/10, 10/10, 9/10 at sf0.001/0.1/1.0
+    // shortlist+refine shape). PER-QUERY form (round 12, closing VERDICT
+    // r11 #6's PQ half): each query's recalled brute-force top-1 id is
+    // emitted (-1 when the shortlist+refine missed it) and verified
+    // against DuckDB's OWN independent ranking — one missed query
+    // mismatches that query's row instead of the old count-restating
+    // >=80% boolean. refineFactor=24 (shortlist 240) makes recall total
+    // at every tested sf including the 20k-vector sf1.0 corpus, where
+    // the former refineFactor=8 honestly missed 1/10 — the refine knob
+    // is exactly what a production pipeline turns for a recall SLO, so
+    // the gate documents the knob-to-recall contract instead of
+    // restating a count.
     "q_knn_pq_recall" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)
       val bf1 = Similarity.bruteForceTopK(e, q, 1, "vec_id", "embedding")
         .select(col("query_id"), col("vec_id"))
       val pq = Similarity.pqTopKRefined(e, q, 10, "vec_id", "embedding",
-        dim = 64, m = 16, ksub = 32, trainIters = 2, refineFactor = 8)
+        dim = 64, m = 16, ksub = 32, trainIters = 2, refineFactor = 24)
         .select(col("query_id"), col("vec_id"))
-      val recalled = bf1.join(pq, Seq("query_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).alias("__n_recalled"))
-      recalled.crossJoin(q.agg(count(lit(1)).alias("n_queries")))
-        .select(col("n_queries"),
-          (col("__n_recalled") * 10 >= col("n_queries") * 8).alias("recall_pass"))
+      bf1.join(pq, Seq("query_id", "vec_id"), "left_semi")
+        .unionByName(bf1.join(pq, Seq("query_id", "vec_id"), "left_anti")
+          .select(col("query_id"), lit(-1L).alias("vec_id")))
+        .select(col("query_id"), col("vec_id").alias("top1_recalled"))
+    }),
+    // the quantized PQ ranking ITSELF, independently recomputed (round
+    // 12): realistic compression regime — 200 corpus vectors against 32
+    // codes per subspace (6x more vectors than codes, so ADC
+    // reconstruction is genuinely lossy) at trainIters=0, where the
+    // codebook is the deterministic seed rule (subvectors of the 32
+    // lowest-id vectors) both engines derive from raw data. The DuckDB
+    // oracle re-runs the ENTIRE pipeline — seed slicing, first-min argmin
+    // encode, per-subspace LUT dot products, ADC sum, cosine rounding,
+    // ranking — so an encode or scoring divergence mismatches rows. This
+    // is the sq8TopKSql idiom applied to the PQ path (the last
+    // shape-only gate in COVERAGE.md's disclosure).
+    "q_knn_pq_adc" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").filter(col("vec_id") < 200)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), 10, "vec_id",
+        "embedding", dim = 64, m = 16, ksub = 32, trainIters = 0)
+    }),
+    // IVF-PQ (round 12): probing EVERY list (nprobe = nlist) makes the
+    // candidate set total, so the coded-inverted-file ranking must EQUAL
+    // the flat PQ scan — pinned against the same independently
+    // recomputed q_knn_pq_adc oracle ranking (the nprobe=nlist idiom of
+    // q_knn_ivf and q_knn_ivf_sq8, for the densest index tier)
+    "q_knn_ivf_pq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").filter(col("vec_id") < 200)
+      Similarity.ivfTopKPq(e, e.filter(col("vec_id") < 10), 10, "vec_id",
+        "embedding", dim = 64, m = 16, ksub = 32, nlist = 16, nprobe = 16)
+    }),
+    // persisted coded serving: save (centroids + codebook + cent_id-
+    // partitioned codes), reload, serve at nprobe = nlist — proves codes,
+    // codebook doubles, and norms all round-trip parquet exactly and the
+    // served ranking still equals the recomputed quantized ranking
+    "q_knn_ivf_pq_persisted" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val idx = stagingDir("ivf_pq_index", dir)
+      Similarity.saveIvfPq(e, "vec_id", "embedding", idx,
+        dim = 64, m = 16, ksub = 32, nlist = 16)
+      Similarity.ivfTopKPqIndexed(Similarity.loadIvfPq(s, idx),
+        e.filter(col("vec_id") < 10), 10, "vec_id", "embedding", nprobe = 16)
     }),
     // exact embedding near-dup pairs over a bounded id range
     "q_embedding_neardup" -> ((s, dir) => {
@@ -2228,6 +2273,58 @@ object SparkEntry {
         |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(inter / un, 6) AS jaccard
         |FROM pairs WHERE round(inter / un, 6) >= 0.08""".stripMargin
+    // the quantized PQ-ADC ranking recomputed END-TO-END from raw floats
+    // (round 12, VERDICT r11 #6's PQ half — the sq8TopKSql idiom for the
+    // PQ path): deterministic seed codebook (4-dim subvector slices of
+    // the 32 lowest-id vectors), first-min argmin encode per subspace,
+    // per-subspace LUT dot products summed into the ADC score, 6-dp
+    // cosine against TRUE norms, rank. m=16 subspaces x ksub=32 codes
+    // over a 200-vector corpus — genuinely lossy reconstruction, and any
+    // encode/scoring divergence between the engines mismatches rows.
+    // Shared by q_knn_pq_adc (flat scan) and both IVF-PQ exact-mode
+    // gates (probing every list makes the candidate set total).
+    val pqAdcSql =
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+        |  FROM embeddings WHERE vec_id < 200),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS j, xs AS cs
+        |  FROM e ORDER BY vec_id ASC LIMIT 32),
+        |sub AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS s),
+        |cb AS (
+        |  SELECT sub.s, seeds.j, list_slice(seeds.cs, sub.s*4 + 1, sub.s*4 + 4) AS cent
+        |  FROM seeds, sub),
+        |dist AS (
+        |  SELECT e.vec_id, cb.s, cb.j, cb.cent,
+        |    list_sum(list_transform(range(1, 5),
+        |      p -> (e.xs[cb.s*4 + p] - cb.cent[p]) * (e.xs[cb.s*4 + p] - cb.cent[p]))) AS d
+        |  FROM e, cb),
+        |enc AS (
+        |  SELECT vec_id, s, cent FROM (
+        |    SELECT vec_id, s, j, cent,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, xs AS qe,
+        |        sqrt(list_sum(list_transform(xs, v -> v*v))) AS qnorm
+        |      FROM e WHERE vec_id < 10),
+        |cn AS (SELECT vec_id, sqrt(list_sum(list_transform(xs, v -> v*v))) AS cnorm FROM e),
+        |adc AS (
+        |  SELECT q.query_id, enc.vec_id,
+        |    sum(list_sum(list_transform(range(1, 5),
+        |      p -> q.qe[enc.s*4 + p] * enc.cent[p]))) AS dotq
+        |  FROM q, enc WHERE q.query_id != enc.vec_id
+        |  GROUP BY q.query_id, enc.vec_id),
+        |scored AS (
+        |  SELECT adc.query_id, adc.vec_id,
+        |    round(adc.dotq / (q2.qnorm * cn.cnorm), 6) AS cosine
+        |  FROM adc
+        |  JOIN (SELECT query_id, qnorm FROM q) q2 USING (query_id)
+        |  JOIN cn ON adc.vec_id = cn.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 10""".stripMargin
     // exact brute-force cosine top-k: the oracle for the brute-force
     // query AND both exact-mode IVF queries (nprobe = nlist)
     val knnBruteSql =
@@ -3290,11 +3387,19 @@ object SparkEntry {
           |  FROM scored)
           |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
           |FROM ranked WHERE rank <= 10""".stripMargin,
-      // thresholded recall gate (the q_semdedup_recall idiom): the oracle
-      // pins the query count and asserts the >=80%-recalled boolean
-      "q_knn_pq_recall" ->
-        """SELECT count(*) AS n_queries, true AS recall_pass
-          |FROM embeddings WHERE vec_id < 10""".stripMargin,
+      // per-query recall verified against DuckDB's OWN brute-force
+      // ranking, like q_knn_ivf_recall below (round 12: the old form
+      // restated a count) — a single missed query mismatches its row
+      "q_knn_pq_recall" -> knnTop1Sql,
+      // the quantized PQ-ADC ranking recomputed end-to-end from raw
+      // floats: deterministic seed codebook (subvectors of the 32
+      // lowest-id vectors), first-min argmin encode, LUT ADC scores,
+      // 6-dp cosine, rank — the sq8TopKSql idiom for the PQ path.
+      // Shared by the flat scan and both IVF-PQ exact-mode gates
+      // (nprobe = nlist -> candidate set total -> ranking identical).
+      "q_knn_pq_adc" -> pqAdcSql,
+      "q_knn_ivf_pq" -> pqAdcSql,
+      "q_knn_ivf_pq_persisted" -> pqAdcSql,
       // per-query recall verified against DuckDB's OWN brute-force
       // ranking (rank-1 of knnBruteSql): a Spark-side miss emits -1 for
       // that query and mismatches the row (VERDICT r11 #6)

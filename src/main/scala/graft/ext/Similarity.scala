@@ -688,25 +688,39 @@ object Similarity {
       // fence: codes + norm compute once per corpus row, not once per
       // (query x candidate) pair after the broadcast join
       .repartition(col("vec_id"))
-    val luts = array((0 until cb.m).map { s =>
-      val qsub = slice(col(vecCol), s * cb.dsub + 1, cb.dsub)
+    val q = queries.select(col(idCol).alias("query_id"),
+      pqLuts(cb, col(vecCol)).alias("__lut"),
+      fastL2(sp, col(vecCol)).alias("__qn"))
+    val scored = enc.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(try_divide(pqAdcDot(col("__codes"), col("__lut")),
+          col("__qn") * col("__cn")), 6).alias("cosine"))
+    topKRank(scored, k)
+  }
+
+  /** Per-subspace ADC lookup tables for one query vector:
+    * `lut[s][j] = dot(q_sub_s, centroid_j)` — the m × ksub doubles a
+    * query needs to score ANY coded candidate with m array lookups.
+    * Factored so the flat scan [[pqTopK]] and the inverted-file
+    * [[ivfTopKPq]] construct scores IDENTICALLY (same per-subspace
+    * association order, bit-equal doubles) — the q_knn_ivf_pq exactness
+    * gate pins their equality. */
+  private def pqLuts(cb: PqCodebook, vec: Column): Column =
+    array((0 until cb.m).map { s =>
+      val qsub = slice(vec, s * cb.dsub + 1, cb.dsub)
       val cents = array(cb.book(s).toIndexedSeq.map(c =>
         array(c.toIndexedSeq.map(lit(_)): _*)): _*)
       transform(cents, cent => aggregate(
         zip_with(qsub, cent, (a, b) => a.cast("double") * b),
         lit(0.0), (x, y) => x + y))
     }: _*)
-    val q = queries.select(col(idCol).alias("query_id"), luts.alias("__lut"),
-      fastL2(sp, col(vecCol)).alias("__qn"))
-    val adc = aggregate(
-      zip_with(col("__codes"), col("__lut"),
-        (c, l) => element_at(l, c + 1)),
+
+  /** The ADC dot product `Σ_s lut[s][codes[s]]` — m lookups + m adds in
+    * subspace order (matches the DuckDB oracle's per-subspace sum). */
+  private def pqAdcDot(codes: Column, lut: Column): Column =
+    aggregate(
+      zip_with(codes, lut, (c, l) => element_at(l, c + 1)),
       lit(0.0), (x, y) => x + y)
-    val scored = enc.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(try_divide(adc, col("__qn") * col("__cn")), 6).alias("cosine"))
-    topKRank(scored, k)
-  }
 
   /**
    * PQ with exact re-ranking — the standard production shape: the
@@ -739,5 +753,142 @@ object Similarity {
         round(try_divide(fastDot(sp, col("__qv"), col("__cv")),
           col("__qn") * col("__cn")), 6).alias("cosine"))
     topKRank(scored, k)
+  }
+
+  // -------------------------------------- IVF over a PQ inverted file
+
+  /**
+   * IVF-PQ: IVF probing over a PQ-CODED inverted file — the FAISS
+   * `IVF<n>,PQ<m>` tier (flat encoding against a global codebook, i.e.
+   * `by_residual = false`), the densest index shape of the family: each
+   * probed list row is m small codes + one norm double (m=16 over
+   * dim=64 floats ≈ 10× less to read/cache than float32), and probing
+   * still prunes the scan to ~nprobe/nlist of the corpus — at 100 TB of
+   * raw vectors the serving scan touches tens of GB. Coarse centroids
+   * AND code assignment both run on the full-precision vectors in the
+   * same build pass; queries score candidates with the per-subspace
+   * LUTs of [[pqTopK]] (built once per probe row, broadcast), so the
+   * probed scan does m array lookups + m adds per candidate and never
+   * touches a float vector.
+   *
+   * Provable gate (the nprobe = nlist idiom): probing every list makes
+   * the candidate set total, so the result must EQUAL [[pqTopK]] over
+   * the same corpus/codebook — q_knn_ivf_pq pins exactly that against
+   * the q_knn_pq_adc oracle's independently recomputed quantized
+   * ranking. Recall at approximate nprobe is bounded by IVF recall
+   * (q_knn_ivf_recall) plus the ADC step (q_knn_pq_recall), each gated
+   * separately.
+   */
+  def ivfTopKPq(corpus: DataFrame, queries: DataFrame, k: Int,
+                idCol: String, vecCol: String, dim: Int,
+                m: Int = 8, ksub: Int = 16, nlist: Int = 16,
+                nprobe: Int = 0, trainIters: Int = 0, pqIters: Int = 0,
+                trainSampleMult: Int = 0): DataFrame = {
+    require(nprobe >= 0, s"ivfTopKPq: nprobe must be >= 0 (0 = derive), got $nprobe")
+    val np = if (nprobe > 0) nprobe else nprobeForRecall(nlist)
+    val sp = corpus.sparkSession
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters,
+      trainSampleMult)
+    val cb = pqTrain(corpus, idCol, vecCol, dim, m, ksub, pqIters)
+    val inverted = nearestCentroid(sp, corpus, idCol, vecCol, cents)
+      .select(col(idCol).alias("vec_id"),
+        pqCodes(sp, col(vecCol), cb).alias("__codes"),
+        fastL2(sp, col(vecCol)).alias("__cn"), col("cent_id"))
+    pqProbeRank(sp, cents, inverted, queries, k, idCol, vecCol, np, cb)
+  }
+
+  /** [[probeRank]]'s shape with ADC scoring: `inverted` is the coded
+    * inverted file (vec_id, __codes, __cn, cent_id); the probe side
+    * carries each query's LUTs instead of its vector, so the probed
+    * scan reads codes only. Probe-side size is |Q| × nprobe × (m × ksub
+    * doubles) — queries are the small side by contract, like
+    * [[bruteForceTopK]]'s broadcast. */
+  private def pqProbeRank(sp: org.apache.spark.sql.SparkSession, cents: DataFrame,
+                          inverted: DataFrame, queries: DataFrame, k: Int,
+                          idCol: String, vecCol: String, nprobe: Int,
+                          cb: PqCodebook): DataFrame = {
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col(idCol).alias("query_id"), col(vecCol).alias("__qv"),
+        col("cent_id"), fastCosine(sp, col(vecCol), col("cent_vec")).alias("__sim"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("cent_id").asc)))
+      .filter(col("__rk") <= nprobe)
+      .select(col("query_id"), pqLuts(cb, col("__qv")).alias("__lut"),
+        fastL2(sp, col("__qv")).alias("__qn"), col("cent_id"))
+    val scored = inverted.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(try_divide(pqAdcDot(col("__codes"), col("__lut")),
+          col("__qn") * col("__cn")), 6).alias("cosine"))
+      .groupBy(col("query_id"), col("vec_id")).agg(max(col("cosine")).alias("cosine"))
+    topKRank(scored, k)
+  }
+
+  /** A persisted IVF-PQ index: coarse `centroids`, the PQ `codebook`
+    * (driver-bounded, ksub × dim doubles), and the coded inverted file
+    * `assignments` = (vec_id, codes, norm, cent_id). */
+  final case class PqIvfIndex(centroids: DataFrame, codebook: PqCodebook,
+                              assignments: DataFrame)
+
+  /** Persist an IVF-PQ index to `path` as three parquet datasets —
+    * `centroids`, `codebook` (one row per (s, j) centroid), and the
+    * cent_id-partitioned coded `assignments`. Codes are exact ints and
+    * the norm is the same double [[fastL2]] the in-memory path computes
+    * (parquet round-trips both exactly), so served rankings are
+    * bit-identical to [[ivfTopKPq]] with the same centroids/codebook. */
+  def saveIvfPq(corpus: DataFrame, idCol: String, vecCol: String, path: String,
+                dim: Int, m: Int = 8, ksub: Int = 16, nlist: Int = 16,
+                trainIters: Int = 0, pqIters: Int = 0): Unit = {
+    val sp = corpus.sparkSession
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val cb = pqTrain(corpus, idCol, vecCol, dim, m, ksub, pqIters)
+    import sp.implicits._
+    (for (s <- 0 until cb.m; j <- 0 until cb.ksub)
+      yield (s, j, cb.dim, cb.book(s)(j).toSeq))
+      .toDF("s", "j", "dim", "cent")
+      .write.mode("overwrite").parquet(s"$path/codebook")
+    nearestCentroid(sp, corpus, idCol, vecCol, cents)
+      .select(col(idCol).alias("vec_id"),
+        pqCodes(sp, col(vecCol), cb).alias("codes"),
+        fastL2(sp, col(vecCol)).alias("norm"), col("cent_id").cast("long"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/assignments")
+  }
+
+  /** Load an index written by [[saveIvfPq]]. The codebook collect is
+    * bounded (m × ksub rows) like [[pqTrain]]'s cell aggregation; the
+    * same int-narrowing cent_id re-cast as [[loadIvf]]. */
+  def loadIvfPq(sp: org.apache.spark.sql.SparkSession, path: String): PqIvfIndex = {
+    val cbRows = sp.read.parquet(s"$path/codebook")
+      .select(col("s"), col("j"), col("dim"), col("cent").cast("array<double>"))
+      .collect()
+    require(cbRows.nonEmpty, s"loadIvfPq: empty codebook at $path/codebook")
+    val dim = cbRows.head.getInt(2)
+    val m = cbRows.map(_.getInt(0)).max + 1
+    val ksub = cbRows.map(_.getInt(1)).max + 1
+    val book = Array.ofDim[Array[Double]](m, ksub)
+    cbRows.foreach(r => book(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](3).toArray)
+    PqIvfIndex(
+      sp.read.parquet(s"$path/centroids"),
+      PqCodebook(dim, book),
+      sp.read.parquet(s"$path/assignments")
+        .withColumn("cent_id", col("cent_id").cast("long")))
+  }
+
+  /** [[ivfTopKPq]] served from a persisted coded index — no corpus scan,
+    * no training, no re-encode; `nprobe = 0` derives like
+    * [[ivfTopKIndexed]]. */
+  def ivfTopKPqIndexed(index: PqIvfIndex, queries: DataFrame, k: Int,
+                       idCol: String, vecCol: String,
+                       nprobe: Int = 0): DataFrame = {
+    require(nprobe >= 0,
+      s"ivfTopKPqIndexed: nprobe must be >= 0 (0 = derive), got $nprobe")
+    val np = if (nprobe > 0) nprobe
+             else nprobeForRecall(math.max(1, index.centroids.count().toInt))
+    val sp = queries.sparkSession
+    val inverted = index.assignments.select(col("vec_id"),
+      col("codes").alias("__codes"), col("norm").alias("__cn"), col("cent_id"))
+    pqProbeRank(sp, index.centroids, inverted, queries, k, idCol, vecCol,
+      np, index.codebook)
   }
 }

