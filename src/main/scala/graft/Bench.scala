@@ -40,11 +40,17 @@ import org.apache.spark.storage.StorageLevel
   *    ambient load. Every entry records its full run vector (`runs`) and
   *    a floor sample measured immediately after it (`floors`) — a 3x
   *    floor adjacent to a slow entry says "ambient", a clean floor says
-  *    "regression". On top of that, entries slower than
-  *    SPARK_GRAFT_FLAG_FACTOR (default 2x) times their committed
-  *    reference number (BENCH_REFERENCE.json, the last known-good
-  *    committed artifact) are automatically RE-RUN in a fresh isolated
-  *    child JVM at the end of the run; the artifact reports the isolated
+  *    "regression". Round 12 adds the IN-PLACE FLAG RETRY: any entry
+  *    (in-process or forked) whose best run would flag vs the committed
+  *    reference gets up to two GC-leveled extra runs on the spot, so a
+  *    single dirty sample (GC residue, host-steal burst) settles for
+  *    the cost of a GC instead of a child JVM — the runs vector keeps
+  *    the dirty sample as evidence. On top of that, entries STILL
+  *    slower than SPARK_GRAFT_FLAG_FACTOR (default 2x) times their
+  *    committed reference number (BENCH_REFERENCE.json, the last
+  *    known-good committed artifact) are automatically RE-RUN in a
+  *    fresh isolated child JVM at the end of the run, behind a
+  *    flag-count-sized budget reserve; the artifact reports the isolated
   *    number as the entry's value (best-of-all-observations, consistent
   *    with the best-of-N protocol) plus the raw in-process value and the
   *    flagged list, so a hot driver box can never masquerade as a code
@@ -824,18 +830,24 @@ object Bench {
           rawFlag && work > refWork * flagFactor
         }
       }
-    def anyFlagPending: Boolean = partialResults.exists { case (n, t) =>
+    def pendingFlagCount: Int = partialResults.count { case (n, t) =>
       entryFlagged(n, t, refFloorSec) }
     // Reserve release (VERDICT r10 #1): the reserve guarantees the
     // end-of-run adjudication window, but holding it while NOTHING is
     // flag-worthy starved the scale_ family two rounds running
     // (BENCH_r09/r10 n_skipped=20 with the reserve unspent). While no
     // measured entry flags, the main pass may spend the whole budget;
-    // the reserve re-engages the moment a flag appears.
+    // the reserve re-engages the moment a flag appears — and it is
+    // SIZED BY THE FLAG COUNT (round 12): a fixed 264 s held for two
+    // light flags starved the parity tail exactly like the unspent
+    // reserve used to starve scale_ (the r12 rehearsal measured the
+    // rerun of 33 residue flags at ~250 s; 1-3 real flags need ~100 s).
     def mainBudgetLeft: Double =
       if (budgetSec <= 0) Double.MaxValue
-      else if (!anyFlagPending) budgetLeft
-      else budgetLeft - rerunReserve
+      else pendingFlagCount match {
+        case 0 => budgetLeft
+        case n => budgetLeft - math.min(rerunReserve, 60.0 + 40.0 * n)
+      }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     def writeJson(path: String, json: String): Boolean = try {
       val w = new java.io.PrintWriter(new java.io.File(path), "UTF-8")
@@ -873,8 +885,32 @@ object Bench {
       // repeatFor: the variance-prone forked names keep their best-of-N
       // tier even when re-run in-process (the isolated-rerun child runs
       // with SPARK_GRAFT_FORK=0 and lands here)
-      val runs = runsOfN(repeatFor(name, repeat), e => errMsgs(name) =
-        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300))(f)
+      val onErr = (e: Throwable) => errMsgs(name) =
+        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)
+      var runs = runsOfN(repeatFor(name, repeat), onErr)(f)
+      // IN-PLACE FLAG RETRY (round 12): a single dirty sample — shared-JVM
+      // GC residue, a host-steal burst — otherwise flags the entry and
+      // buys a whole child-JVM re-run at the end of the run (the r12
+      // rehearsal hit a burst that flagged 33 entries; the 250 s rerun
+      // phase then starved the parity tail to n_skipped=10). One leveled
+      // extra run HERE settles it for the cost of a GC, while a genuine
+      // regression keeps flagging after both retries and still reaches
+      // the isolated-rerun net. Appended to the runs vector, so the
+      // artifact shows the dirty sample AND the retry that cleared it.
+      // Never in the full profile (already best-of-3 with per-repeat GC).
+      if (!fullProfile && runs.nonEmpty && runs.forall(_ >= 0)) {
+        var retries = 0
+        while (retries < 2 && budgetLeft > 60 &&
+            entryFlagged(name, runs.min, lastFloorSample)) {
+          System.gc()
+          val extra = runsOfN(1, onErr)(f)
+          // a FAILED retry must not poison a measured entry: keep the
+          // good runs, stop retrying (transient exec errors re-adjudicate
+          // in the isolated-rerun child if the entry stays flagged)
+          if (extra.exists(_ < 0)) retries = 2
+          else { runs = runs ++ extra; retries += 1 }
+        }
+      }
       runsLog(name) = runs
       val freshFloor = fullProfile || floorEntryIdx % 4 == 0 || lastFloorSample < 0
       if (freshFloor) lastFloorSample = time(materialize(floorJob(spark)))
@@ -888,8 +924,12 @@ object Bench {
     }
 
     // floor-plan warmup: the first adjacent floor sample must measure
-    // ambient load, not the floor job's own codegen
-    try materialize(floorJob(spark)) catch { case _: Throwable => }
+    // ambient load, not the floor job's own codegen. Timed into
+    // lastFloorSample so even the FIRST entry's in-place retry has a
+    // floor canary (a codegen-inflated one only under-retries, never
+    // over-retries).
+    try lastFloorSample = time(materialize(floorJob(spark)))
+    catch { case _: Throwable => }
 
     // per-entry budget reserve: an in-process q_* entry costs its own
     // runtime plus GC + floor sample (~1 s overhead); 30 s of reserve
@@ -1284,6 +1324,12 @@ object BenchScenario {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // committed reference + flag factor for the child-side in-place flag
+    // retry (cwd is inherited from the parent, so the default path
+    // resolves to the same artifact the parent reads)
+    val refTimes = Bench.readQueryTimes(new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_REF", "BENCH_REFERENCE.json")))
+    val flagFactor = sys.env.getOrElse("SPARK_GRAFT_FLAG_FACTOR", "2.0").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // same SPARK_GRAFT_SHUFFLE override as the parent (scale sweeps;
@@ -1324,11 +1370,30 @@ object BenchScenario {
         try Bench.materializeDf(prepared.query())
         catch { case _: Throwable => }
       var errMsg = ""
+      val onErr = (e: Throwable) => errMsg =
+        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+          .take(300).replaceAll("[\\r\\n\\t]", " ")
       // per-name repeat tier: the documented-variance giant-group entries
       // keep best-of-N regardless of the parent's profile repeat
-      val runs = Bench.runsOfN(Bench.repeatFor(name, repeat), e => errMsg =
-        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
-          .take(300).replaceAll("[\\r\\n\\t]", " "))(prepared.query())
+      var runs = Bench.runsOfN(Bench.repeatFor(name, repeat), onErr)(prepared.query())
+      // same in-place flag retry as the parent's measured(): a grouped
+      // driver-profile child absorbs its own dirty sample instead of
+      // handing it to the end-of-run rerun (the r12 rehearsal child read
+      // parity_pack_large at [23.8, 8.7] vs 1.16 isolated — a host burst,
+      // not a regression). Raw-ratio check (no floor normalization — the
+      // retry is an optimization; the parent's floor-aware predicate
+      // still decides final flags). Full-profile children (repeat >= 3)
+      // keep the pure best-of-N protocol.
+      if (repeat < 3 && runs.nonEmpty && runs.forall(_ >= 0)) {
+        var retries = 0
+        while (retries < 2 && refTimes.get(name).exists(r =>
+            runs.min > r * flagFactor && runs.min - r > 0.4)) {
+          System.gc()
+          val extra = Bench.runsOfN(1, onErr)(prepared.query())
+          if (extra.exists(_ < 0)) retries = 2
+          else { runs = runs ++ extra; retries += 1 }
+        }
+      }
       val sec = if (runs.exists(_ < 0)) -1.0 else runs.min
       // adjacent floor sample — same ambient-load canary the in-process
       // runner records per entry
