@@ -645,16 +645,24 @@ object Bench {
     *    n_skipped=0 (BENCH_r09 skipped 23 entries at budget).
     * The FULL profile keeps repeat=3 everywhere (floor of these maxima). */
   private[graft] val bestOf3Names = Set(
+    // the JIT-dominated q_ tier (VERDICT r11 #2): their FIRST run in any
+    // JVM reads 3-4x calm deterministically (many tiny jobs), so the
+    // third pass pays for itself every capture
+    "q_drop_repeated_spans", "q_semdedup", "q_semdedup_recall",
+    "q_dedup_survivors", "q_knn_ivf_trained", "q_shuffled_export",
+    "q_sq8_recall")
+  // GC-band presets (giant-group packs, streaming trio, skew probes):
+  // best-of-2 samples the band, and the round-12 in-place flag retry
+  // escalates to a third GC-leveled run ONLY when the two samples still
+  // flag — adaptive best-of-3 that costs the third pass exactly when a
+  // capture needs it (the fixed best-of-3 tier cost the r12 rehearsal
+  // ~90 s of giant-group reruns on entries that were already clean).
+  private[graft] val bestOf2Names = Set(
+    "parity_pack_large", "parity_pack_very_large",
     "parity_pack_parent_dominant_2k", "parity_pack_split_join_parent_dominant_2k",
     "auto_pack_parent_dom_2k", "auto_pack_skewed",
     "parity_pack_streaming_8", "parity_pack_streaming_32",
     "parity_pack_streaming_64",
-    // the JIT-dominated q_ tier (VERDICT r11 #2)
-    "q_drop_repeated_spans", "q_semdedup", "q_semdedup_recall",
-    "q_dedup_survivors", "q_knn_ivf_trained", "q_shuffled_export",
-    "q_sq8_recall")
-  private[graft] val bestOf2Names = Set(
-    "parity_pack_large", "parity_pack_very_large",
     // giant-single-list pack (hot key owns 50% of leaf rows) — same
     // GC-band class as the _2k pair; first-ever driver measurement in
     // round 12, so sample the band at least twice
@@ -667,15 +675,20 @@ object Bench {
   /** Untimed child warmups per forked scenario: the JIT-shaped best-of-3
     * entries get two even in the driver profile (their first post-warmup
     * run otherwise still carries JIT tail — the r11 auto_pack_skewed
-    * grouped-child sample read 9.4 s vs 3.06 s calm). The _2k giants are
-    * EXCLUDED: their variance is GC-band, not JIT — an extra 20-30 s
-    * warmup run there buys nothing best-of-3 doesn't already handle and
-    * costs exactly the budget headroom n_skipped=0 needs. */
-  private[graft] val extraWarmupNames: Set[String] = bestOf3Names -- Set(
+    * grouped-child sample read 9.4 s vs 3.06 s calm). The _2k giants go
+    * the OTHER way — zero driver-profile warmups: their variance is
+    * GC-band, not JIT, so a 20-40 s untimed warmup buys nothing that
+    * best-of-2 + the in-place retry doesn't, and costs exactly the
+    * budget headroom n_skipped=0 needs. The full profile keeps its two
+    * warmups everywhere. */
+  private[graft] val extraWarmupNames: Set[String] = bestOf3Names
+  private[graft] val noWarmupNames: Set[String] = Set(
     "parity_pack_parent_dominant_2k", "parity_pack_split_join_parent_dominant_2k",
     "auto_pack_parent_dom_2k")
   private[graft] def warmupsFor(name: String, base: Int): Int =
-    if (extraWarmupNames.contains(name)) math.max(base, 2) else base
+    if (extraWarmupNames.contains(name)) math.max(base, 2)
+    else if (noWarmupNames.contains(name) && base <= 1) 0
+    else base
 
   // Non-parity scenario names, single-sourced: the scenario blocks below
   // and the SPARK_GRAFT_ONLY typo warning both read THESE, so a renamed
@@ -898,7 +911,12 @@ object Bench {
       // the isolated-rerun net. Appended to the runs vector, so the
       // artifact shows the dirty sample AND the retry that cleared it.
       // Never in the full profile (already best-of-3 with per-repeat GC).
-      if (!fullProfile && runs.nonEmpty && runs.forall(_ >= 0)) {
+      // cheap entries only (committed ref < 5 s): a flagged giant-group
+      // preset would burn 2 x ~40 s of retries on a band it may sit in
+      // legitimately — those flags go to the end-of-run isolated rerun,
+      // whose clean child is the right instrument for them
+      if (!fullProfile && runs.nonEmpty && runs.forall(_ >= 0) &&
+          refTimes.get(name).exists(_ < 5.0)) {
         var retries = 0
         while (retries < 2 && budgetLeft > 60 &&
             entryFlagged(name, runs.min, lastFloorSample)) {
@@ -981,9 +999,16 @@ object Bench {
     def runForkedAndRecord(name: String): (String, Double) =
       record(name, BenchScenario.runForked(name, cpus, forkRepeat, sfDir, childWarmups))
     // a fork costs child-JVM + session startup + dataset build on top of
-    // the passes themselves — reserve 90 s before starting one
+    // the passes themselves — reserve 90 s of fixed cost PLUS twice the
+    // committed reference time of the work itself (round 12: the flat
+    // 90 s let a parity chunk start at 1050 s elapsed and overrun the
+    // 1320 s budget by 37 s when a host burst tripled its giant-group
+    // runs; unreferenced new entries cost the fixed reserve only)
+    def chunkBudgetNeed(names: Seq[String]): Double =
+      90.0 + 2.0 * names.flatMap(refTimes.get).sum
     def forkBudgetOk(name: String): Boolean =
-      if (mainBudgetLeft >= 90) true else { skipped += name; false }
+      if (mainBudgetLeft >= chunkBudgetNeed(Seq(name))) true
+      else { skipped += name; false }
     // non-parity scale/auto scenarios (definitions + rationale in
     // [[prepareScale]]): forked per scenario by default, like parity. The
     // driver profile shares one child JVM across chunks of 8 (they don't
@@ -996,7 +1021,7 @@ object Bench {
     val scaleResults: Seq[(String, Double)] =
       if (forkMode && !fullProfile)
         scaleScenarioNames.filter(selected).grouped(8).toSeq.flatMap { chunk =>
-          if (mainBudgetLeft < 90) { skipped ++= chunk; Nil }
+          if (mainBudgetLeft < chunkBudgetNeed(chunk)) { skipped ++= chunk; Nil }
           else {
             val results = BenchScenario.runForkedGroup(chunk, cpus,
               forkRepeat, sfDir, childWarmups)
@@ -1046,10 +1071,17 @@ object Bench {
               (head ++ g._2) :: tail
             case _ => g._2.toVector :: acc
           }
-        }.reverse
+        }
+        // LEAST-EVIDENCED FIRST (round 12, the scale-before-parity
+        // argument applied within parity): the fold above leaves chunks
+        // newest-last = the skewed/parent_heavy/very_large tail that
+        // BENCH_r10/r11/r12-rehearsals budget-skipped three times running
+        // while the eleven-rounds-committed "large" family re-measured
+        // first every time. Run the historically-starved tail first; if a
+        // bursty box starves anything now, it's the best-evidenced chunk.
         chunks.flatMap { defs =>
           val names = defs.map(_._1)
-          if (mainBudgetLeft < 90) { skipped ++= names; Nil }
+          if (mainBudgetLeft < chunkBudgetNeed(names)) { skipped ++= names; Nil }
           else {
             val results = BenchScenario.runForkedGroup(names, cpus,
               forkRepeat, sfDir, childWarmups)
@@ -1384,7 +1416,10 @@ object BenchScenario {
       // retry is an optimization; the parent's floor-aware predicate
       // still decides final flags). Full-profile children (repeat >= 3)
       // keep the pure best-of-N protocol.
-      if (repeat < 3 && runs.nonEmpty && runs.forall(_ >= 0)) {
+      // same ref < 5 s cap as the parent: giant-band flags adjudicate in
+      // the isolated-rerun child, not by burning 40 s retries here
+      if (repeat < 3 && runs.nonEmpty && runs.forall(_ >= 0) &&
+          refTimes.get(name).exists(_ < 5.0)) {
         var retries = 0
         while (retries < 2 && refTimes.get(name).exists(r =>
             runs.min > r * flagFactor && runs.min - r > 0.4)) {
