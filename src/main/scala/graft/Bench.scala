@@ -921,12 +921,18 @@ object Bench {
         while (retries < 2 && budgetLeft > 60 &&
             entryFlagged(name, runs.min, lastFloorSample)) {
           System.gc()
+          val prevMin = runs.min
           val extra = runsOfN(1, onErr)(f)
           // a FAILED retry must not poison a measured entry: keep the
           // good runs, stop retrying (transient exec errors re-adjudicate
-          // in the isolated-rerun child if the entry stays flagged)
-          if (extra.exists(_ < 0)) retries = 2
-          else { runs = runs ++ extra; retries += 1 }
+          // in the isolated-rerun child if the entry stays flagged).
+          // A NON-IMPROVING retry also stops: the box is in a sustained
+          // load window, not a burst — further runs only burn budget
+          // (a rehearsal measured a retry chain degrade 7.1 → 11.4 →
+          // 18.0 → 34.3 s under one such window).
+          if (extra.exists(_ < 0) || extra.min >= prevMin) retries = 2
+          if (extra.forall(_ >= 0)) runs = runs ++ extra
+          retries += 1
         }
       }
       runsLog(name) = runs
@@ -980,14 +986,22 @@ object Bench {
     // the shared-JVM runner (faster; used by the isolated re-run child,
     // which is already a clean room).
     val forkMode = !sys.env.get("SPARK_GRAFT_FORK").contains("0")
-    def record(name: String, r: BenchScenario.ForkResult): (String, Double) = {
+    def record(name: String, r: BenchScenario.ForkResult): Option[(String, Double)] = {
+      // a child that ran out of its handed-down wall budget reports the
+      // scenario as budget-skipped — it belongs in "skipped" (same as a
+      // never-started chunk), not in "errors"
+      if (r.err.exists(_.startsWith("budget-skipped"))) {
+        skipped += name
+        flushPartial()
+        return None
+      }
       rss(name) = r.rssMb
       if (r.runs.nonEmpty) runsLog(name) = r.runs
       if (r.floor > 0) { floorsLog(name) = r.floor; floorAge(name) = 0 }
       r.err.foreach(m => errMsgs(name) = m)
       partialResults(name) = r.sec
       flushPartial()
-      name -> r.sec
+      Some(name -> r.sec)
     }
     // Per-entry repeat tiers (see [[repeatFor]]): the chronic-variance
     // giant-group entries take best-of-3/2 in EVERY profile; the rest
@@ -996,8 +1010,9 @@ object Bench {
     // pass per forked entry is the driver-budget headroom that gets
     // n_skipped to 0). The child applies repeatFor per name.
     val forkRepeat = repeat
-    def runForkedAndRecord(name: String): (String, Double) =
-      record(name, BenchScenario.runForked(name, cpus, forkRepeat, sfDir, childWarmups))
+    def runForkedAndRecord(name: String): Option[(String, Double)] =
+      record(name, BenchScenario.runForked(name, cpus, forkRepeat, sfDir,
+        childWarmups, mainBudgetLeft))
     // a fork costs child-JVM + session startup + dataset build on top of
     // the passes themselves — reserve 90 s of fixed cost PLUS twice the
     // committed reference time of the work itself (round 12: the flat
@@ -1024,15 +1039,15 @@ object Bench {
           if (mainBudgetLeft < chunkBudgetNeed(chunk)) { skipped ++= chunk; Nil }
           else {
             val results = BenchScenario.runForkedGroup(chunk, cpus,
-              forkRepeat, sfDir, childWarmups)
-            chunk.map(n => record(n, results.getOrElse(n,
+              forkRepeat, sfDir, childWarmups, mainBudgetLeft)
+            chunk.flatMap(n => record(n, results.getOrElse(n,
               BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
                 Some("no result line from grouped child")))))
           }
         }
       else scaleScenarioNames.filter(selected).flatMap { name =>
         if (forkMode) {
-          if (forkBudgetOk(name)) Some(runForkedAndRecord(name)) else None
+          if (forkBudgetOk(name)) runForkedAndRecord(name) else None
         } else if (mainBudgetLeft < 30) { skipped += name; None }
         else {
           val p = try prepareScale(spark, name, sfDir) catch {
@@ -1084,15 +1099,16 @@ object Bench {
           if (mainBudgetLeft < chunkBudgetNeed(names)) { skipped ++= names; Nil }
           else {
             val results = BenchScenario.runForkedGroup(names, cpus,
-              forkRepeat, sfDir, childWarmups)
-            names.map(n => record(n, results.getOrElse(n,
+              forkRepeat, sfDir, childWarmups, mainBudgetLeft)
+            names.flatMap(n => record(n, results.getOrElse(n,
               BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
                 Some("no result line from grouped child")))))
           }
         }
       }
-      else if (forkMode) activeParity.collect {
+      else if (forkMode) activeParity.flatMap {
         case s if forkBudgetOk(s._1) => runForkedAndRecord(s._1)
+        case _ => None
       }
       else {
         // iterate datasets in first-appearance order, persist each once
@@ -1382,7 +1398,24 @@ object BenchScenario {
       ds
     })
     val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "2").toInt
+    // wall budget handed down by the parent (absent = unbounded): before
+    // each scenario, check affordability — its committed reference time
+    // (x repeat, plus warmups) against what's left — and report an
+    // explicit budget-skip instead of overrunning the parent's deadline
+    val childStartNs = System.nanoTime()
+    val childBudgetSec = sys.env.get("SPARK_GRAFT_CHILD_BUDGET_SEC")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+    def childBudgetLeft: Double = childBudgetSec
+      .map(_ - (System.nanoTime() - childStartNs) / 1e9)
+      .getOrElse(Double.MaxValue)
     names.zipWithIndex.foreach { case (name, idx) =>
+      val needSec = 15.0 + refTimes.get(name)
+        .map(r => r * (Bench.repeatFor(name, repeat) +
+          Bench.warmupsFor(name, warmups))).getOrElse(10.0)
+      if (childBudgetLeft < needSec) {
+        println(s"SCENARIO_RESULT $name -1.0 -1 -1.0 - ERR budget-skipped " +
+          s"(need ~${needSec.toInt} s, ${childBudgetLeft.toInt} s left)")
+      } else {
       val prepared: Bench.Prepared =
         if (name == "__floor__") Bench.Prepared(() => Bench.floorJob(spark), () => ())
         else Bench.parityScenarios.find(_._1 == name) match {
@@ -1424,9 +1457,13 @@ object BenchScenario {
         while (retries < 2 && refTimes.get(name).exists(r =>
             runs.min > r * flagFactor && runs.min - r > 0.4)) {
           System.gc()
+          val prevMin = runs.min
           val extra = Bench.runsOfN(1, onErr)(prepared.query())
-          if (extra.exists(_ < 0)) retries = 2
-          else { runs = runs ++ extra; retries += 1 }
+          // failed or non-improving retry stops the chain (sustained
+          // load window, not a burst) — see the parent's measured()
+          if (extra.exists(_ < 0) || extra.min >= prevMin) retries = 2
+          if (extra.forall(_ >= 0)) runs = runs ++ extra
+          retries += 1
         }
       }
       val sec = if (runs.exists(_ < 0)) -1.0 else runs.min
@@ -1446,6 +1483,7 @@ object BenchScenario {
         dsCache.remove(k).foreach(df =>
           try { df.unpersist(); () } catch { case _: Throwable => })
       }
+      } // childBudgetLeft else
     }
     dsCache.values.foreach(ds => try { ds.unpersist(); () } catch { case _: Throwable => })
     spark.stop()
@@ -1468,8 +1506,9 @@ object BenchScenario {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   private[graft] def runForked(name: String, cpus: String, repeat: Int,
-                               sfDir: String, warmups: Int = 2): ForkResult =
-    runForkedGroup(Seq(name), cpus, repeat, sfDir, warmups)
+                               sfDir: String, warmups: Int = 2,
+                               budgetSecLeft: Double = 0.0): ForkResult =
+    runForkedGroup(Seq(name), cpus, repeat, sfDir, warmups, budgetSecLeft)
       .getOrElse(name, ForkResult(-1.0, -1L, -1.0, Nil,
         Some("forked child produced no result line")))
 
@@ -1480,7 +1519,8 @@ object BenchScenario {
     * map means the child died before reaching it. */
   private[graft] def runForkedGroup(names: Seq[String], cpus: String,
                                     repeat: Int, sfDir: String,
-                                    warmups: Int = 2): Map[String, ForkResult] = {
+                                    warmups: Int = 2,
+                                    budgetSecLeft: Double = 0.0): Map[String, ForkResult] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = addOpensArgs
     // Child heap honors SPARK_DRIVER_MEM (like build.sbt's javaOptions) so
@@ -1498,6 +1538,14 @@ object BenchScenario {
     pb.environment().put("SPARK_GRAFT_REPEAT", repeat.toString)
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
     pb.environment().put("SPARK_GRAFT_WARMUP", warmups.toString)
+    // hand the child what remains of the parent's wall budget (less a
+    // 30 s shutdown reserve): the child skips scenarios it can no longer
+    // afford EXPLICITLY (budget-skipped) instead of overrunning the
+    // parent's deadline — a grouped chunk that starts in budget can no
+    // longer blow through it on a loaded box
+    if (budgetSecLeft > 0 && budgetSecLeft < Double.MaxValue / 4)
+      pb.environment().put("SPARK_GRAFT_CHILD_BUDGET_SEC",
+        math.max(30.0, budgetSecLeft - 30.0).toString)
     pb.redirectErrorStream(true)
     try {
       val proc = pb.start()
