@@ -1372,6 +1372,27 @@ object BenchScenario {
                                              floor: Double, runs: Seq[Double],
                                              err: Option[String])
 
+  /** Parse one child report line
+    * `SCENARIO_RESULT name sec rss floor runsCsv[ ERR msg]` — runsCsv is
+    * `-` for a run-less report (budget-skip). Spec-locked (BenchProtocolSpec)
+    * because both sides of the protocol live in this file and a drifting
+    * format silently drops child results. */
+  private[graft] def parseScenarioLine(line: String): Option[(String, ForkResult)] = {
+    val parts = line.split("\\s+", 6)
+    if (parts.length < 5 || parts(0) != "SCENARIO_RESULT") None
+    else {
+      val tail = if (parts.length > 5) parts(5) else ""
+      val (runsCsv, err) = tail.indexOf(" ERR ") match {
+        case -1 => (tail, None)
+        case i => (tail.take(i), Some(tail.drop(i + 5)))
+      }
+      val runs = runsCsv.split(",").toSeq
+        .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+      scala.util.Try(ForkResult(parts(2).toDouble, parts(3).toLong,
+        parts(4).toDouble, runs, err)).toOption.map(parts(1) -> _)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val names = args.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -1413,8 +1434,15 @@ object BenchScenario {
     def childBudgetLeft: Double = childBudgetSec
       .map(_ - (System.nanoTime() - childStartNs) / 1e9)
       .getOrElse(Double.MaxValue)
+    // host-speed calibration for the affordability estimate: the ratio of
+    // this child's OWN measured runs to their committed references (a slow
+    // or loaded host runs every preset 1.5-4x its calm reference — the
+    // uncalibrated estimate let a giant-group chunk overrun the parent's
+    // wall by ~190 s). Starts at 1 (trust the reference), updated after
+    // every completed scenario, clamped to [1, 6].
+    var hostRatio = 1.0
     names.zipWithIndex.foreach { case (name, idx) =>
-      val needSec = 15.0 + refTimes.get(name)
+      val needSec = 15.0 + hostRatio * refTimes.get(name)
         .map(r => r * (Bench.repeatFor(name, repeat) +
           Bench.warmupsFor(name, warmups))).getOrElse(10.0)
       if (childBudgetLeft < needSec) {
@@ -1444,8 +1472,20 @@ object BenchScenario {
         s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
           .take(300).replaceAll("[\\r\\n\\t]", " ")
       // per-name repeat tier: the documented-variance giant-group entries
-      // keep best-of-N regardless of the parent's profile repeat
-      var runs = Bench.runsOfN(Bench.repeatFor(name, repeat), onErr)(prepared.query())
+      // keep best-of-N regardless of the parent's profile repeat.
+      // BUDGET-AWARE repeats (round 12): at least one timed run once the
+      // scenario started; further repeats only while the handed-down wall
+      // budget holds — bounds a slow-host overrun to ~one run instead of
+      // a whole best-of-3 tier. The explicit GC between repeats keeps
+      // [[Bench.runsOfN]]'s leveling semantics.
+      val reps = Bench.repeatFor(name, repeat)
+      var runs = Bench.runsOfN(1, onErr)(prepared.query())
+      var rep = 1
+      while (rep < reps && runs.forall(_ >= 0) && childBudgetLeft > 0) {
+        System.gc()
+        runs = runs ++ Bench.runsOfN(1, onErr)(prepared.query())
+        rep += 1
+      }
       // same in-place flag retry as the parent's measured(): a grouped
       // driver-profile child absorbs its own dirty sample instead of
       // handing it to the end-of-run rerun (the r12 rehearsal child read
@@ -1459,7 +1499,8 @@ object BenchScenario {
       if (repeat < 3 && runs.nonEmpty && runs.forall(_ >= 0) &&
           refTimes.get(name).exists(_ < 5.0)) {
         var retries = 0
-        while (retries < 2 && refTimes.get(name).exists(r =>
+        while (retries < 2 && childBudgetLeft > 0 &&
+            refTimes.get(name).exists(r =>
             runs.min > r * flagFactor && runs.min - r > 0.4)) {
           System.gc()
           val prevMin = runs.min
@@ -1472,6 +1513,11 @@ object BenchScenario {
         }
       }
       val sec = if (runs.exists(_ < 0)) -1.0 else runs.min
+      // calibrate the host-speed ratio from this completed scenario
+      // (references under 0.2 s are mostly scheduling floor — skip them)
+      refTimes.get(name).filter(_ > 0.2).foreach { r =>
+        if (sec > 0) hostRatio = math.min(6.0, math.max(1.0, sec / r))
+      }
       // adjacent floor sample — same ambient-load canary the in-process
       // runner records per entry
       try Bench.materializeDf(Bench.floorJob(spark)) catch { case _: Throwable => }
@@ -1562,22 +1608,7 @@ object BenchScenario {
           if (line.startsWith("SCENARIO_RESULT ")) line :: acc else acc
         }.reverse
       val rc = proc.waitFor()
-      val parsed = lines.flatMap { line =>
-        // parts: SCENARIO_RESULT name sec rss floor runsCsv[ ERR msg]
-        val parts = line.split("\\s+", 6)
-        if (parts.length < 5) None
-        else {
-          val tail = if (parts.length > 5) parts(5) else ""
-          val (runsCsv, err) = tail.indexOf(" ERR ") match {
-            case -1 => (tail, None)
-            case i => (tail.take(i), Some(tail.drop(i + 5)))
-          }
-          val runs = runsCsv.split(",").toSeq
-            .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
-          scala.util.Try(ForkResult(parts(2).toDouble, parts(3).toLong,
-            parts(4).toDouble, runs, err)).toOption.map(parts(1) -> _)
-        }
-      }.toMap
+      val parsed = lines.flatMap(parseScenarioLine).toMap
       if (rc == 0) parsed
       else {
         // a non-zero exit invalidates nothing that already printed, but
