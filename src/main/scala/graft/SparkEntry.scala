@@ -951,6 +951,26 @@ object SparkEntry {
       Dedup.nearDupClusters(d, "text", "doc_id", threshold = 0.08,
         shingleN = 2, numHashes = 128, bands = 128)
     }),
+    // quality-aware survivor policy over the same clustering: keep the
+    // LONGEST doc of each near-dup cluster (tie → min id) instead of the
+    // min id. The oracle recomputes winner selection over its own
+    // recursive-CTE clusters — max(length) then min(doc_id)
+    "q_dedup_best_survivors" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 100)
+      Dedup.bestSurvivors(d, "text", "doc_id",
+        length(col("text")).cast("long"), threshold = 0.08,
+        shingleN = 2, numHashes = 128, bands = 128)
+    }),
+    // leakage-safe train/val/test: the split draw is keyed on the near-dup
+    // CLUSTER label, so near-copies co-travel (no eval contamination).
+    // DuckDB recomputes clusters AND the md5 interval assignment
+    "q_leakage_split" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 100)
+      val clusters = Dedup.nearDupClusters(d, "text", "doc_id",
+        threshold = 0.08, shingleN = 2, numHashes = 128, bands = 128)
+      Curation.leakageSafeSplit(d.select(col("doc_id")), "doc_id", clusters,
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    }),
     // SimHash equivalence gate: the custom codegen Catalyst expression must
     // agree bit-for-bit with an independent HOF reimplementation on every
     // document, and rollingHash must induce exactly the same equivalence
@@ -3336,6 +3356,70 @@ object SparkEntry {
           |lab AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node)
           |SELECT d.doc_id, coalesce(lab.comp, d.doc_id) AS cluster
           |FROM d LEFT JOIN lab ON d.doc_id = lab.node""".stripMargin,
+      // same recursive-CTE clustering, quality-winner view: per cluster
+      // keep max(length(text)), tie-broken by min(doc_id)
+      "q_dedup_best_survivors" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT doc_id, CAST(length(text) AS BIGINT) AS score,
+          |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), '\s+'),
+          |                x -> len(x) > 0) AS toks
+          |  FROM documents WHERE doc_id < 100),
+          |sh AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
+          |         ELSE list_distinct(list_transform(range(1, len(toks)),
+          |                i -> toks[i] || ' ' || toks[i+1])) END AS sh
+          |  FROM d),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.08),
+          |sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+          |cc(node, comp) AS (
+          |  SELECT a, a FROM sym
+          |  UNION
+          |  SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.node),
+          |lab AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node),
+          |l2 AS (SELECT d.doc_id, d.score, coalesce(lab.comp, d.doc_id) AS comp
+          |       FROM d LEFT JOIN lab ON d.doc_id = lab.node),
+          |best AS (SELECT comp, max(score) AS b FROM l2 GROUP BY comp)
+          |SELECT min(l2.doc_id) AS doc_id
+          |FROM l2 JOIN best ON l2.comp = best.comp AND l2.score = best.b
+          |GROUP BY l2.comp""".stripMargin,
+      // same clustering, cluster-keyed md5 split intervals (binary-exact
+      // 0.75/0.125/0.125 bounds so both engines agree to the ulp)
+      "q_leakage_split" ->
+        s"""WITH RECURSIVE d AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+'),
+           |                x -> len(x) > 0) AS toks
+           |  FROM documents WHERE doc_id < 100),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(toks) - 1 <= 0 THEN [array_to_string(toks, ' ')]
+           |         ELSE list_distinct(list_transform(range(1, len(toks)),
+           |                i -> toks[i] || ' ' || toks[i+1])) END AS sh
+           |  FROM d),
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+           |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.08),
+           |sym AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+           |cc(node, comp) AS (
+           |  SELECT a, a FROM sym
+           |  UNION
+           |  SELECT s.b, c.comp FROM cc c JOIN sym s ON s.a = c.node),
+           |lab AS (SELECT node, min(comp) AS comp FROM cc GROUP BY node),
+           |f AS (SELECT d.doc_id, coalesce(lab.comp, d.doc_id) AS cluster
+           |      FROM d LEFT JOIN lab ON d.doc_id = lab.node)
+           |SELECT doc_id, cluster,
+           |  CASE WHEN u < 0.75 THEN 'train'
+           |       WHEN u < 0.875 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM (SELECT doc_id, cluster, ${Curation.hashUnitSql("cluster")} AS u
+           |      FROM f) t""".stripMargin,
       // the expr≡HOF match evidence recomputed from data: DuckDB derives
       // the all-matched md5(doc_id) digest sum itself, so a Spark-side
       // expr/HOF mismatch (sentinel -2^40 in place of a digest) fails the

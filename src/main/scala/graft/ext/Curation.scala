@@ -238,6 +238,37 @@ object Curation {
   }
 
   /**
+   * Leakage-safe split: [[hashSplit]] keyed by a DUPLICATE-CLUSTER label
+   * instead of the row id, so near-duplicate documents can never straddle
+   * train/val/test. Splitting a raw corpus by doc id silently leaks: a
+   * page crawled five times lands ~once per split, and the eval set then
+   * scores memorization of the training copies. Keying the draw on the
+   * cluster label makes split membership a pure function of WHAT the
+   * document is (its dup-cluster), not which crawl produced it.
+   *
+   * `clusters` is an (idCol, cluster) frame as produced by
+   * [[graft.ext.Dedup.nearDupClusters]] (or exact-fingerprint grouping —
+   * any labeling where duplicates share a label). The join is an
+   * equi-shuffle on the id spine; the assignment itself is the same
+   * zero-shuffle per-row md5 interval test as [[hashSplit]], so the
+   * incremental-ingestion property carries over AT CLUSTER GRANULARITY:
+   * a near-copy arriving next month joins its cluster's split, never the
+   * eval set of a doc already trained on. By construction every cluster
+   * maps to exactly one split (split = f(cluster)).
+   *
+   * Output: `df`'s columns + `cluster` + `split`.
+   */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    require(clusters.columns.contains("cluster"),
+      "leakageSafeSplit: clusters frame needs a 'cluster' column " +
+        "(the Dedup.nearDupClusters contract)")
+    val joined = df.join(clusters.select(graft.ColName.topCol(idCol),
+      col("cluster")), Seq(idCol))
+    hashSplit(joined, "cluster", splits)
+  }
+
+  /**
    * Exact-quota sampling: the k rows with the SMALLEST deterministic hash
    * per stratum (i.e. a uniform random quota, reproducible across runs).
    *

@@ -615,6 +615,49 @@ object Dedup {
       .select(col(idCol), coalesce(col("comp"), col(idCol)).alias("cluster"))
   }
 
+  /** Quality-aware near-dup dedup: within each near-dup cluster keep the
+    * document that MAXIMIZES `score` (ties broken by minimum id), rather
+    * than [[nearDupSurvivors]]'s fixed min-id winner. This is the
+    * production survivor policy — when a crawl holds five near-copies of
+    * a page, a pipeline keeps the longest / highest-quality one, not the
+    * one that happened to get the smallest id (reference analogue: the
+    * keep-policy column of benchmarks/strategies.py's dedup table exposes
+    * only first/min; the quality winner is the extension pipelines ask
+    * for first).
+    *
+    * `score` is any per-row expression over `df`'s columns (length,
+    * [[graft.ext.Curation.hashedLinearScore]], a model score column…).
+    *
+    * Scale shape: the clustering is [[nearDupClusters]] verbatim (banded
+    * LSH → exact-Jaccard verify → O(log d) components). The winner
+    * selection adds one equi-join of the (id, cluster) spine onto the
+    * scored spine plus two MAP-COMBINABLE aggregations on the cluster
+    * key (max-score, then min-id among the max-score rows) — no window
+    * over the cluster, so a degenerate giant cluster (the boilerplate
+    * page duplicated a billion times) still aggregates with partial
+    * combine instead of funneling into one task.
+    *
+    * Output: one `idCol` row per survivor (same contract as
+    * [[nearDupSurvivors]]; with `score` constant the result is identical
+    * to it).
+    */
+  def bestSurvivors(df: DataFrame, textCol: String, idCol: String,
+                    score: Column, threshold: Double, shingleN: Int = 3,
+                    numHashes: Int = 32, bands: Int = 8,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val scored = df.select(col(idCol), score.alias("__bs_score"))
+    val labeled = nearDupClusters(df, textCol, idCol, threshold, shingleN,
+        numHashes, bands, maxBucketSize)
+      .join(scored, Seq(idCol))
+    val best = labeled.groupBy(col("cluster"))
+      .agg(max(col("__bs_score")).alias("__bs_best"))
+    labeled.join(best, Seq("cluster"))
+      .filter(col("__bs_score") === col("__bs_best"))
+      .groupBy(col("cluster"))
+      .agg(min(graft.ColName.topCol(idCol)).alias(idCol))
+      .select(graft.ColName.topCol(idCol))
+  }
+
   /**
    * Incremental near-dup dedup: which docs of a NEW `delta` batch
    * survive against an already-deduped `corpus` — the daily-crawl shape,

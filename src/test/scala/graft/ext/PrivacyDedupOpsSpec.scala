@@ -167,6 +167,68 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     assert(labels.filter { case (id, c) => id == c }.keySet == survivors)
   }
 
+  // ------------------------------------------------------- bestSurvivors
+
+  test("bestSurvivors: longest doc wins its cluster, singletons survive, score ties fall back to min id") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),   // ~ 1
+      (5L, "the quick brown fox jumps over the lazy dog !!"), // ~ 1, 2; longest
+      (7L, "completely different text about spark engines"),
+      (9L, "unrelated body of words with no duplicate")
+    ).toDF("doc_id", "text")
+    val best = Dedup.bestSurvivors(docs, "text", "doc_id",
+      length(col("text")).cast("long"),
+      threshold = 0.5, shingleN = 2, numHashes = 128, bands = 128)
+      .collect().map(_.getLong(0)).toSet
+    assert(best == Set(5L, 7L, 9L), s"longest-wins survivors: $best")
+    // constant score ⇒ ties everywhere ⇒ min-id winners ≡ nearDupSurvivors
+    val tied = Dedup.bestSurvivors(docs, "text", "doc_id", lit(1L),
+      threshold = 0.5, shingleN = 2, numHashes = 128, bands = 128)
+      .collect().map(_.getLong(0)).toSet
+    val minId = Dedup.nearDupSurvivors(docs, "text", "doc_id",
+      threshold = 0.5, shingleN = 2, numHashes = 128, bands = 128)
+      .collect().map(_.getLong(0)).toSet
+    assert(tied == minId, s"constant score must reduce to min-id policy: $tied vs $minId")
+  }
+
+  // ---------------------------------------------------- leakageSafeSplit
+
+  test("leakageSafeSplit: every cluster lands in exactly one split, assignment = hashSplit of the label") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (5L, "the quick brown fox jumps over the lazy dog!"),
+      (7L, "completely different text about spark engines"),
+      (9L, "unrelated body of words with no duplicate")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(docs, "text", "doc_id",
+      threshold = 0.5, shingleN = 2, numHashes = 128, bands = 128)
+    val out = Curation.leakageSafeSplit(docs.select(col("doc_id")), "doc_id",
+      clusters, Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+    val rows = out.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster"), r.getAs[String]("split")))
+    assert(rows.length == 5)
+    // co-travel: one split per cluster
+    val perCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    assert(perCluster.values.forall(_.size == 1),
+      s"a cluster straddles splits: $perCluster")
+    // the assignment is exactly hashSplit keyed on the label
+    val expect = Curation.hashSplit(clusters, "cluster",
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(rows.forall { case (id, _, s) => expect(id) == s })
+  }
+
+  test("leakageSafeSplit: missing cluster column fails loudly") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val bad = docs.select(col("doc_id"), col("doc_id").alias("comp"))
+    val e = intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(docs, "doc_id", bad, Seq("train" -> 1.0))
+    }
+    assert(e.getMessage.contains("cluster"))
+  }
+
   // ------------------------------------------------------- corpusOverlap
 
   test("corpusOverlap: hand-checked trigram set statistics") {
