@@ -917,7 +917,12 @@ object Bench {
       if (!fullProfile && runs.nonEmpty && runs.forall(_ >= 0) &&
           refTimes.get(name).exists(_ < 5.0)) {
         var retries = 0
-        while (retries < 2 && budgetLeft > 60 &&
+        // observed-cost cap (r12e rehearsal): a <5 s-ref entry reading
+        // 15+ s is a sustained window or a regression, and retrying it
+        // in place costs its CURRENT runtime a pop (35 s hotbucket burst
+        // → 47 s retry = 82 s burned, later adjudicated 4.3 s by the
+        // clean rerun child — the right instrument for that magnitude)
+        while (retries < 2 && budgetLeft > 60 && runs.min < 15.0 &&
             entryFlagged(name, runs.min, lastFloorSample)) {
           System.gc()
           val prevMin = runs.min
@@ -1139,7 +1144,41 @@ object Bench {
         }
       }
 
-    val all0 = queryTimes ++ scaleResults ++ parityResults
+    // SECOND-CHANCE PASS over budget-skipped forked scenarios (the r12e
+    // rehearsal on a ~1.4x host: the chunk gate's conservative
+    // 90 s + 2x-refs estimate budget-skipped 26 entries, yet the run
+    // finished with usable wall left). The child runner already degrades
+    // per-scenario — needSec affordability with host-speed calibration,
+    // budget-bounded repeats, at-least-one-run semantics — so hand the
+    // skipped scenarios one more set of grouped children with whatever
+    // main budget remains: entries that fit are measured (a single-run
+    // vector with its floor canary beats a skip), entries that don't are
+    // re-skipped by the child's own finer per-scenario gate. Chunks of 8
+    // bound what one child death can lose; original scheduling order
+    // keeps least-evidenced first. The flag reserve stays subtracted
+    // from mainBudgetLeft, so the end-of-run adjudication window is
+    // never spent here.
+    val secondChance: Seq[(String, Double)] =
+      if (forkMode && !fullProfile && skipped.nonEmpty) {
+        val forkable = skipped.filter(n => scaleScenarioNames.contains(n) ||
+          parityScenarios.exists(_._1 == n)).toList
+        skipped --= forkable
+        forkable.grouped(8).toSeq.flatMap { chunk =>
+          if (mainBudgetLeft < 45) { skipped ++= chunk; Nil }
+          else {
+            System.err.println(s"[bench] second-chance pass (${chunk.size} " +
+              s"budget-skipped scenarios, ${mainBudgetLeft.toInt} s left): " +
+              chunk.mkString(", "))
+            val results = BenchScenario.runForkedGroup(chunk, cpus,
+              forkRepeat, sfDir, childWarmups, mainBudgetLeft)
+            chunk.flatMap(n => record(n, results.getOrElse(n,
+              BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
+                Some("no result line from grouped child")))))
+          }
+        }
+      } else Nil
+
+    val all0 = queryTimes ++ scaleResults ++ parityResults ++ secondChance
 
     // ---- noise-robust finalization (see scaladoc: NOISE ROBUSTNESS) ----
     // BENCH_REFERENCE.json is the committed known-good artifact; entries
@@ -1499,7 +1538,10 @@ object BenchScenario {
       if (repeat < 3 && runs.nonEmpty && runs.forall(_ >= 0) &&
           refTimes.get(name).exists(_ < 5.0)) {
         var retries = 0
-        while (retries < 2 && childBudgetLeft > 0 &&
+        // same observed-cost cap as the parent's measured(): a 15+ s
+        // reading on a <5 s reference belongs to the isolated rerun,
+        // not to retries that each cost the inflated runtime
+        while (retries < 2 && childBudgetLeft > 0 && runs.min < 15.0 &&
             refTimes.get(name).exists(r =>
             runs.min > r * flagFactor && runs.min - r > 0.4)) {
           System.gc()
