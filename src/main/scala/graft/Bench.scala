@@ -858,7 +858,13 @@ object Bench {
       if (budgetSec <= 0) Double.MaxValue
       else pendingFlagCount match {
         case 0 => budgetLeft
-        case n => budgetLeft - math.min(rerunReserve, 60.0 + 40.0 * n)
+        // measured rerun cost (r12f rehearsal): 7 flags adjudicated in
+        // 175 s END-TO-END — two grouped children + two floor-probe
+        // children + the 30 s hot-floor calm wait ≈ 70 s fixed + ~15 s
+        // per flag. The old 60+40n held 340 s for those 7 flags and
+        // starved the whole parity phase; 70+20n reserves 210 s (1.2x
+        // the measured cost) and frees ~130 s of real measurement.
+        case n => budgetLeft - math.min(rerunReserve, 70.0 + 20.0 * n)
       }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     def writeJson(path: String, json: String): Boolean = try {
@@ -1280,11 +1286,41 @@ object Bench {
           else runIsolated(light, cpus, math.max(repeat, 2), budgetLeft)
         isoHeavy ++ isoLight
       }
+    // FINAL-WINDOW PASS (round 12): with the isolated rerun done, the
+    // reserve has been spent or released — whatever wall remains belongs
+    // to scenarios still budget-skipped (the r12f rehearsal ended with
+    // 113 s unspent while 14 parity presets sat in "skipped"). Same
+    // child-side degradation as the second-chance pass; runs as child
+    // processes, so the stopped parent session is no obstacle. Entries
+    // measured here missed the rerun window by construction — any that
+    // WOULD flag are disclosed in "late_flagged" (value likely ambient,
+    // no adjudication window remained) instead of standing unannotated.
+    val lateResults: Seq[(String, Double)] =
+      if (forkMode && !fullProfile && skipped.nonEmpty && budgetLeft > 60) {
+        val names = skipped.filter(n => scaleScenarioNames.contains(n) ||
+          parityScenarios.exists(_._1 == n)).toList
+        skipped --= names
+        names.grouped(8).toSeq.flatMap { chunk =>
+          if (budgetLeft < 45) { skipped ++= chunk; Nil }
+          else {
+            System.err.println(s"[bench] final-window pass (${chunk.size} " +
+              s"scenarios, ${budgetLeft.toInt} s left): " + chunk.mkString(", "))
+            val results = BenchScenario.runForkedGroup(chunk, cpus,
+              forkRepeat, sfDir, childWarmups, budgetLeft)
+            chunk.flatMap(n => record(n, results.getOrElse(n,
+              BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
+                Some("no result line from grouped child")))))
+          }
+        }
+      } else Nil
+    val lateFlagged = lateResults.collect {
+      case (n, t) if entryFlagged(n, t, refFloor) => n
+    }
     // an entry's final value is its best observation across the in-process
     // runs and the isolated re-run — consistent with the best-of-N
     // protocol; the raw in-process value for every flagged entry stays in
     // the artifact under "inprocess"
-    val all = all0.map { case (name, t) =>
+    val all = (all0 ++ lateResults).map { case (name, t) =>
       isolated.get(name).filter(_ > 0) match {
         case Some(iso) if t <= 0 || iso < t => name -> iso
         case _ => name -> t
@@ -1317,6 +1353,7 @@ object Bench {
       .mkString("{", ",", "}")
     val isoJson = isolated.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val flaggedJson = flagged.map(n => s""""$n"""").mkString("[", ",", "]")
+    val lateFlaggedJson = lateFlagged.map(n => s""""$n"""").mkString("[", ",", "]")
     val inprocJson = all0.filter(p => flagged.contains(p._1))
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = all.collect { case (_, v) if v >= 0 => v }.sum
@@ -1340,7 +1377,8 @@ object Bench {
       s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
       s""""n_queries":${good.size},"scenario_rss_mb":$rssJson,""" +
       s""""flag_factor":$flagFactor,"reference":$refJson,""" +
-      s""""flagged":$flaggedJson,"inprocess":$inprocJson,""" +
+      s""""flagged":$flaggedJson,"late_flagged":$lateFlaggedJson,""" +
+      s""""inprocess":$inprocJson,""" +
       s""""isolated_rerun":$isoJson,"rerun_floor":$rerunFloor,""" +
       s""""rerun_floor_ratio":${
         if (refFloor > 0 && rerunFloor > 0)
