@@ -844,6 +844,20 @@ object Bench {
       }
     def pendingFlagCount: Int = partialResults.count { case (n, t) =>
       entryFlagged(n, t, refFloorSec) }
+    // parent-measured host-speed ratio: the median of measured /
+    // committed-reference over completed entries (refs > 0.2 s — below
+    // that it's scheduling floor). By the first fork the parent holds
+    // ~160 in-process samples; handing the ratio down seeds each child's
+    // affordability calibration so even its FIRST scenario estimate
+    // reflects the box (see runForkedGroup's SPARK_GRAFT_HOST_RATIO)
+    def obsHostRatio: Double = {
+      val rs = partialResults.toSeq.collect {
+        case (n, t) if t > 0 && refTimes.get(n).exists(_ > 0.2) =>
+          t / refTimes(n)
+      }.sorted
+      if (rs.size < 8) 1.0
+      else math.min(6.0, math.max(1.0, rs(rs.size / 2)))
+    }
     // Reserve release (VERDICT r10 #1): the reserve guarantees the
     // end-of-run adjudication window, but holding it while NOTHING is
     // flag-worthy starved the scale_ family two rounds running
@@ -923,12 +937,18 @@ object Bench {
       if (!fullProfile && runs.nonEmpty && runs.forall(_ >= 0) &&
           refTimes.get(name).exists(_ < 5.0)) {
         var retries = 0
-        // observed-cost cap (r12e rehearsal): a <5 s-ref entry reading
-        // 15+ s is a sustained window or a regression, and retrying it
-        // in place costs its CURRENT runtime a pop (35 s hotbucket burst
-        // → 47 s retry = 82 s burned, later adjudicated 4.3 s by the
-        // clean rerun child — the right instrument for that magnitude)
-        while (retries < 2 && budgetLeft > 60 && runs.min < 15.0 &&
+        // observed-cost cap, ONE free retry (r12e/r12f/r12g rehearsals):
+        // a <5 s-ref entry reading 15+ s is EITHER a sustained window /
+        // regression (hotbucket read 35 s, retried 47 s — 82 s burned,
+        // adjudicated 4.3 s by the clean rerun child) OR deterministic
+        // long-JVM first-run pathology that one GC-leveled retry clears
+        // for cheap (q_unnest_rename reads 33-52 s first-run EVERY
+        // capture, 3.5 s after one retry). Indistinguishable up front, so
+        // the first retry is always allowed — the non-improving cutoff
+        // bounds the ambient case to one wasted run — and the >= 15 s
+        // cap blocks only the SECOND.
+        while (retries < (if (runs.min < 15.0) 2 else 1) &&
+            budgetLeft > 60 &&
             entryFlagged(name, runs.min, lastFloorSample)) {
           System.gc()
           val prevMin = runs.min
@@ -1022,7 +1042,7 @@ object Bench {
     val forkRepeat = repeat
     def runForkedAndRecord(name: String): Option[(String, Double)] =
       record(name, BenchScenario.runForked(name, cpus, forkRepeat, sfDir,
-        childWarmups, mainBudgetLeft))
+        childWarmups, mainBudgetLeft, obsHostRatio))
     // a fork costs child-JVM + session startup + dataset build on top of
     // the passes themselves — reserve 90 s of fixed cost PLUS twice the
     // committed reference time of the work itself (round 12: the flat
@@ -1049,7 +1069,7 @@ object Bench {
           if (mainBudgetLeft < chunkBudgetNeed(chunk)) { skipped ++= chunk; Nil }
           else {
             val results = BenchScenario.runForkedGroup(chunk, cpus,
-              forkRepeat, sfDir, childWarmups, mainBudgetLeft)
+              forkRepeat, sfDir, childWarmups, mainBudgetLeft, obsHostRatio)
             chunk.flatMap(n => record(n, results.getOrElse(n,
               BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
                 Some("no result line from grouped child")))))
@@ -1109,7 +1129,7 @@ object Bench {
           if (mainBudgetLeft < chunkBudgetNeed(names)) { skipped ++= names; Nil }
           else {
             val results = BenchScenario.runForkedGroup(names, cpus,
-              forkRepeat, sfDir, childWarmups, mainBudgetLeft)
+              forkRepeat, sfDir, childWarmups, mainBudgetLeft, obsHostRatio)
             names.flatMap(n => record(n, results.getOrElse(n,
               BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
                 Some("no result line from grouped child")))))
@@ -1176,7 +1196,7 @@ object Bench {
               s"budget-skipped scenarios, ${mainBudgetLeft.toInt} s left): " +
               chunk.mkString(", "))
             val results = BenchScenario.runForkedGroup(chunk, cpus,
-              forkRepeat, sfDir, childWarmups, mainBudgetLeft)
+              forkRepeat, sfDir, childWarmups, mainBudgetLeft, obsHostRatio)
             chunk.flatMap(n => record(n, results.getOrElse(n,
               BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
                 Some("no result line from grouped child")))))
@@ -1306,7 +1326,7 @@ object Bench {
             System.err.println(s"[bench] final-window pass (${chunk.size} " +
               s"scenarios, ${budgetLeft.toInt} s left): " + chunk.mkString(", "))
             val results = BenchScenario.runForkedGroup(chunk, cpus,
-              forkRepeat, sfDir, childWarmups, budgetLeft)
+              forkRepeat, sfDir, childWarmups, budgetLeft, obsHostRatio)
             chunk.flatMap(n => record(n, results.getOrElse(n,
               BenchScenario.ForkResult(-1.0, -1L, -1.0, Nil,
                 Some("no result line from grouped child")))))
@@ -1515,9 +1535,15 @@ object BenchScenario {
     // this child's OWN measured runs to their committed references (a slow
     // or loaded host runs every preset 1.5-4x its calm reference — the
     // uncalibrated estimate let a giant-group chunk overrun the parent's
-    // wall by ~190 s). Starts at 1 (trust the reference), updated after
+    // wall by ~190 s). Seeded from the PARENT's measured ratio when handed
+    // down (SPARK_GRAFT_HOST_RATIO — the parent has ~160 in-process
+    // samples before any child forks; an unseeded first estimate let a
+    // final-window giant chunk overrun the wall by 57 s in the r12g
+    // rehearsal), else starts at 1 (trust the reference); updated after
     // every completed scenario, clamped to [1, 6].
-    var hostRatio = 1.0
+    var hostRatio = sys.env.get("SPARK_GRAFT_HOST_RATIO")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption)
+      .map(r => math.min(6.0, math.max(1.0, r))).getOrElse(1.0)
     names.zipWithIndex.foreach { case (name, idx) =>
       val needSec = 15.0 + hostRatio * refTimes.get(name)
         .map(r => r * (Bench.repeatFor(name, repeat) +
@@ -1576,10 +1602,12 @@ object BenchScenario {
       if (repeat < 3 && runs.nonEmpty && runs.forall(_ >= 0) &&
           refTimes.get(name).exists(_ < 5.0)) {
         var retries = 0
-        // same observed-cost cap as the parent's measured(): a 15+ s
-        // reading on a <5 s reference belongs to the isolated rerun,
-        // not to retries that each cost the inflated runtime
-        while (retries < 2 && childBudgetLeft > 0 && runs.min < 15.0 &&
+        // same observed-cost policy as the parent's measured(): one free
+        // retry (clears deterministic first-run pathology for cheap, and
+        // the non-improving cutoff bounds the ambient case), the >= 15 s
+        // cap blocks only the second
+        while (retries < (if (runs.min < 15.0) 2 else 1) &&
+            childBudgetLeft > 0 &&
             refTimes.get(name).exists(r =>
             runs.min > r * flagFactor && runs.min - r > 0.4)) {
           System.gc()
@@ -1638,8 +1666,10 @@ object BenchScenario {
 
   private[graft] def runForked(name: String, cpus: String, repeat: Int,
                                sfDir: String, warmups: Int = 2,
-                               budgetSecLeft: Double = 0.0): ForkResult =
-    runForkedGroup(Seq(name), cpus, repeat, sfDir, warmups, budgetSecLeft)
+                               budgetSecLeft: Double = 0.0,
+                               hostRatio: Double = 1.0): ForkResult =
+    runForkedGroup(Seq(name), cpus, repeat, sfDir, warmups, budgetSecLeft,
+        hostRatio)
       .getOrElse(name, ForkResult(-1.0, -1L, -1.0, Nil,
         Some("forked child produced no result line")))
 
@@ -1651,7 +1681,8 @@ object BenchScenario {
   private[graft] def runForkedGroup(names: Seq[String], cpus: String,
                                     repeat: Int, sfDir: String,
                                     warmups: Int = 2,
-                                    budgetSecLeft: Double = 0.0): Map[String, ForkResult] = {
+                                    budgetSecLeft: Double = 0.0,
+                                    hostRatio: Double = 1.0): Map[String, ForkResult] = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = addOpensArgs
     // Child heap honors SPARK_DRIVER_MEM (like build.sbt's javaOptions) so
@@ -1677,6 +1708,14 @@ object BenchScenario {
     if (budgetSecLeft > 0 && budgetSecLeft < Double.MaxValue / 4)
       pb.environment().put("SPARK_GRAFT_CHILD_BUDGET_SEC",
         math.max(30.0, budgetSecLeft - 30.0).toString)
+    // the parent's measured host-speed ratio (median in-process entry /
+    // its committed reference) seeds the child's affordability estimate:
+    // the child's own calibration only engages AFTER its first completed
+    // scenario, and an uncalibrated first estimate on a ~1.5x box let a
+    // giant-group final-window chunk overrun the 1320 s wall by 57 s
+    // (r12g rehearsal)
+    if (hostRatio > 1.0)
+      pb.environment().put("SPARK_GRAFT_HOST_RATIO", hostRatio.toString)
     pb.redirectErrorStream(true)
     try {
       val proc = pb.start()
