@@ -1184,10 +1184,21 @@ object Bench {
     // keeps least-evidenced first. The flag reserve stays subtracted
     // from mainBudgetLeft, so the end-of-run adjudication window is
     // never spent here.
+    // GIANT-TIER EXCLUSION (r12h rehearsal): the bestOf3Names giants need
+    // their full warmup + best-of-3 protocol — a degraded window measured
+    // parity_pack_parent_dominant_2k at a single 58.5 s run (10 s ref),
+    // i.e. JVM ramp, not the operator (the exact lesson of the round-12
+    // warmup experiment in BASELINE.md); the garbage value then flagged,
+    // inflated the reserve, budget-skipped the isolated rerun, and its
+    // unabortable run overran the wall by 71 s. A degraded window takes
+    // cheap entries only; a giant either gets the full protocol in its
+    // normal chunk or an HONEST skip.
+    def degradedEligible(n: String): Boolean =
+      (scaleScenarioNames.contains(n) || parityScenarios.exists(_._1 == n)) &&
+        !bestOf3Names.contains(n)
     val secondChance: Seq[(String, Double)] =
       if (forkMode && !fullProfile && skipped.nonEmpty) {
-        val forkable = skipped.filter(n => scaleScenarioNames.contains(n) ||
-          parityScenarios.exists(_._1 == n)).toList
+        val forkable = skipped.filter(degradedEligible).toList
         skipped --= forkable
         forkable.grouped(8).toSeq.flatMap { chunk =>
           if (mainBudgetLeft < 45) { skipped ++= chunk; Nil }
@@ -1317,8 +1328,7 @@ object Bench {
     // no adjudication window remained) instead of standing unannotated.
     val lateResults: Seq[(String, Double)] =
       if (forkMode && !fullProfile && skipped.nonEmpty && budgetLeft > 60) {
-        val names = skipped.filter(n => scaleScenarioNames.contains(n) ||
-          parityScenarios.exists(_._1 == n)).toList
+        val names = skipped.filter(degradedEligible).toList
         skipped --= names
         names.grouped(8).toSeq.flatMap { chunk =>
           if (budgetLeft < 45) { skipped ++= chunk; Nil }
