@@ -658,7 +658,11 @@ object Bench {
     // third pass pays for itself every capture
     "q_drop_repeated_spans", "q_semdedup", "q_semdedup_recall",
     "q_dedup_survivors", "q_knn_ivf_trained", "q_shuffled_export",
-    "q_sq8_recall")
+    "q_sq8_recall",
+    // round-12 addition: same clustering machinery as q_dedup_survivors
+    // plus the winner-selection aggs; calm full-profile run vector
+    // [5.31, 1.81, 1.37] — the first-run JIT shape of its tier
+    "q_dedup_best_survivors")
   // GC-band presets (streaming trio, skew probes, large packs): best-of-2
   // samples the band, and the round-12 in-place flag retry escalates to a
   // third GC-leveled run ONLY when both samples still flag — adaptive
