@@ -1559,9 +1559,17 @@ object BenchScenario {
       .flatMap(s => scala.util.Try(s.toDouble).toOption)
       .map(r => math.min(6.0, math.max(1.0, r))).getOrElse(1.0)
     names.zipWithIndex.foreach { case (name, idx) =>
+      // giant presets (ref >= 5 s) carry a 1.5x margin on top of the
+      // ratio: their passes are unabortable and 30-60 s long, so an
+      // estimate made under calm weather that turns loaded mid-chunk
+      // overruns by a whole pass (r12j: a calm-seeded ratio let the _2k
+      // giant start with ~60 s left and its first 30 s run pushed the
+      // parent 25 s past the wall). Cheap entries keep the plain
+      // estimate — their worst overshoot is a few seconds.
       val needSec = 15.0 + hostRatio * refTimes.get(name)
         .map(r => r * (Bench.repeatFor(name, repeat) +
-          Bench.warmupsFor(name, warmups))).getOrElse(10.0)
+          Bench.warmupsFor(name, warmups)) * (if (r >= 5.0) 1.5 else 1.0))
+        .getOrElse(10.0)
       if (childBudgetLeft < needSec) {
         println(s"SCENARIO_RESULT $name -1.0 -1 -1.0 - ERR budget-skipped " +
           s"(need ~${needSec.toInt} s, ${childBudgetLeft.toInt} s left)")
