@@ -220,6 +220,20 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     assert(rows.forall { case (id, _, s) => expect(id) == s })
   }
 
+  test("plan lock: bestSurvivors winner selection is windowless") {
+    val docs = spark.range(50).select(col("id").alias("doc_id"),
+      concat_ws(" ", lit("w"), col("id").cast("string"), lit("x y z a b")).alias("text"))
+    val plan = Dedup.bestSurvivors(docs, "text", "doc_id",
+      length(col("text")).cast("long"), threshold = 0.5,
+      shingleN = 2, numHashes = 8, bands = 8)
+      .queryExecution.executedPlan.toString
+    // the scaladoc's scale claim: no per-cluster window funnel — a
+    // boilerplate mega-cluster must partial-combine, never land in one
+    // task via row_number()/rank() over the cluster
+    assert(!plan.contains("Window"),
+      s"bestSurvivors must select winners with aggregations, not a window:\n$plan")
+  }
+
   test("leakageSafeSplit: missing cluster column fails loudly") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val bad = docs.select(col("doc_id"), col("doc_id").alias("comp"))
