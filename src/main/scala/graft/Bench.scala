@@ -1566,7 +1566,20 @@ object BenchScenario {
       // giant start with ~60 s left and its first 30 s run pushed the
       // parent 25 s past the wall). Cheap entries keep the plain
       // estimate — their worst overshoot is a few seconds.
-      val needSec = 15.0 + hostRatio * refTimes.get(name)
+      // the fixed cost is per CHILD and per DATASET, not per scenario:
+      // the first scenario pays JVM + session + build (~15 s); a later
+      // parity scenario whose dataset is already cached costs only its
+      // own passes (~4 s slack), a new-dataset or prepareScale scenario
+      // ~12 s. The flat 15 s/scenario gate made a grouped child demand
+      // 6x15 s for six sub-second presets and skip them inside a 52 s
+      // window that fit them twice over (r12l rehearsal).
+      val fixedSec =
+        if (idx == 0) 15.0
+        else Bench.parityScenarios.find(_._1 == name) match {
+          case Some((_, dsKey, _)) if dsCache.contains(dsKey) => 4.0
+          case _ => 12.0
+        }
+      val needSec = fixedSec + hostRatio * refTimes.get(name)
         .map(r => r * (Bench.repeatFor(name, repeat) +
           Bench.warmupsFor(name, warmups)) * (if (r >= 5.0) 1.5 else 1.0))
         .getOrElse(10.0)
