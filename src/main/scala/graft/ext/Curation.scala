@@ -256,6 +256,15 @@ object Curation {
    * eval set of a doc already trained on. By construction every cluster
    * maps to exactly one split (split = f(cluster)).
    *
+   * Coverage: rows of `df` absent from `clusters` are NOT dropped — the
+   * join is a left join and an uncovered row self-labels
+   * `cluster = id`, i.e. it forms the same singleton cluster
+   * [[graft.ext.Dedup.nearDupClusters]] would have assigned it (whose
+   * labels are min member ids). A cluster-label type that can't
+   * losslessly hold the id fails loudly rather than mislabeling (a
+   * permissive cast would null-out uncovered rows into one bogus
+   * shared cluster).
+   *
    * Output: `df`'s columns + `cluster` + `split`.
    */
   def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
@@ -263,8 +272,19 @@ object Curation {
     require(clusters.columns.contains("cluster"),
       "leakageSafeSplit: clusters frame needs a 'cluster' column " +
         "(the Dedup.nearDupClusters contract)")
+    // appending, not overwriting — mirrors hashSplit's own 'split' guard
+    require(!df.columns.contains("cluster"),
+      "leakageSafeSplit: input already has a 'cluster' column — rename or drop it first")
+    val clusterType = clusters.schema("cluster").dataType
+    val idType = df.schema(idCol).dataType
+    require(idType == clusterType ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(idType, clusterType),
+      s"leakageSafeSplit: id type $idType cannot losslessly self-label as " +
+        s"cluster type $clusterType for rows missing from the clusters frame")
     val joined = df.join(clusters.select(graft.ColName.topCol(idCol),
-      col("cluster")), Seq(idCol))
+        col("cluster")), Seq(idCol), "left")
+      .withColumn("cluster",
+        coalesce(col("cluster"), col(idCol).cast(clusterType)))
     hashSplit(joined, "cluster", splits)
   }
 

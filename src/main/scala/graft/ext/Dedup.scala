@@ -640,6 +640,13 @@ object Dedup {
     * Output: one `idCol` row per survivor (same contract as
     * [[nearDupSurvivors]]; with `score` constant the result is identical
     * to it).
+    *
+    * Null-score semantics: a row whose score is NULL never beats a
+    * non-null competitor (max ignores nulls, and `null <=> non-null` is
+    * false). When EVERY member of a cluster has a NULL score, the
+    * cluster's max is NULL and the null-safe match makes all members
+    * candidates, so the min-id fallback elects a survivor — the cluster
+    * is never silently dropped.
     */
   def bestSurvivors(df: DataFrame, textCol: String, idCol: String,
                     score: Column, threshold: Double, shingleN: Int = 3,
@@ -652,7 +659,7 @@ object Dedup {
     val best = labeled.groupBy(col("cluster"))
       .agg(max(col("__bs_score")).alias("__bs_best"))
     labeled.join(best, Seq("cluster"))
-      .filter(col("__bs_score") === col("__bs_best"))
+      .filter(col("__bs_score") <=> col("__bs_best"))
       .groupBy(col("cluster"))
       .agg(min(graft.ColName.topCol(idCol)).alias(idCol))
       .select(graft.ColName.topCol(idCol))

@@ -243,6 +243,65 @@ class PrivacyDedupOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("cluster"))
   }
 
+  test("bestSurvivors: null scores never win over non-null; an all-null cluster still elects min-id") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),   // ~ 1
+      (5L, "the quick brown fox jumps over the lazy dog !!"), // ~ 1, 2
+      (7L, "completely different text about spark engines"),
+      (9L, "unrelated body of words with no duplicate")
+    ).toDF("doc_id", "text")
+    // mixed: in the {1,2,5} cluster only id=2 scores non-null → 2 wins;
+    // singleton 7 is null-scored but survives alone; 9 non-null survives
+    val mixed = Dedup.bestSurvivors(docs, "text", "doc_id",
+      when(col("doc_id") === 2L || col("doc_id") === 9L, lit(10L)),
+      threshold = 0.5, shingleN = 2, numHashes = 128, bands = 128)
+      .collect().map(_.getLong(0)).toSet
+    assert(mixed == Set(2L, 7L, 9L), s"non-null must beat null: $mixed")
+    // all-null: no cluster may vanish — degenerates to min-id policy
+    val allNull = Dedup.bestSurvivors(docs, "text", "doc_id",
+      lit(null).cast("long"),
+      threshold = 0.5, shingleN = 2, numHashes = 128, bands = 128)
+      .collect().map(_.getLong(0)).toSet
+    val minId = Dedup.nearDupSurvivors(docs, "text", "doc_id",
+      threshold = 0.5, shingleN = 2, numHashes = 128, bands = 128)
+      .collect().map(_.getLong(0)).toSet
+    assert(allNull == minId,
+      s"all-null scores must fall back to min-id, not drop clusters: $allNull vs $minId")
+  }
+
+  test("leakageSafeSplit: rows missing from the clusters frame self-label as singletons, not drop") {
+    val docs = Seq(1L, 2L, 5L, 7L, 9L).toDF("doc_id")
+    // clusters covers only {1,2,5}; 7 and 9 are uncovered
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 1L)).toDF("doc_id", "cluster")
+    val out = Curation.leakageSafeSplit(docs, "doc_id", clusters,
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster"), r.getAs[String]("split"))).toMap
+    assert(out.keySet == Set(1L, 2L, 5L, 7L, 9L), s"no row may drop: ${out.keySet}")
+    assert(out(7L)._1 == 7L && out(9L)._1 == 9L, s"uncovered rows self-label: $out")
+    // self-labeled rows get exactly hashSplit's assignment for that label
+    val expect = Curation.hashSplit(Seq(7L, 9L).toDF("cluster"), "cluster",
+      Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .collect().map(r => r.getAs[Long]("cluster") -> r.getAs[String]("split")).toMap
+    assert(out(7L)._2 == expect(7L) && out(9L)._2 == expect(9L))
+  }
+
+  test("leakageSafeSplit: pre-existing 'cluster' column and lossy self-label types fail loudly") {
+    val clusters = Seq((1L, 1L)).toDF("doc_id", "cluster")
+    val hasCluster = Seq((1L, 99L)).toDF("doc_id", "cluster")
+    val e1 = intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(hasCluster, "doc_id", clusters, Seq("train" -> 1.0))
+    }
+    assert(e1.getMessage.contains("already has a 'cluster' column"))
+    // string ids can't losslessly self-label into a long cluster column
+    val strDocs = Seq("a").toDF("doc_id")
+    val e2 = intercept[IllegalArgumentException] {
+      Curation.leakageSafeSplit(strDocs, "doc_id", clusters, Seq("train" -> 1.0))
+    }
+    assert(e2.getMessage.contains("losslessly"))
+  }
+
   // ------------------------------------------------------- corpusOverlap
 
   test("corpusOverlap: hand-checked trigram set statistics") {
