@@ -24,6 +24,12 @@ import org.apache.spark.storage.StorageLevel
   *    no budget) used to refresh BENCH_REFERENCE.json. The artifact
   *    file is re-written after every entry, so even an external kill
   *    leaves parseable partial data;
+  *  - PROTECTED PARITY CARVE-OUT (round 13): the driver profile runs one
+  *    representative parity preset per family FIRST, in a bounded budget
+  *    slice (SPARK_GRAFT_PARITY_CARVEOUT_SEC, default 300 s), so every
+  *    capture carries SOME BASELINE.md-comparable evidence no matter how
+  *    hot the box gets later in the run (the r12 capture budget-skipped
+  *    the entire 15-entry parity family because it ran last);
   *  - parity data generation is persisted and counted BEFORE timing, like
   *    the reference which excludes generation from timings
   *    (benchmarks/README.md:113);
@@ -310,6 +316,17 @@ object Bench {
     // reference number; scale-up-linearity evidence vs parity_pack_large
     ("parity_pack_very_large", "very_large", d => packer.pack(d, "image")))
 
+  /** One representative preset per parity family, run FIRST in the driver
+    * profile inside the protected carve-out (VERDICT r12 #1): large,
+    * streaming, split_join, skewed, very_large. Chosen for being the
+    * BASELINE.md-gate shapes (pack `large` is the 2x gate itself) while
+    * excluding the _2k giants, whose warmup+best-of-3 protocol is too
+    * heavy for a bounded slice that must always complete. */
+  private[graft] val parityCarveOutList: Seq[String] = Seq(
+    "parity_pack_large", "parity_pack_streaming_32",
+    "parity_pack_split_join_parent_dominant", "parity_pack_skewed",
+    "parity_pack_very_large")
+
   /** Spark's minimum job latency: a trivial two-stage aggregate at the
     * parent-dominant preset's row count. Any parity target below this is
     * a scheduling-floor artifact, not an operator gap. */
@@ -563,23 +580,31 @@ object Bench {
         else graft.ext.Curation.topPByScore(skewed, "g", "id", "score", p = 0.5)
       }, () => ())
       // the hub pair: a co-occurrence graph with one planted hub (node
-      // 25000 — a MID-RANGE id — joins 30% of the groups → degree ~15k;
-      // everyone else ~5). The id-oriented wedge join's fan-out through
-      // a middle vertex v is indeg(v)×outdeg(v) under the arbitrary id
-      // order — for a mid-id hub that is ~(deg/2)² ≈ 56M wedge rows
-      // through one join key; the degree-ordered form points every hub
-      // edge INTO the hub (out-degree 0) so the wedge bound is Σ outdeg²
-      // over the sparse background only (~300k). Same cached edge list,
-      // same exact triangle count (GraphSpec hub test) — the pair
-      // measures exactly the orientation delta.
+      // 12500 — a MID-RANGE id — joins 50% of the groups; everyone else
+      // ~5). The id-oriented wedge join's fan-out through a middle
+      // vertex v is indeg(v)×outdeg(v) under the arbitrary id order —
+      // for a mid-id hub that is ~(deg/2)² wedge rows through one join
+      // key; the degree-ordered form points every hub edge INTO the hub
+      // (out-degree 0) so the wedge bound is Σ outdeg² over the sparse
+      // background only. Same cached edge list, same exact triangle
+      // count (GraphSpec hub test) — the pair measures exactly the
+      // orientation delta. Round-13 sizing (VERDICT r12 #3 receipts in
+      // BASELINE.md): plain 10.3 s best-of-3 / ordered 2.9 s (3.6×) —
+      // the ordered arm is job-floor-bound near 3 s, which is what caps
+      // the legible ratio near a ~10 s plain cost.
       case n @ (NmScaleTriPlain | NmScaleTriOrdered) =>
-        val groups = 30000L
+        // round 13 (VERDICT r12 #3): preset shrunk 30000 → 15000 groups —
+        // the plain counter-example cost 14.6 s committed / 34 s on a hot
+        // box to restate a known lesson every capture. At 15000 the
+        // ordered/plain contrast stays ≈3× (the O(m^1.5) claim remains
+        // legible) at roughly half the wall cost.
+        val groups = 15000L
         val per = 5L
-        val nNodes = 50000L
+        val nNodes = 25000L
         val members = spark.range(groups * per).select(
           (col("id") / per).cast("long").alias("g"),
           (abs(hash(col("id"))).cast("long") % nNodes + 1L).alias("n"))
-        val hub = spark.range(groups).filter(col("id") % 10 < 3)
+        val hub = spark.range(groups).filter(col("id") % 10 < 5)
           .select(col("id").alias("g"), lit(nNodes / 2).alias("n"))
         val edges = graft.ext.Graph.coOccurrenceEdges(
           members.unionByName(hub), "g", "n")
@@ -589,6 +614,41 @@ object Bench {
           if (n == NmScaleTriOrdered) graft.ext.Graph.triangleStats(edges)
           else graft.ext.Graph.triangleStatsIdOriented(edges),
           () => { edges.unpersist(); () })
+      // the chain pair (round 13): connectedComponents' STAR CONTRACTION
+      // (merge into min neighbor + rewrite the edge set) is what makes
+      // convergence O(log n) — this pair measures it on the worst case
+      // the claim is about: one diameter-32 chain (min label must cross
+      // every hop) over 100k random noise edges (subcritical mean degree
+      // 0.5 — tiny noise components, so the planted chain DOMINATES the
+      // graph diameter and the plain arm's round count is the chain's).
+      // The contraction arm converges in ~log₂ rounds over a
+      // geometrically SHRINKING edge frame; the propagation-only
+      // counter-example ([[graft.ext.Dedup.connectedComponentsCounted]]
+      // contract=false) pays ~diameter rounds of full-edge-set work.
+      // (A label-only pointer-halving middle ground measured 75 rounds =
+      // O(diameter) on a random-id topology — it helps only when ids
+      // align with the graph, which is why it's gone.) Round counts are
+      // printed to stderr and spec-locked in ExtSpec.
+      case n @ (NmScaleCcChain | NmScaleCcChainPlain) =>
+        val diameter = 16
+        val noiseNodes = 200000L
+        val chain = spark.range(diameter).select(
+          col("id").alias("a"), (col("id") + 1).alias("b"))
+        val noise = spark.range(50000).select(
+          (abs(hash(col("id"))).cast("long") % noiseNodes + 1000L).alias("a"),
+          (abs(hash(col("id") * 7 + 1)).cast("long") % noiseNodes + 1000L).alias("b"))
+        val edges = chain.unionByName(noise)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        edges.count()
+        Prepared(() => {
+          val contract = n == NmScaleCcChain
+          val (labels, rounds) = graft.ext.Dedup.connectedComponentsCounted(
+            edges, "a", "b", maxIter = if (contract) 25 else 40, contract)
+          System.err.println(s"[bench] $n rounds=$rounds diameter=$diameter")
+          labels.agg(count(lit(1)).alias("n_nodes"),
+              countDistinct(col("comp")).alias("n_components"))
+            .withColumn("rounds", lit(rounds).cast("long"))
+        }, () => { edges.unpersist(); () })
       // Lloyd training + narrow assignment at nlist=64: the clustering
       // cost model is iters x (broadcast crossJoin + per-centroid mean);
       // the assignment itself adds NO shuffle on top
@@ -715,6 +775,8 @@ object Bench {
   private[graft] val NmAutoPackLineDefault = "auto_pack_lineitem_default"
   private[graft] val NmAutoPackLineSized = "auto_pack_lineitem_sized"
   private[graft] val NmScaleImageNeardup = "scale_image_neardup"
+  private[graft] val NmScaleCcChain = "scale_cc_chain"
+  private[graft] val NmScaleCcChainPlain = "scale_cc_chain_plain"
   private[graft] val seqPackingShards = Seq(8, 64)
   private[graft] val knnQueryCounts = Seq(100, 1000)
   private[graft] val autoPackKeys = Seq("parent_dom_2k", "skewed")
@@ -723,7 +785,8 @@ object Bench {
       NmScaleDropSpans, NmScalePackMerge, NmScaleJoinPlain, NmScaleJoinBloom,
       NmScaleSegDedup, NmScaleTopP, NmScaleTopPSkewPlain, NmScaleTopPSkewBuck,
       NmScaleKmeans, NmScaleQuality,
-      NmScaleTriPlain, NmScaleTriOrdered, NmScaleImageNeardup) ++
+      NmScaleTriPlain, NmScaleTriOrdered, NmScaleImageNeardup,
+      NmScaleCcChain, NmScaleCcChainPlain) ++
     seqPackingShards.map(s => s"scale_seq_packing_$s") ++
     knnQueryCounts.map(n => s"scale_knn_${n}q") ++
     Seq("scale_knn_ivf_1000q") ++
@@ -989,28 +1052,8 @@ object Bench {
     try lastFloorSample = time(materialize(floorJob(spark)))
     catch { case _: Throwable => }
 
-    // per-entry budget reserve: an in-process q_* entry costs its own
-    // runtime plus GC + floor sample (~1 s overhead); 30 s of reserve
-    // keeps the heaviest single entry from blowing the deadline
-    val queryTimes = SparkEntry.queries.toSeq.flatMap {
-      case (name, fn) if selected(name) =>
-        if (mainBudgetLeft < 30) { skipped += name; None }
-        else Some(measured(name)(fn(spark, sfDir)))
-      case _ => None
-    }
-
-    val rss = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    def scenario(name: String)(f: => DataFrame): (String, Double) = {
-      val (res, peak) = sampleRss(measured(name)(f))
-      rss(name) = peak
-      res
-    }
-
-    val floorSec = bestOf(floorJob(spark))
-
-    // ---- parity workloads vs BASELINE.md (same shapes as the reference) ----
-    // Datasets and scenario definitions live in [[parityScenarios]] /
-    // [[buildDataset]] / [[prepareScale]]. DEFAULT: one fresh child JVM per
+    // ---- forked-scenario machinery (used by the carve-out below AND the
+    // parity/scale phases further down). DEFAULT: one fresh child JVM per
     // scenario (the reference harness's spawn-mode isolation,
     // harness.py:253-259) — peak_rss_mb is a true per-process VmHWM and no
     // scenario ever measures another's heap residue (round 5's in-process
@@ -1020,6 +1063,7 @@ object Bench {
     // the shared-JVM runner (faster; used by the isolated re-run child,
     // which is already a clean room).
     val forkMode = !sys.env.get("SPARK_GRAFT_FORK").contains("0")
+    val rss = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def record(name: String, r: BenchScenario.ForkResult): Option[(String, Double)] = {
       // a child that ran out of its handed-down wall budget reports the
       // scenario as budget-skipped — it belongs in "skipped" (same as a
@@ -1058,6 +1102,69 @@ object Bench {
     def forkBudgetOk(name: String): Boolean =
       if (mainBudgetLeft >= chunkBudgetNeed(Seq(name))) true
       else { skipped += name; false }
+
+    // ---- PROTECTED PARITY CARVE-OUT (VERDICT r12 #1) ----
+    // The parity family is the only bench section that compares directly
+    // against BASELINE.md, yet the r12 capture budget-skipped ALL 15 of
+    // its entries: they ran last and the degradation ladder starved the
+    // best-evidenced family first, exactly as designed — leaving the
+    // round with zero gate evidence. Guarantee SOME parity evidence per
+    // capture by running ONE representative preset per family FIRST —
+    // before the q_ sweep, before any flag/reserve machinery can consume
+    // the window — inside a bounded budget slice
+    // (SPARK_GRAFT_PARITY_CARVEOUT_SEC, default 300 s). The child runner
+    // keeps the full per-name protocol (best-of-2 tiers, warmups) and
+    // degrades per-scenario within the slice if the box is hot; a preset
+    // the child budget-skips gets its normal shot in the main parity
+    // phase (the skip marker is dropped so it re-enters its family
+    // chunk). The remaining 10 presets keep the existing
+    // least-evidenced-first ordering after the scale_ phase.
+    val parityCarveOutNames: Seq[String] =
+      if (!forkMode || fullProfile || budgetSec <= 0) Nil
+      else parityCarveOutList.filter(selected)
+    val carveOutResults: Seq[(String, Double)] =
+      if (parityCarveOutNames.isEmpty) Nil
+      else {
+        val carveBudget = math.min(
+          sys.env.getOrElse("SPARK_GRAFT_PARITY_CARVEOUT_SEC", "300").toDouble,
+          budgetLeft - 60)
+        if (carveBudget < 45) Nil
+        else {
+          System.err.println(s"[bench] parity carve-out " +
+            s"(${parityCarveOutNames.size} presets, ${carveBudget.toInt} s): " +
+            parityCarveOutNames.mkString(", "))
+          val results = BenchScenario.runForkedGroup(parityCarveOutNames,
+            cpus, forkRepeat, sfDir, childWarmups, carveBudget, obsHostRatio)
+          val out = parityCarveOutNames.flatMap(n => record(n,
+            results.getOrElse(n, BenchScenario.ForkResult(-1.0, -1L, -1.0,
+              Nil, Some("no result line from grouped child")))))
+          skipped --= parityCarveOutNames.filterNot(partialResults.contains)
+          out
+        }
+      }
+
+    // per-entry budget reserve: an in-process q_* entry costs its own
+    // runtime plus GC + floor sample (~1 s overhead); 30 s of reserve
+    // keeps the heaviest single entry from blowing the deadline
+    val queryTimes = SparkEntry.queries.toSeq.flatMap {
+      case (name, fn) if selected(name) =>
+        if (mainBudgetLeft < 30) { skipped += name; None }
+        else Some(measured(name)(fn(spark, sfDir)))
+      case _ => None
+    }
+
+    def scenario(name: String)(f: => DataFrame): (String, Double) = {
+      val (res, peak) = sampleRss(measured(name)(f))
+      rss(name) = peak
+      res
+    }
+
+    val floorSec = bestOf(floorJob(spark))
+
+    // ---- parity workloads vs BASELINE.md (same shapes as the reference) ----
+    // Datasets and scenario definitions live in [[parityScenarios]] /
+    // [[buildDataset]] / [[prepareScale]]; the forked-runner machinery is
+    // defined above the carve-out.
     // non-parity scale/auto scenarios (definitions + rationale in
     // [[prepareScale]]): forked per scenario by default, like parity. The
     // driver profile shares one child JVM across chunks of 8 (they don't
@@ -1094,7 +1201,11 @@ object Bench {
       }
 
 
-    val activeParity = parityScenarios.filter(s => selected(s._1))
+    // carve-out-measured presets don't re-run here (their value is
+    // already recorded); a carve-out preset whose child budget-skipped
+    // it has no partialResults entry and re-enters its family chunk
+    val activeParity = parityScenarios.filter(s =>
+      selected(s._1) && !partialResults.contains(s._1))
     val parityResults: Seq[(String, Double)] =
       if (forkMode && !fullProfile) {
         // driver profile: grouped children. Round 9 grouped by dataset key
@@ -1219,7 +1330,8 @@ object Bench {
         }
       } else Nil
 
-    val all0 = queryTimes ++ scaleResults ++ parityResults ++ secondChance
+    val all0 = carveOutResults ++ queryTimes ++ scaleResults ++
+      parityResults ++ secondChance
 
     // ---- noise-robust finalization (see scaladoc: NOISE ROBUSTNESS) ----
     // BENCH_REFERENCE.json is the committed known-good artifact; entries

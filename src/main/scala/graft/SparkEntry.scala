@@ -1094,6 +1094,32 @@ object SparkEntry {
       Similarity.ivfTopKIndexed(Similarity.loadIvf(s, idx),
         e.filter(col("vec_id") < 10), 10, "vec_id", "embedding", nprobe = 16)
     }),
+    // metadata-filtered ANN (round 13): rank only corpus rows passing a
+    // serving-time predicate (label % 2 = 0 stands in for a language /
+    // domain shard filter). Exact mode (nprobe = nlist) must EQUAL brute
+    // force over the FILTERED corpus — post-filtering an unfiltered
+    // top-k would differ whenever eligible rows sit past rank k, which
+    // this corpus exhibits (≈half the rows are ineligible), so the gate
+    // proves the predicate lands inside candidate generation
+    "q_knn_filtered" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfTopKFiltered(e, e.filter(col("vec_id") < 10), 10,
+        "vec_id", "embedding", pmod(col("label"), lit(2)) === 0,
+        nlist = 16, nprobe = 16)
+    }),
+    // the persisted serving shape: the inverted file carries the label
+    // column (saveIvf metaCols), the predicate pushes down to the index
+    // parquet scan, and the served filtered ranking still equals
+    // filtered brute force at nprobe = nlist
+    "q_knn_filtered_persisted" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val idx = stagingDir("ivf_index_meta", dir)
+      Similarity.saveIvf(e, "vec_id", "embedding", idx, nlist = 16,
+        trainIters = 1, metaCols = Seq("label"))
+      Similarity.ivfTopKIndexedFiltered(Similarity.loadIvf(s, idx),
+        e.filter(col("vec_id") < 10), 10, "vec_id", "embedding",
+        pmod(col("label"), lit(2)) === 0, nprobe = 16)
+    }),
     // IVF over the SQ8-COMPRESSED inverted file (the FAISS IVF,SQ8 tier),
     // exact mode: nprobe = nlist makes the probed union total, so the
     // whole quantize → invert → probe → decode → rank path must EQUAL the
@@ -1321,6 +1347,36 @@ object SparkEntry {
     "q_image_neardup" -> ((s, _) =>
       Multimodal.imageNearDupPairs(
         Multimodal.plantedImagesWithClones(s, 96, 24), maxDist = 2)),
+    // multimodal REAL lossy codec (round 13): the 64 planted PNGs
+    // transcoded to real JPEG (quality 0.9) on the executors, decoded
+    // back and compared pixel-for-pixel against the lossless originals.
+    // Dims survive the transcode EXACTLY (the oracle recomputes them
+    // from the id formula alone); the lossy content must land within a
+    // fixed mean-abs-channel-error budget per image, and the payload
+    // must carry real JPEG framing (SOI/EOI markers) — both emitted as
+    // booleans the oracle expects uniformly true. A broken encoder
+    // (wrong format, garbage quality, dim drift) fails dims, magic, or
+    // the error budget — not just a weaker rows-only check.
+    "q_multimodal_jpeg" -> ((s, _) => {
+      val png = Multimodal.plantedImages(s, 64)
+      val jpg = Multimodal.transcodeImages(png, "jpg", 0.9f)
+      val err = Multimodal.imagePairError(png, jpg)
+      val framed = jpg.select(col("asset_id"),
+        col("meta.mime").alias("mime"),
+        (hex(substring(col("payload"), 1, 2)) === "FFD8" &&
+          hex(substring(col("payload"), -2, 2)) === "FFD9")
+          .alias("jpeg_magic_ok"))
+      err.join(framed, Seq("asset_id"))
+        .select(col("asset_id"), col("width_b").alias("width"),
+          col("height_b").alias("height"), col("mime"),
+          col("jpeg_magic_ok"),
+          // measured across the 64 planted images at quality 0.9:
+          // mean_abs_err ∈ [4.3, 11.1] (the mod-256 wraparound pattern
+          // is deliberately JPEG-hostile high-frequency content); a
+          // broken decode (swapped dims / dropped channel / blank) reads
+          // 40+. 16 = measured max + headroom for encoder variation.
+          (col("mean_abs_err") <= 16.0).alias("content_ok"))
+    }),
     // sources/sinks beyond parquet (free via DataFrameReader/Writer,
     // SURVEY §2.6): stage a table to CSV / JSON-lines and read it back —
     // the oracle reads the ORIGINAL parquet, so the hash compare checks
@@ -2363,6 +2419,13 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 10""".stripMargin
+    // filtered brute force: knnBruteSql with the CORPUS side cut to the
+    // serving predicate (queries stay unfiltered — you search with any
+    // query against an eligible shard). Derived textually so the two
+    // rankings can never drift.
+    val knnFilteredSql = knnBruteSql.replace(
+      "c AS (SELECT vec_id, embedding AS ce FROM embeddings),",
+      "c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE label % 2 = 0),")
     // the same ranking cut to its rank-1 row: the INDEPENDENT top-1 the
     // per-query recall gates (q_knn_ivf_recall, q_sq8_recall) verify
     // membership against — derived textually from knnBruteSql so the two
@@ -3453,6 +3516,9 @@ object SparkEntry {
       "q_knn_ivf" -> knnBruteSql,
       "q_knn_ivf_trained" -> knnBruteSql,
       "q_knn_ivf_persisted" -> knnBruteSql,
+      // filtered ANN in exact mode ≡ brute force over the filtered corpus
+      "q_knn_filtered" -> knnFilteredSql,
+      "q_knn_filtered_persisted" -> knnFilteredSql,
       // PQ exactness regime: brute-force SQL restricted to the 16-vector
       // corpus (every subvector is its own centroid -> ADC is exact)
       "q_knn_pq" ->
@@ -3557,6 +3623,15 @@ object SparkEntry {
       "q_image_dhash" ->
         s"""WITH ${dhashOracleCte(96, 24)}
            |SELECT asset_id, dhash FROM dh""".stripMargin,
+      // lossy JPEG: dims recomputed from the id formula (exact); the
+      // magic-framing and error-budget checks arrive as booleans that
+      // must be uniformly true
+      "q_multimodal_jpeg" ->
+        """SELECT i AS asset_id, CAST(32 + i % 64 AS INTEGER) AS width,
+          |  CAST(24 + i % 48 AS INTEGER) AS height,
+          |  'image/jpeg' AS mime, true AS jpeg_magic_ok,
+          |  true AS content_ok
+          |FROM generate_series(0, 63) t(i)""".stripMargin,
       // pigeonhole-blocked pairs ≡ exhaustive xor-popcount pairs
       "q_image_neardup" ->
         s"""WITH ${dhashOracleCte(96, 24)},

@@ -415,17 +415,25 @@ object Dedup {
   // ------------------------------------------------------ dup clustering
 
   /** Connected components over an undirected pair list by iterative
-    * min-label propagation: every node's label converges to the minimum id
-    * in its component after O(diameter) rounds. Each round is one
-    * join + groupBy(min) — all map-side-combinable shuffles — with a
-    * `localCheckpoint` lineage cut (without it round i re-executes rounds
-    * 1..i-1). Each round combines one hop of neighbor-min propagation
-    * with PATH HALVING (comp ← comp[comp], one self-join) so convergence
-    * is O(log diameter) rounds — the pointer-jumping idea behind
-    * large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce") — spec-tested on a 300-node chain under the default cap.
-    * Throws if `maxIter` rounds don't converge — a silently partial
-    * clustering would under-merge and leak duplicates.
+    * MIN-STAR CONTRACTION (round 13; Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): each round every node merges
+    * into min(self, neighbors) — with one pointer-halving pass on the
+    * merge map — and the EDGE SET itself is rewritten through the merge
+    * map (self-loops dropped, dedup). Every non-isolated node merges with
+    * at least one neighbor, so a component's node count at least HALVES
+    * per round: convergence is O(log n) rounds regardless of id
+    * placement, and the contracted edge frame shrinks geometrically, so
+    * total work across the loop is O(|E|). (The previous label-only
+    * pointer-halving loop was O(log d) ONLY when ids aligned with
+    * topology — measured 75 rounds on a 200k-edge random graph; see the
+    * contraction comment in the body and the scale_cc_chain bench pair.)
+    * Every node's label converges to the MINIMUM id in its component —
+    * the merge map is min-monotone, so the surviving root is exactly the
+    * component min. Each round is map-side-combinable shuffles with
+    * `localCheckpoint` lineage cuts + stats resets
+    * ([[org.apache.spark.sql.graftshim.StatsResetShim]]). Throws if
+    * `maxIter` rounds don't converge — a silently partial clustering
+    * would under-merge and leak duplicates.
     *
     * Pair graphs of at most `smallGraphEdges` long-id edges skip the loop
     * for a driver union-find (same fixed point, 2 jobs instead of
@@ -446,14 +454,14 @@ object Dedup {
     // through, and the driver holds at most smallGraphEdges+1 long-id
     // edges (16 B each — 100k edges = 1.6 MB). Within the bound the
     // driver runs union-find: 1 probe job + 1 result job instead of
-    // 4 x rounds. Above the bound — the 100 TB regime — the O(log
-    // diameter) distributed loop below runs unchanged, building `sym`
+    // 4 x rounds. Above the bound — the 100 TB regime — the O(log n)
+    // contraction loop below runs unchanged, seeding its edge frame
     // from the STILL-PERSISTED probe frame so the partitions the probe
     // already computed are served from cache, not re-derived from the
     // (expensive at scale) candidate-pair lineage; the frame unpersists
-    // right after sym's checkpoint. Long-id graphs only; other id types
-    // always take the distributed path. Pass smallGraphEdges = 0 to
-    // force the distributed loop.
+    // right after the seed checkpoints. Long-id graphs only; other id
+    // types always take the distributed path. Pass smallGraphEdges = 0
+    // to force the distributed loop.
     val isLongIds = {
       val f = pairs.schema
       f(aCol).dataType == org.apache.spark.sql.types.LongType &&
@@ -471,7 +479,32 @@ object Dedup {
         }
         Some(edgesDf) // big graph: the loop's sym build reuses the cache
       } else None
-    val sc = pairs.sparkSession.sparkContext
+    val edgeSrc = probedEdges.getOrElse(
+      pairs.select(col(aCol).alias("src"), col(bCol).alias("dst")))
+    val (labels, _) = distributedComponents(edgeSrc, probedEdges, maxIter,
+      contract = true)
+    labels
+  }
+
+  /** The distributed min-label loop behind [[connectedComponents]],
+    * exposed with its ROUND COUNT and an optional no-contraction mode.
+    * `contract = false` leaves pure one-hop neighbor-min propagation over
+    * the FIXED edge set — convergence degrades from O(log n) to
+    * O(diameter) rounds. Kept ONLY as the bench counter-example
+    * quantifying what graph contraction buys (scale_cc_chain pair;
+    * spec-locked round counts in ExtSpec) — production callers always go
+    * through [[connectedComponents]]. */
+  private[graft] def connectedComponentsCounted(pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int,
+      contract: Boolean): (DataFrame, Int) =
+    distributedComponents(
+      pairs.select(col(aCol).alias("src"), col(bCol).alias("dst")),
+      None, maxIter, contract)
+
+  private def distributedComponents(edgeSrc: DataFrame,
+      probedEdges: Option[DataFrame], maxIter: Int,
+      contract: Boolean): (DataFrame, Int) = {
+    val sc = edgeSrc.sparkSession.sparkContext
     // Each localCheckpoint registers block-manager storage; without eager
     // release, superseded label frames pile up until driver GC /
     // ContextCleaner runs — real pressure on large pair graphs near the
@@ -483,62 +516,152 @@ object Dedup {
       val out = df.localCheckpoint() // eager — its blocks exist on return
       val fresh = sc.getPersistentRDDs
         .collect { case (k, r) if !before.contains(k) => r }.toSeq
-      (out, fresh)
+      // localCheckpoint CARRIES the original plan's statistics, and the
+      // size-only visitor multiplies them through every join — in this
+      // iterative loop the per-round products would COMPOUND across
+      // checkpoints until stats estimation itself hangs the driver in
+      // geometric-digit BigInteger multiplication (observed at ~round 10
+      // on a 200k-edge graph; full story in StatsResetShim's scaladoc).
+      // Re-wrap the checkpointed RDD with a stats-free leaf: zero data
+      // movement, bounded stats work per round.
+      (org.apache.spark.sql.graftshim.StatsResetShim.resetStats(out), fresh)
     }
     def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
       rdds.foreach(r => try r.unpersist(blocking = false)
       catch { case _: Throwable => () })
-    val edgeSrc = probedEdges.getOrElse(
-      pairs.select(col(aCol).alias("src"), col(bCol).alias("dst")))
-    val (sym, symBlocks) = cpTracked(
-      edgeSrc.union(edgeSrc.select(col("dst").alias("src"), col("src").alias("dst"))))
-      // reused every round — cut off the pair pipeline
-    probedEdges.foreach(_.unpersist(false)) // sym is checkpointed; cache done
-    var (labels, labelBlocks) = cpTracked(
-      sym.select(col("src").alias("id")).distinct()
-        .select(col("id"), col("id").alias("comp")))
-    // convergence via exact label-sum: comp values only ever DECREASE, so
-    // any change strictly decreases sum(comp) — an equality of decimal
-    // sums replaces a per-round join+filter change detector with one tiny
-    // aggregate over the cached labels
-    def labelSum(l: DataFrame): java.math.BigDecimal =
-      l.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(sym("src").alias("id")).agg(min(col("comp")).alias("__nbr"))
-      // materialize: the halving self-join below reads this subtree on
-      // BOTH sides — without the cut, the propagation join runs twice
-      val (propagated, propBlocks) = cpTracked(labels.alias("l")
-        .join(nbrMin.alias("n"), col("l.id") === col("n.id"), "left")
-        .select(col("l.id").alias("id"),
-          least(col("l.comp"), coalesce(col("__nbr"), col("l.comp"))).alias("comp")))
-      // path halving (pointer jumping): comp ← comp[comp]. Every comp
-      // value is itself a node id, so one self-join re-points each node
-      // at its parent's component, doubling the effective propagation
-      // distance per round — O(log diameter) rounds on chain graphs
-      // instead of O(diameter), same min-id fixed point.
-      val (updated, updBlocks) = cpTracked(propagated.alias("u")
-        .join(propagated.select(col("id").alias("cid"), col("comp").alias("ccomp")).alias("c"),
-          col("u.comp") === col("c.cid"), "left")
-        .select(col("u.id").alias("id"),
-          least(col("u.comp"), coalesce(col("ccomp"), col("u.comp"))).alias("comp")))
-      val curSum = labelSum(updated)
-      converged = (prevSum == null && curSum == null) ||
-        (prevSum != null && prevSum.compareTo(curSum) == 0)
-      prevSum = curSum
-      release(propBlocks)  // superseded by `updated` (checkpointed — no lineage on these blocks)
-      release(labelBlocks) // previous round's labels
-      labels = updated
-      labelBlocks = updBlocks
-      i += 1
+    if (contract) {
+      // ---- STAR CONTRACTION (round 13) ----------------------------------
+      // Earlier rounds ran min-label propagation + pointer halving over a
+      // FIXED edge set and claimed O(log diameter). The claim was only
+      // true when ids align with topology (the ordered-chain spec): a
+      // label pointer that lands on a LOCAL min jumps to itself, and on
+      // random-id topologies convergence degrades to O(diameter) —
+      // measured 75 rounds on a 200k-edge critical random graph whose
+      // halving "should" have needed ~8. The fix is to contract the
+      // GRAPH, not just the labels: each round every comp-node merges
+      // into min(self, neighbors) (plus one pointer-halving pass on the
+      // merge map), and the EDGE SET is rewritten through the merge map
+      // (self-loops dropped, dedup). Every non-isolated comp-node merges
+      // with at least one neighbor, so each component's node count at
+      // least halves per round — O(log n) rounds REGARDLESS of id
+      // placement (the Kiveris et al. star-contraction idea), and the
+      // edge frame SHRINKS geometrically, so total work across all
+      // rounds is O(|E|), not O(rounds × |E|). The merge map is
+      // min-monotone (m(a) ≤ a, m(min) = min), so the surviving root of
+      // a component is exactly its minimum id — the same fixed point as
+      // before. Late-round skew (billions of label rows pointing at few
+      // roots) resolves via AQE: the merge map is tiny by then and
+      // broadcasts.
+      // ids BEFORE dropping self-loops: a pure self-loop id still labels
+      // itself (compat with the propagation loop's sym-derived id set)
+      var (labels, labelBlocks) = cpTracked(
+        edgeSrc.select(col("src").alias("id"))
+          .union(edgeSrc.select(col("dst").alias("id"))).distinct()
+          .select(col("id"), col("id").alias("comp")))
+      var (e, eBlocks) = cpTracked(
+        edgeSrc.filter(col("src") =!= col("dst")).distinct())
+      probedEdges.foreach(_.unpersist(false)) // both seeds checkpointed
+      var i = 0
+      var empty = e.isEmpty
+      while (!empty && i < maxIter) {
+        val symE = e.union(e.select(col("dst").alias("src"), col("src").alias("dst")))
+        val m0 = symE.groupBy(col("src").alias("a"))
+          .agg(min(col("dst")).alias("__mn"))
+          .select(col("a"), least(col("a"), col("__mn")).alias("m"))
+        // FULL path compression of the merge map (m ← m[m] until fixed
+        // point): min(self, neighbors) on an id-ordered path produces one
+        // long pointer CHAIN (m(k) = k-1), and a single halving pass only
+        // shifts it — measured 16 outer rounds on a 33-node chain. Each
+        // compression step is a self-join over the (shrinking) merge map
+        // only, and the step count is log₂ of the longest pointer chain;
+        // afterwards every surviving comp-node is a LOCAL MIN of the
+        // contracted graph, so outer rounds stay logarithmic on every
+        // topology. m values only decrease, so a sum equality detects the
+        // fixed point (the labelSum idea applied to the map).
+        var (cl, clBlocks) = cpTracked(m0)
+        var mSum = cl.agg(sum(col("m").cast("decimal(38,0)")))
+          .collect()(0).getDecimal(0)
+        var compressed = false
+        while (!compressed) {
+          val (nxt, nxtBlocks) = cpTracked(cl.alias("x")
+            .join(cl.select(col("a").alias("a2"), col("m").alias("m2")).alias("y"),
+              col("x.m") === col("y.a2"), "left")
+            .select(col("x.a").alias("a"), coalesce(col("m2"), col("x.m")).alias("m")))
+          val s = nxt.agg(sum(col("m").cast("decimal(38,0)")))
+            .collect()(0).getDecimal(0)
+          compressed = (mSum == null && s == null) ||
+            (mSum != null && mSum.compareTo(s) == 0)
+          mSum = s
+          release(clBlocks)
+          cl = nxt; clBlocks = nxtBlocks
+        }
+        // relabel the original-id labels through the merge map (isolated
+        // = already-final roots pass through the coalesce)
+        val (newLabels, newLabelBlocks) = cpTracked(labels.alias("l")
+          .join(cl.alias("c"), col("l.comp") === col("c.a"), "left")
+          .select(col("l.id").alias("id"),
+            coalesce(col("c.m"), col("l.comp")).alias("comp")))
+        // contract the comp graph through the same map
+        val (newE, newEBlocks) = cpTracked(e.alias("ed")
+          .join(cl.select(col("a").alias("sa"), col("m").alias("sm")),
+            col("ed.src") === col("sa"), "left")
+          .join(cl.select(col("a").alias("da"), col("m").alias("dm")),
+            col("ed.dst") === col("da"), "left")
+          .select(coalesce(col("sm"), col("ed.src")).alias("src"),
+            coalesce(col("dm"), col("ed.dst")).alias("dst"))
+          .filter(col("src") =!= col("dst")).distinct())
+        release(clBlocks)
+        release(labelBlocks)
+        release(eBlocks)
+        labels = newLabels; labelBlocks = newLabelBlocks
+        e = newE; eBlocks = newEBlocks
+        i += 1
+        empty = e.isEmpty // limit-1 probe on the checkpointed frame
+      }
+      release(eBlocks)
+      if (!empty) throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds")
+      (labels, i)
+    } else {
+      // ---- PROPAGATION-ONLY COUNTER-EXAMPLE -----------------------------
+      // one-hop neighbor-min propagation over the fixed edge set:
+      // O(diameter) rounds of O(|E|) work each — kept to measure what the
+      // contraction above buys (scale_cc_chain_plain)
+      val (sym, symBlocks) = cpTracked(
+        edgeSrc.union(edgeSrc.select(col("dst").alias("src"), col("src").alias("dst"))))
+      probedEdges.foreach(_.unpersist(false)) // sym is checkpointed
+      var (labels, labelBlocks) = cpTracked(
+        sym.select(col("src").alias("id")).distinct()
+          .select(col("id"), col("id").alias("comp")))
+      // convergence via exact label-sum: comp values only ever DECREASE,
+      // so any change strictly decreases sum(comp) — one tiny aggregate
+      // over the cached labels per round
+      def labelSum(l: DataFrame): java.math.BigDecimal =
+        l.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+          .groupBy(sym("src").alias("id")).agg(min(col("comp")).alias("__nbr"))
+        val (propagated, propBlocks) = cpTracked(labels.alias("l")
+          .join(nbrMin.alias("n"), col("l.id") === col("n.id"), "left")
+          .select(col("l.id").alias("id"),
+            least(col("l.comp"), coalesce(col("__nbr"), col("l.comp"))).alias("comp")))
+        val curSum = labelSum(propagated)
+        converged = (prevSum == null && curSum == null) ||
+          (prevSum != null && prevSum.compareTo(curSum) == 0)
+        prevSum = curSum
+        release(labelBlocks)
+        labels = propagated
+        labelBlocks = propBlocks
+        i += 1
+      }
+      release(symBlocks)
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds")
+      (labels, i)
     }
-    release(symBlocks) // edges are not needed past the loop
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge after $maxIter rounds")
-    labels
   }
 
   /** Driver-side union-find with path compression + union by minimum:

@@ -538,4 +538,131 @@ object Multimodal {
       }
     spark.createDataFrame(rows, assetSchema)
   }
+
+  /** REAL transcode: decode any ImageIO-readable payload and re-encode it
+    * as `format` ("jpg"/"png"/...) at an explicit compression quality —
+    * the storage-compaction pass a 100 TB image corpus runs before
+    * training (lossless crawl dumps → quality-bounded JPEG cuts payload
+    * bytes ~5-10×). One decode+encode per blob inside mapPartitions (JDK
+    * codecs can't be Catalyst expressions — same justification as
+    * [[decodeImageMeta]]); the writer instance is reused across a
+    * partition's rows. Meta is recomputed (mime, n_bytes; dims are
+    * preserved by the transcode and re-read from the decoded image). */
+  def transcodeImages(assets: DataFrame, format: String,
+                      quality: Float = 0.9f): DataFrame = {
+    require(quality > 0f && quality <= 1f, s"quality in (0,1], got $quality")
+    val spark = assets.sparkSession
+    val mime = format.toLowerCase match {
+      case "jpg" | "jpeg" => "image/jpeg"
+      case "png" => "image/png"
+      case other => s"image/$other"
+    }
+    val fmt = format
+    val q = quality
+    val rows = assets.select(col("asset_id"), col("payload"))
+      .rdd.mapPartitions { it =>
+        // one writer per partition, disposed when the iterator drains
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName(fmt).next()
+        val out = it.map { r =>
+          val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+          if (r.isNullAt(1)) Row(id, null, Row(mime, null, null, null))
+          else {
+            val src = readImage(r.getAs[Array[Byte]](1))
+            // JPEG writers reject alpha / non-RGB rasters — normalize
+            val rgb =
+              if (src.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) src
+              else {
+                val c = new java.awt.image.BufferedImage(src.getWidth,
+                  src.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = c.createGraphics()
+                try g.drawImage(src, 0, 0, null) finally g.dispose()
+                c
+              }
+            val params = writer.getDefaultWriteParam
+            if (params.canWriteCompressed) {
+              params.setCompressionMode(
+                javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+              // PNG's "quality" knob is a compression-effort hint; JPEG's
+              // is the actual lossy quality — both accept [0,1]
+              if (params.getCompressionType == null &&
+                  params.getCompressionTypes != null &&
+                  params.getCompressionTypes.nonEmpty)
+                params.setCompressionType(params.getCompressionTypes()(0))
+              params.setCompressionQuality(q)
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            try {
+              writer.setOutput(ios)
+              writer.write(null, new javax.imageio.IIOImage(rgb, null, null),
+                params)
+            } finally ios.close()
+            val bytes = bos.toByteArray
+            Row(id, bytes,
+              Row(mime, bytes.length.toLong, rgb.getWidth, rgb.getHeight))
+          }
+        }
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) writer.dispose()
+            h
+          }
+          def next(): Row = out.next()
+        }
+      }
+    spark.createDataFrame(rows, assetSchema)
+  }
+
+  /** Pixel-level QA between two asset corpora sharing ids (original vs
+    * transcoded/resized): decode both payloads per pair and emit the
+    * dims of each side plus the mean absolute per-channel error —
+    * the acceptance gate for any lossy re-encode sweep. One equi-join
+    * on asset_id (payloads travel once), then a narrow per-pair decode;
+    * the output is tiny typed rows. Dim-mismatched pairs report a null
+    * error (resize changes dims — the caller compares what it asked
+    * for) rather than failing the sweep. */
+  def imagePairError(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("width_a", IntegerType),
+      StructField("height_a", IntegerType),
+      StructField("width_b", IntegerType),
+      StructField("height_b", IntegerType),
+      StructField("mean_abs_err", DoubleType)))
+    val paired = a.select(col("asset_id"), col("payload").alias("__pa"))
+      .join(b.select(col("asset_id"), col("payload").alias("__pb")),
+        Seq("asset_id"))
+    val rows = paired.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        val ia = readImage(r.getAs[Array[Byte]](1))
+        val ib = readImage(r.getAs[Array[Byte]](2))
+        val (wa, ha, wb, hb) = (ia.getWidth, ia.getHeight, ib.getWidth, ib.getHeight)
+        val err: java.lang.Double =
+          if (wa != wb || ha != hb) null
+          else {
+            var sum = 0L
+            var y = 0
+            while (y < ha) {
+              var x = 0
+              while (x < wa) {
+                val pa = ia.getRGB(x, y)
+                val pb = ib.getRGB(x, y)
+                sum += math.abs(((pa >> 16) & 0xff) - ((pb >> 16) & 0xff)) +
+                  math.abs(((pa >> 8) & 0xff) - ((pb >> 8) & 0xff)) +
+                  math.abs((pa & 0xff) - (pb & 0xff))
+                x += 1
+              }
+              y += 1
+            }
+            java.lang.Double.valueOf(sum.toDouble / (3.0 * wa * ha))
+          }
+        Row(id, wa, ha, wb, hb, err)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
 }

@@ -411,9 +411,53 @@ object Similarity {
     topKRank(scored, k)
   }
 
+  /**
+   * Metadata-filtered IVF search (the FAISS `IDSelector` / filtered-ANN
+   * serving shape): rank only corpus rows satisfying `predicate` — a
+   * language/domain/shard filter — while probing exactly as [[ivfTopK]]
+   * does. Real pipelines search within shards constantly ("nearest
+   * English docs", "same-domain near-dups"); post-filtering a top-k is
+   * WRONG (k survivors of an unfiltered top-k can all be ineligible),
+   * so the predicate must land INSIDE the candidate generation, below
+   * the top-k aggregate.
+   *
+   * Centroids are trained on the FULL corpus — the index geometry is
+   * shared by every predicate, matching the persisted-index serving
+   * path where one inverted file answers all filters. The predicate
+   * prunes the inverted-file side BEFORE the probe join (on a parquet
+   * index scan it pushes down to the reader — see
+   * [[ivfTopKIndexedFiltered]]), so ineligible vectors are never
+   * scored. At `nprobe = nlist` the probed union is total and the
+   * result must EQUAL [[bruteForceTopK]] over the filtered corpus —
+   * the oracle gate.
+   *
+   * A query with fewer than k eligible candidates in its probed lists
+   * emits fewer than k rows (same contract as the unfiltered family).
+   */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+                      idCol: String, vecCol: String, predicate: Column,
+                      nlist: Int = 16, nprobe: Int = 0, trainIters: Int = 0,
+                      trainSampleMult: Int = 0): DataFrame = {
+    require(nprobe >= 0,
+      s"ivfTopKFiltered: nprobe must be >= 0 (0 = derive), got $nprobe")
+    val np = if (nprobe > 0) nprobe else nprobeForRecall(nlist)
+    val sp = corpus.sparkSession
+    val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters,
+      trainSampleMult)
+    // per-row assignment commutes with the row filter — assigning only
+    // eligible rows is identical to assigning all and filtering, minus
+    // the wasted work
+    val assigned = nearestCentroid(sp, corpus.filter(predicate), idCol,
+        vecCol, cents)
+      .select(col(idCol).alias("vec_id"), col(vecCol).alias("__cv"),
+        fastL2(sp, col(vecCol)).alias("__cn"), col("cent_id"))
+    probeRank(sp, cents, assigned, queries, k, idCol, vecCol, np)
+  }
+
   /** A persisted IVF-flat index: `centroids` = (cent_id, cent_vec);
-    * `assignments` = the inverted file (vec_id, vec, norm, cent_id),
-    * cent_id-partitioned on disk so probing prunes to nprobe lists. */
+    * `assignments` = the inverted file (vec_id, vec, norm, cent_id,
+    * plus any `metaCols` passed to [[saveIvf]]), cent_id-partitioned on
+    * disk so probing prunes to nprobe lists. */
   final case class IvfIndex(centroids: DataFrame, assignments: DataFrame)
 
   /**
@@ -429,14 +473,25 @@ object Similarity {
    * bit-identical to [[ivfTopK]] with the same centroids.
    */
   def saveIvf(corpus: DataFrame, idCol: String, vecCol: String, path: String,
-              nlist: Int = 16, trainIters: Int = 0): Unit = {
+              nlist: Int = 16, trainIters: Int = 0,
+              metaCols: Seq[String] = Nil): Unit = {
     val sp = corpus.sparkSession
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    nearestCentroid(sp, corpus, idCol, vecCol, cents)
+    val assigned = nearestCentroid(sp, corpus, idCol, vecCol, cents)
       .select(col(idCol).alias("vec_id"), col(vecCol).alias("vec"),
         fastL2(sp, col(vecCol)).alias("norm"), col("cent_id").cast("long"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/assignments")
+    // metaCols ride along in the inverted file so serving-time predicates
+    // ([[ivfTopKIndexedFiltered]]) push down to the index scan; the
+    // aggregate in nearestCentroid drops non-key columns, so they rejoin
+    // on the id spine (one equi-join at BUILD time, never at serve time)
+    val withMeta =
+      if (metaCols.isEmpty) assigned
+      else assigned.join(
+        corpus.select((col(idCol).alias("vec_id") +: metaCols.map(c =>
+          graft.ColName.topCol(c))): _*), Seq("vec_id"))
+    withMeta.write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$path/assignments")
   }
 
   /** Load an index written by [[saveIvf]]. cent_id is re-cast to long:
@@ -458,6 +513,28 @@ object Similarity {
              else nprobeForRecall(math.max(1, index.centroids.count().toInt))
     val sp = queries.sparkSession
     val assigned = index.assignments.select(col("vec_id"),
+      col("vec").alias("__cv"), col("norm").alias("__cn"), col("cent_id"))
+    probeRank(sp, index.centroids, assigned, queries, k, idCol, vecCol, np)
+  }
+
+  /** [[ivfTopKFiltered]] served from a persisted index whose inverted
+    * file carries the predicate's metadata columns ([[saveIvf]] with
+    * `metaCols`). The predicate filters the assignments BEFORE the probe
+    * join, i.e. on the parquet scan itself — Catalyst pushes it into the
+    * reader (`PushedFilters` on the index scan, locked by spec), so a
+    * selective serving filter reads row groups, not the whole inverted
+    * file, and the cent_id partition pruning from probing composes with
+    * it. Post-filtering a top-k would be wrong AND slow; this is
+    * filter-during-search. */
+  def ivfTopKIndexedFiltered(index: IvfIndex, queries: DataFrame, k: Int,
+                             idCol: String, vecCol: String,
+                             predicate: Column, nprobe: Int = 0): DataFrame = {
+    require(nprobe >= 0,
+      s"ivfTopKIndexedFiltered: nprobe must be >= 0 (0 = derive), got $nprobe")
+    val np = if (nprobe > 0) nprobe
+             else nprobeForRecall(math.max(1, index.centroids.count().toInt))
+    val sp = queries.sparkSession
+    val assigned = index.assignments.filter(predicate).select(col("vec_id"),
       col("vec").alias("__cv"), col("norm").alias("__cn"), col("cent_id"))
     probeRank(sp, index.centroids, assigned, queries, k, idCol, vecCol, np)
   }

@@ -48,6 +48,25 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(Bench.repeatFor("parity_pack_streaming_32", 3) == 3)
   }
 
+  test("parity carve-out: valid names, one per dataset family, no giants") {
+    val byName = Bench.parityScenarios.map(s => s._1 -> s._2).toMap
+    // every carve-out name must be a real parity scenario — a renamed
+    // preset must fail here, not silently record 'no result line'
+    Bench.parityCarveOutList.foreach(n =>
+      assert(byName.contains(n), s"carve-out name '$n' is not a parity scenario"))
+    // the slice spans the gate datasets (streaming_32 deliberately
+    // shares the "large" build with pack_large — one build, two shapes)
+    val ds = Bench.parityCarveOutList.map(byName).toSet
+    assert(ds == Set("large", "parent_dom", "skewed", "very_large"),
+      s"unexpected dataset coverage: $ds")
+    // ...and the gate shapes are present
+    assert(Bench.parityCarveOutList.contains("parity_pack_large"))
+    assert(Bench.parityCarveOutList.contains("parity_pack_very_large"))
+    // the _2k giants' warmup+best-of-3 protocol can't fit a slice that
+    // must always complete
+    assert(!Bench.parityCarveOutList.exists(_.contains("_2k")))
+  }
+
   test("warmup tiers: JIT q_ entries get two, giants keep base (round 12: " +
     "dropping their warmup measured JVM ramp, 135 s for a 10 s preset)") {
     assert(Bench.warmupsFor("q_drop_repeated_spans", 1) == 2)

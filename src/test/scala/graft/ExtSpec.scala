@@ -435,7 +435,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("connectedComponents converges on a 300-node chain within 25 rounds " +
-    "(path halving: O(log diameter), plain propagation would need 299)") {
+    "(star contraction: O(log n), plain propagation would need 299)") {
     val chain = spark.range(299).select(col("id").alias("id_a"),
       (col("id") + 1).alias("id_b"))
     // smallGraphEdges = 0 forces the DISTRIBUTED loop — this test gates
@@ -444,6 +444,50 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size == 300)
     assert(comp.values.forall(_ == 0L))
+  }
+
+  test("connectedComponentsCounted: contraction rounds ≈ log₂(n), " +
+    "plain propagation rounds ≈ diameter, identical labels") {
+    // diameter-32 chain: the min label (node 0) must cross every hop
+    val chain = spark.range(32).select(col("id").alias("id_a"),
+      (col("id") + 1).alias("id_b"))
+    val (contracted, cr) = Dedup.connectedComponentsCounted(
+      chain, "id_a", "id_b", maxIter = 25, contract = true)
+    val (plain, pr) = Dedup.connectedComponentsCounted(
+      chain, "id_a", "id_b", maxIter = 80, contract = false)
+    // contraction: component node count at least halves per round
+    assert(cr <= 7, s"contraction took $cr rounds on a 33-node chain")
+    // plain: the min travels one hop per round — the O(diameter) cost
+    // contraction exists to avoid (the scale_cc_chain bench pair
+    // measures the same contrast with per-round volume)
+    assert(pr >= 32, s"propagation-only took only $pr rounds — " +
+      "either the chain shrank or plain mode still contracts")
+    assert(pr > cr * 3, s"round contrast collapsed: plain=$pr contract=$cr")
+    // same fixed point
+    val h = contracted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p = plain.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h == p && h.size == 33 && h.values.forall(_ == 0L))
+  }
+
+  test("contraction is O(log n) on RANDOM-id topologies too — the case " +
+    "label-only pointer halving lost (75 rounds on a 200k-edge graph)") {
+    // a 200-node path whose ids are a fixed pseudo-random permutation:
+    // label pointers land on local minima and stop helping, so the old
+    // halving loop needed ~diameter rounds here. Contraction must stay
+    // logarithmic: every node merges with a neighbor every round.
+    val perm = new scala.util.Random(42).shuffle((0 until 200).toVector)
+    val edges = (0 until 199).map(i => (perm(i).toLong, perm(i + 1).toLong))
+    val df = spark.createDataFrame(
+      edges.map(e => Row(e._1, e._2)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType))))
+    val (labels, rounds) = Dedup.connectedComponentsCounted(
+      df, "a", "b", maxIter = 25, contract = true)
+    assert(rounds <= 10, s"contraction took $rounds rounds on a " +
+      "permuted 200-node path (log2(200) ≈ 7.6)")
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 200 && m.values.forall(_ == 0L), "one component, min root")
   }
 
   test("connectedComponents small-graph fast path equals the distributed " +

@@ -31,6 +31,47 @@ class SimilarityPersistSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("filtered ANN: exact mode equals brute force over the filtered corpus, " +
+    "differs from post-filtering, and the predicate pushes into the index scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_meta").toString
+    try {
+      // label column the serving predicate filters on (≈half eligible)
+      val c = corpus.withColumn("label", (col("vec_id") % 3).cast("int"))
+      val pred = col("label") === 0
+      val q = c.filter(col("vec_id") < 5)
+      val expected = Similarity.bruteForceTopK(c.filter(pred), q, 5,
+        "vec_id", "embedding")
+      // in-memory filtered search, exact mode
+      val inMem = Similarity.ivfTopKFiltered(c, q, 5, "vec_id", "embedding",
+        pred, nlist = 4, nprobe = 4, trainIters = 1)
+      assertSameRows(expected, inMem)
+      // the WRONG shape (post-filter an unfiltered top-k) must differ on
+      // this corpus — proves the gate can actually catch it
+      val postFiltered = Similarity.bruteForceTopK(c, q, 5, "vec_id", "embedding")
+        .join(c.filter(pred).select(col("vec_id")), Seq("vec_id"))
+      assert(postFiltered.count() < expected.count(),
+        "post-filtering should lose eligible rows past rank k on this corpus")
+      // persisted serving path with the label riding in the inverted file
+      Similarity.saveIvf(c, "vec_id", "embedding", dir, nlist = 4,
+        trainIters = 1, metaCols = Seq("label"))
+      val idx = Similarity.loadIvf(spark, dir)
+      val served = Similarity.ivfTopKIndexedFiltered(idx, q, 5,
+        "vec_id", "embedding", pred, nprobe = 4)
+      assertSameRows(expected, served)
+      // plan lock: the predicate lands on the index PARQUET SCAN itself
+      // (PushedFilters), i.e. below the probe join and the top-k agg —
+      // filter-during-search, not post-filter
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,0)"),
+        s"label predicate must push into the index scan:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("saveIvf lays the inverted file out partitioned by cent_id") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
     try {
