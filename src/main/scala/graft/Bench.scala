@@ -26,7 +26,7 @@ import org.apache.spark.storage.StorageLevel
   *    leaves parseable partial data;
   *  - PROTECTED PARITY CARVE-OUT (round 13): the driver profile runs one
   *    representative parity preset per family FIRST, in a bounded budget
-  *    slice (SPARK_GRAFT_PARITY_CARVEOUT_SEC, default 300 s), so every
+  *    slice (SPARK_GRAFT_PARITY_CARVEOUT_SEC, default 360 s), so every
   *    capture carries SOME BASELINE.md-comparable evidence no matter how
   *    hot the box gets later in the run (the r12 capture budget-skipped
   *    the entire 15-entry parity family because it ran last);
@@ -316,15 +316,21 @@ object Bench {
     // reference number; scale-up-linearity evidence vs parity_pack_large
     ("parity_pack_very_large", "very_large", d => packer.pack(d, "image")))
 
-  /** One representative preset per parity family, run FIRST in the driver
-    * profile inside the protected carve-out (VERDICT r12 #1): large,
-    * streaming, split_join, skewed, very_large. Chosen for being the
-    * BASELINE.md-gate shapes (pack `large` is the 2x gate itself) while
+  /** Representative presets per parity family, run FIRST in the driver
+    * profile inside the protected carve-out (VERDICT r12 #1): the
+    * BASELINE.md-gate shapes (pack `large` is the 2x gate itself),
     * excluding the _2k giants, whose warmup+best-of-3 protocol is too
-    * heavy for a bounded slice that must always complete. */
+    * heavy for a bounded slice that must always complete. The skewed and
+    * parent_dom families are carved WHOLE (both presets each): a
+    * half-consumed family forces the main parity phase to rebuild the
+    * family's dataset for the leftover preset — the r13 dress rehearsal
+    * measured those duplicate builds costing more than the extra ~10 s
+    * of carved runs. `large` stays half-carved: its remaining trio
+    * (no_child_order, streaming_8/64) outweighs the slice. */
   private[graft] val parityCarveOutList: Seq[String] = Seq(
     "parity_pack_large", "parity_pack_streaming_32",
-    "parity_pack_split_join_parent_dominant", "parity_pack_skewed",
+    "parity_pack_parent_dominant", "parity_pack_split_join_parent_dominant",
+    "parity_pack_skewed", "parity_pack_salted_skewed",
     "parity_pack_very_large")
 
   /** Spark's minimum job latency: a trivial two-stage aggregate at the
@@ -1112,7 +1118,7 @@ object Bench {
     // capture by running ONE representative preset per family FIRST —
     // before the q_ sweep, before any flag/reserve machinery can consume
     // the window — inside a bounded budget slice
-    // (SPARK_GRAFT_PARITY_CARVEOUT_SEC, default 300 s). The child runner
+    // (SPARK_GRAFT_PARITY_CARVEOUT_SEC, default 360 s). The child runner
     // keeps the full per-name protocol (best-of-2 tiers, warmups) and
     // degrades per-scenario within the slice if the box is hot; a preset
     // the child budget-skips gets its normal shot in the main parity
@@ -1126,7 +1132,7 @@ object Bench {
       if (parityCarveOutNames.isEmpty) Nil
       else {
         val carveBudget = math.min(
-          sys.env.getOrElse("SPARK_GRAFT_PARITY_CARVEOUT_SEC", "300").toDouble,
+          sys.env.getOrElse("SPARK_GRAFT_PARITY_CARVEOUT_SEC", "360").toDouble,
           budgetLeft - 60)
         if (carveBudget < 45) Nil
         else {

@@ -1120,6 +1120,20 @@ object SparkEntry {
         e.filter(col("vec_id") < 10), 10, "vec_id", "embedding",
         pmod(col("label"), lit(2)) === 0, nprobe = 16)
     }),
+    // filtered COMPRESSED serving (round 13): the sq8 inverted file
+    // carries the label column; the predicate filters BEFORE decode (and
+    // pushes into the index scan), and the served ranking at
+    // nprobe = nlist must equal the quantized ranking over the filtered
+    // corpus — the q_knn_filtered gate composed with q_sq8_topk's
+    "q_knn_sq8_filtered" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val idx = stagingDir("ivf_sq8_index_meta", dir)
+      Similarity.saveIvfSq8(e, "vec_id", "embedding", idx, nlist = 16,
+        trainIters = 1, metaCols = Seq("label"))
+      Similarity.ivfTopKSq8IndexedFiltered(Similarity.loadIvfSq8(s, idx),
+        e.filter(col("vec_id") < 10), 10, "vec_id", "embedding",
+        pmod(col("label"), lit(2)) === 0, nprobe = 16)
+    }),
     // IVF over the SQ8-COMPRESSED inverted file (the FAISS IVF,SQ8 tier),
     // exact mode: nprobe = nlist makes the probed union total, so the
     // whole quantize → invert → probe → decode → rank path must EQUAL the
@@ -2464,6 +2478,16 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
         |FROM ranked WHERE rank <= 10""".stripMargin
+    // the same textual cut as knnFilteredSql applied to the QUANTIZED
+    // ranking: the filtered compressed-serving gate (q_knn_sq8_filtered).
+    // "  FROM embeddings)," is unique to the corpus CTE `x` (the query
+    // CTE carries the vec_id < 10 predicate); asserted so a reformat
+    // can't silently leave the oracle unfiltered.
+    val sq8FilteredSql = sq8TopKSql.replace(
+      "  FROM embeddings),",
+      "  FROM embeddings WHERE label % 2 = 0),")
+    require(sq8FilteredSql != sq8TopKSql,
+      "sq8FilteredSql: corpus-CTE anchor not found in sq8TopKSql")
     // click→purchase band-join aggregate — gates BOTH the batch
     // intervalJoin (q_interval_join) and the stream-stream
     // intervalJoinStreams run (q_interval_stream)
@@ -3519,6 +3543,9 @@ object SparkEntry {
       // filtered ANN in exact mode ≡ brute force over the filtered corpus
       "q_knn_filtered" -> knnFilteredSql,
       "q_knn_filtered_persisted" -> knnFilteredSql,
+      // filtered compressed serving ≡ the quantized ranking over the
+      // filtered corpus
+      "q_knn_sq8_filtered" -> sq8FilteredSql,
       // PQ exactness regime: brute-force SQL restricted to the 16-vector
       // corpus (every subvector is its own centroid -> ADC is exact)
       "q_knn_pq" ->

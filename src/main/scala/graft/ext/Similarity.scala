@@ -596,15 +596,24 @@ object Similarity {
     * served rankings are bit-identical to [[ivfTopKSq8]] with the same
     * centroids). */
   def saveIvfSq8(corpus: DataFrame, idCol: String, vecCol: String, path: String,
-                 nlist: Int = 16, trainIters: Int = 0): Unit = {
+                 nlist: Int = 16, trainIters: Int = 0,
+                 metaCols: Seq[String] = Nil): Unit = {
     val sp = corpus.sparkSession
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
-    nearestCentroid(sp, corpus, idCol, vecCol, cents)
+    val assigned = nearestCentroid(sp, corpus, idCol, vecCol, cents)
       .select(col(idCol).alias("vec_id"),
         graft.functions.Sq8.encode(sp, graft.ColName.topCol(vecCol)).alias("sq8"),
         col("cent_id").cast("long"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/assignments")
+    // serving-time predicate columns ride in the compressed inverted file
+    // (same build-time rejoin as [[saveIvf]])
+    val withMeta =
+      if (metaCols.isEmpty) assigned
+      else assigned.join(
+        corpus.select((col(idCol).alias("vec_id") +: metaCols.map(c =>
+          graft.ColName.topCol(c))): _*), Seq("vec_id"))
+    withMeta.write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$path/assignments")
   }
 
   /** Load an index written by [[saveIvfSq8]] (same int-narrowing re-cast
@@ -628,6 +637,27 @@ object Similarity {
              else nprobeForRecall(math.max(1, index.centroids.count().toInt))
     val sp = queries.sparkSession
     probeRank(sp, index.centroids, decodedAssignments(sp, index.assignments),
+      queries, k, idCol, vecCol, np)
+  }
+
+  /** [[ivfTopKIndexedFiltered]] for the COMPRESSED serving tier: the
+    * predicate filters the sq8 inverted file BEFORE decode — pushed into
+    * the index parquet scan, so a selective filter skips row groups AND
+    * skips their decode work (the filter lands below the decode
+    * projection by construction: rows are filtered, then decoded). The
+    * index must carry the predicate's columns ([[saveIvfSq8]]
+    * `metaCols`). Exact mode (nprobe = nlist) ≡ [[sq8TopK]] over the
+    * filtered compressed corpus. */
+  def ivfTopKSq8IndexedFiltered(index: IvfIndex, queries: DataFrame, k: Int,
+                                idCol: String, vecCol: String,
+                                predicate: Column, nprobe: Int = 0): DataFrame = {
+    require(nprobe >= 0,
+      s"ivfTopKSq8IndexedFiltered: nprobe must be >= 0 (0 = derive), got $nprobe")
+    val np = if (nprobe > 0) nprobe
+             else nprobeForRecall(math.max(1, index.centroids.count().toInt))
+    val sp = queries.sparkSession
+    probeRank(sp, index.centroids,
+      decodedAssignments(sp, index.assignments.filter(predicate)),
       queries, k, idCol, vecCol, np)
   }
 

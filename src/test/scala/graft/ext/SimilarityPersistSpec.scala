@@ -72,6 +72,36 @@ class SimilarityPersistSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("filtered SQ8 serving: exact mode equals sq8TopK over the filtered corpus, " +
+    "predicate pushed below the decode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq8_meta").toString
+    try {
+      val c = corpus.withColumn("label", (col("vec_id") % 3).cast("int"))
+      val pred = col("label") === 0
+      val q = c.filter(col("vec_id") < 5)
+      // the quantized ranking over ONLY the eligible rows
+      val expected = Similarity.sq8TopK(
+        Similarity.sq8Compress(c.filter(pred), "vec_id", "embedding"),
+        q, 5, "vec_id", "embedding")
+      Similarity.saveIvfSq8(c, "vec_id", "embedding", dir, nlist = 4,
+        trainIters = 1, metaCols = Seq("label"))
+      val served = Similarity.ivfTopKSq8IndexedFiltered(
+        Similarity.loadIvfSq8(spark, dir), q, 5, "vec_id", "embedding",
+        pred, nprobe = 4)
+      assertSameRows(expected, served)
+      // the predicate reaches the compressed index scan — rows are
+      // filtered before they are decoded
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,0)"),
+        s"label predicate must push into the sq8 index scan:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("saveIvf lays the inverted file out partitioned by cent_id") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_layout").toString
     try {
