@@ -30,6 +30,32 @@ import org.apache.spark.storage.StorageLevel
   *    capture carries SOME BASELINE.md-comparable evidence no matter how
   *    hot the box gets later in the run (the r12 capture budget-skipped
   *    the entire 15-entry parity family because it ran last);
+  *  - PARITY ROTATION (round 14): 2-3 of the non-carved parity presets
+  *    join the carve-out each round — the ones whose last driver value is
+  *    oldest ([[parityRotationDefault]], updated per round; override with
+  *    SPARK_GRAFT_PARITY_ROTATION) — so every preset has a driver value
+  *    at most ~2 rounds old even when the main parity phase is starved;
+  *  - HARD RERUN RESERVE (round 14): the isolated-rerun window at the END
+  *    of the run gets the same protection the carve-out gives the start —
+  *    a fixed SPARK_GRAFT_RERUN_RESERVE_SEC (default 120 s) slice the
+  *    main phases can never consume whenever a committed reference
+  *    exists, so flagged entries can never again ship unadjudicated
+  *    merely because flags appeared late (BENCH_r13 shipped a 10.4x
+  *    single-run outlier with rerun_skipped_budget:true). Heavy flags
+  *    adjudicate highest-ratio-first in chunks of 3;
+  *  - CALM-WINDOW DETECTOR (round 14): if the opening floor probe reads
+  *    >1.5x the committed calm floor, the capture waits in 20 s steps
+  *    (re-probing) up to SPARK_GRAFT_CALM_WAIT_SEC (default 180 s, and
+  *    never past 25% of the budget) before measuring anything — waited
+  *    seconds are disclosed as calm_wait_sec;
+  *  - DRIVER-PROFILE WALL MATH (round 14, budget 1320 s): carve-out
+  *    <= 420 (7 gate presets + 3 rotation) + q_ sweep ~500 (167 entries,
+  *    floor-bound ones single-run with NO in-place retry — ref < 0.7 s
+  *    entries re-measure mostly the scheduling floor, so their ~60-90 s
+  *    of retries now fund the reserves) + scale_ ~250 + main parity
+  *    remainder ~130 + hard rerun reserve 120 <= 1320, with the
+  *    second-chance and final-window passes reclaiming whatever any
+  *    phase leaves unspent;
   *  - parity data generation is persisted and counted BEFORE timing, like
   *    the reference which excludes generation from timings
   *    (benchmarks/README.md:113);
@@ -333,6 +359,41 @@ object Bench {
     "parity_pack_skewed", "parity_pack_salted_skewed",
     "parity_pack_very_large")
 
+  /** PARITY ROTATION (VERDICT r13 #2): the carve-out guarantees the gate
+    * presets a value every capture, but the NON-carved presets can go
+    * stale for rounds when the main parity phase gets starved (streaming
+    * 8/64 and unpack_large had no driver value for three rounds by r13).
+    * Rule: each round, the 2-3 non-carved presets whose last driver value
+    * is OLDEST join the carve-out for that round's capture (this list is
+    * updated per round against the previous BENCH artifact; override per
+    * capture with SPARK_GRAFT_PARITY_ROTATION=name,name / "none").
+    * The _2k giants never rotate in — their warmup+best-of-3 protocol
+    * does not fit a bounded slice that must always complete (they keep
+    * the main-phase full protocol or an honest skip, r12h lesson).
+    * Round 14: streaming_8/64 (share the already-carved "large" dataset,
+    * so they cost runs only) and unpack_large (one "packed_large" build). */
+  private[graft] val parityRotationDefault: Seq[String] = Seq(
+    "parity_pack_streaming_8", "parity_pack_streaming_64",
+    "parity_unpack_large")
+
+  /** Dataset-contiguous ordering for the carve-out child: the child pays
+    * one (build + persist) per DATASET, and its dsCache evicts a dataset
+    * after its last scenario — interleaving datasets would hold several
+    * alive at once and re-pay builds. Gate families lead (pack `large` IS
+    * the BASELINE 2x gate; `skewed` is the salting story), very_large
+    * (no published reference number) goes last so a hot-box budget-skip
+    * lands on the least gate-critical preset. */
+  private[graft] def orderCarveOut(names: Seq[String]): Seq[String] = {
+    val dsOf = parityScenarios.map(s => s._1 -> s._2).toMap
+    val dsPriority =
+      Seq("large", "skewed", "packed_large", "parent_dom", "very_large")
+    names.sortBy { n =>
+      val i = dsPriority.indexOf(dsOf.getOrElse(n, ""))
+      (if (i < 0) dsPriority.size else i,
+        parityScenarios.indexWhere(_._1 == n))
+    }
+  }
+
   /** Spark's minimum job latency: a trivial two-stage aggregate at the
     * parent-dominant preset's row count. Any parity target below this is
     * a scheduling-floor artifact, not an operator gap. */
@@ -623,8 +684,8 @@ object Bench {
       // the chain pair (round 13): connectedComponents' STAR CONTRACTION
       // (merge into min neighbor + rewrite the edge set) is what makes
       // convergence O(log n) — this pair measures it on the worst case
-      // the claim is about: one diameter-32 chain (min label must cross
-      // every hop) over 100k random noise edges (subcritical mean degree
+      // the claim is about: one diameter-16 chain (min label must cross
+      // every hop) over 50k random noise edges (subcritical mean degree
       // 0.5 — tiny noise components, so the planted chain DOMINATES the
       // graph diameter and the plain arm's round count is the chain's).
       // The contraction arm converges in ~log₂ rounds over a
@@ -834,6 +895,21 @@ object Bench {
     // round-7 verdict's #1 complaint). The main passes stop early enough
     // that the adjudication phase always gets its window.
     val rerunReserve = if (budgetSec <= 0) 0.0 else math.min(300.0, budgetSec * 0.2)
+    // HARD RERUN RESERVE (VERDICT r13 #1): the flag-count-sized reserve
+    // above only engages once something flags — but flags often appear in
+    // the LAST phases (parity giants, late scale entries), after the
+    // budget is spent; the r13 capture ended with six flags, 17 s of wall,
+    // and `rerun_skipped_budget: true`, shipping a 10.4x outlier
+    // unadjudicated. Mirror the parity carve-out at the END of the run:
+    // a fixed slice (SPARK_GRAFT_RERUN_RESERVE_SEC, default 120 s — the
+    // measured cost of a floor-probe child + one grouped rerun child over
+    // a handful of flags) that the main phases can never consume, held
+    // whenever a committed reference exists (without one nothing can
+    // flag, so nothing is held). The final-window pass still reclaims
+    // whatever the rerun leaves.
+    val rerunReserveHard =
+      if (budgetSec <= 0) 0.0
+      else sys.env.getOrElse("SPARK_GRAFT_RERUN_RESERVE_SEC", "120").toDouble
     // Optional comma-separated substring filter over entry names
     // (SPARK_GRAFT_ONLY="q_pack,scale_"): focused reruns for regression
     // attribution, and sf1.0 runs that skip the sf-independent synthetic
@@ -944,14 +1020,20 @@ object Bench {
     def mainBudgetLeft: Double =
       if (budgetSec <= 0) Double.MaxValue
       else pendingFlagCount match {
-        case 0 => budgetLeft
+        // no pending flag: hold only the HARD reserve (flags routinely
+        // first appear in the final phases — r13's parity giants — so
+        // "nothing flagged yet" is not "nothing will need adjudication");
+        // with no committed reference nothing can ever flag, hold nothing
+        case 0 => budgetLeft - (if (refTimes.isEmpty) 0.0 else rerunReserveHard)
         // measured rerun cost (r12f rehearsal): 7 flags adjudicated in
         // 175 s END-TO-END — two grouped children + two floor-probe
         // children + the 30 s hot-floor calm wait ≈ 70 s fixed + ~15 s
         // per flag. The old 60+40n held 340 s for those 7 flags and
         // starved the whole parity phase; 70+20n reserves 210 s (1.2x
-        // the measured cost) and frees ~130 s of real measurement.
-        case n => budgetLeft - math.min(rerunReserve, 70.0 + 20.0 * n)
+        // the measured cost) and frees ~130 s of real measurement. The
+        // hard reserve is the floor either way.
+        case n => budgetLeft - math.max(rerunReserveHard,
+          math.min(rerunReserve, 70.0 + 20.0 * n))
       }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     def writeJson(path: String, json: String): Boolean = try {
@@ -1006,9 +1088,16 @@ object Bench {
       // cheap entries only (committed ref < 5 s): a flagged giant-group
       // preset would burn 2 x ~40 s of retries on a band it may sit in
       // legitimately — those flags go to the end-of-run isolated rerun,
-      // whose clean child is the right instrument for them
+      // whose clean child is the right instrument for them.
+      // FLOOR-BOUND entries (ref < 0.7 s) don't retry either (round 14,
+      // VERDICT r13 #5): at a 0.53 s scheduling floor the "work" being
+      // re-measured is mostly the floor itself, so a retry + System.gc()
+      // buys noise, not signal — across ~80 such entries on a warm box
+      // that was 60-90 s of budget, which now funds the hard rerun
+      // reserve and the parity rotation. Their (rare, floor-normalized)
+      // flags adjudicate nearly free in the isolated-rerun child.
       if (!fullProfile && runs.nonEmpty && runs.forall(_ >= 0) &&
-          refTimes.get(name).exists(_ < 5.0)) {
+          refTimes.get(name).exists(r => r >= 0.7 && r < 5.0)) {
         var retries = 0
         // observed-cost cap, ONE free retry (r12e/r12f/r12g rehearsals):
         // a <5 s-ref entry reading 15+ s is EITHER a sustained window /
@@ -1057,6 +1146,42 @@ object Bench {
     // over-retries).
     try lastFloorSample = time(materialize(floorJob(spark)))
     catch { case _: Throwable => }
+
+    // CALM-WINDOW DETECTOR (VERDICT r13 #4): three consecutive captures
+    // ran on hot boxes (per-entry medians 1.12x/1.13x/1.37x vs committed
+    // calm references). When the opening floor probe reads hot (>1.5x the
+    // committed calm floor), WAIT — in bounded 20 s steps, re-probing,
+    // up to SPARK_GRAFT_CALM_WAIT_SEC (default 180; 0 disables) and never
+    // past 25% of the wall budget — rather than spend the whole window
+    // measuring weather. The wait consumes the budget honestly (ambient
+    // bursts on this box last seconds-to-minutes, so a short wait often
+    // buys a calm capture that is worth far more than 3 extra entries);
+    // waited seconds and the start/end probes are emitted as
+    // calm_wait_sec / start_floor_sec so the adjudicator can see the
+    // decision. The first (codegen-carrying) warmup sample above is NOT
+    // the probe — a fresh timed sample is.
+    val calmWaitMax = sys.env.getOrElse("SPARK_GRAFT_CALM_WAIT_SEC", "180").toDouble
+    var calmWaitSec = 0.0
+    var startFloorSec =
+      try time(materialize(floorJob(spark))) catch { case _: Throwable => -1.0 }
+    if (startFloorSec > 0) lastFloorSample = startFloorSec
+    val startFloorFirst = startFloorSec
+    if (!fullProfile && calmWaitMax > 0 && refFloorSec > 0 && startFloorSec > 0) {
+      while (startFloorSec > refFloorSec * 1.5 && calmWaitSec < calmWaitMax &&
+          (budgetSec <= 0 || elapsedSec < budgetSec * 0.25)) {
+        System.err.println(f"[bench] start floor $startFloorSec%.2f s > 1.5x " +
+          f"committed $refFloorSec%.2f s — waiting 20 s for a calm window " +
+          f"(${calmWaitSec.toInt + 20}/${calmWaitMax.toInt} s)")
+        Thread.sleep(20000)
+        calmWaitSec += 20
+        startFloorSec =
+          try time(materialize(floorJob(spark))) catch { case _: Throwable => startFloorSec }
+        if (startFloorSec > 0) lastFloorSample = startFloorSec
+      }
+      if (calmWaitSec > 0)
+        System.err.println(f"[bench] calm wait ended after ${calmWaitSec.toInt} s " +
+          f"(floor $startFloorSec%.2f s vs committed $refFloorSec%.2f s)")
+    }
 
     // ---- forked-scenario machinery (used by the carve-out below AND the
     // parity/scale phases further down). DEFAULT: one fresh child JVM per
@@ -1125,14 +1250,30 @@ object Bench {
     // phase (the skip marker is dropped so it re-enters its family
     // chunk). The remaining 10 presets keep the existing
     // least-evidenced-first ordering after the scale_ phase.
+    // rotation presets (VERDICT r13 #2, rule at [[parityRotationDefault]])
+    // join the carve-out slice; unknown names warn instead of silently
+    // carving nothing
+    val rotationNames: Seq[String] = sys.env.get("SPARK_GRAFT_PARITY_ROTATION") match {
+      case Some("none") => Nil
+      case Some(s) => s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      case None => parityRotationDefault
+    }
+    rotationNames.filterNot(n => parityScenarios.exists(_._1 == n)).foreach(n =>
+      System.err.println(s"[bench] WARNING: rotation preset '$n' is not a parity scenario"))
     val parityCarveOutNames: Seq[String] =
       if (!forkMode || fullProfile || budgetSec <= 0) Nil
-      else parityCarveOutList.filter(selected)
+      else orderCarveOut((parityCarveOutList ++
+        rotationNames.filter(n => parityScenarios.exists(_._1 == n)))
+        .distinct.filter(selected))
     val carveOutResults: Seq[(String, Double)] =
       if (parityCarveOutNames.isEmpty) Nil
       else {
+        // default raised 360 → 420 in round 14 to fund the rotation
+        // presets (streaming_8/64 reuse the already-built "large" dataset
+        // so they cost runs only; unpack_large adds one "packed_large"
+        // build ≈ 12 s + runs) — wall math in the header scaladoc
         val carveBudget = math.min(
-          sys.env.getOrElse("SPARK_GRAFT_PARITY_CARVEOUT_SEC", "360").toDouble,
+          sys.env.getOrElse("SPARK_GRAFT_PARITY_CARVEOUT_SEC", "420").toDouble,
           budgetLeft - 60)
         if (carveBudget < 45) Nil
         else {
@@ -1141,9 +1282,19 @@ object Bench {
             parityCarveOutNames.mkString(", "))
           val results = BenchScenario.runForkedGroup(parityCarveOutNames,
             cpus, forkRepeat, sfDir, childWarmups, carveBudget, obsHostRatio)
-          val out = parityCarveOutNames.flatMap(n => record(n,
-            results.getOrElse(n, BenchScenario.ForkResult(-1.0, -1L, -1.0,
-              Nil, Some("no result line from grouped child")))))
+          // a name with NO result line means the grouped child died before
+          // reaching it — for carve-out names treat that like a budget-skip
+          // (drop it so it re-enters its family chunk in the main parity
+          // phase) rather than recording a sec=-1 error that would forfeit
+          // the preset's normal shot: one child death must not cost all
+          // seven gate presets their capture (ADVICE r13)
+          val out = parityCarveOutNames.flatMap(n => results.get(n) match {
+            case Some(r) => record(n, r)
+            case None =>
+              System.err.println(s"[bench] carve-out: no result line for " +
+                s"$n (child died?) — deferring to the main parity phase")
+              None
+          })
           skipped --= parityCarveOutNames.filterNot(partialResults.contains)
           out
         }
@@ -1377,7 +1528,11 @@ object Bench {
     // tail window in the r12 rehearsal and left 4 flags unadjudicated;
     // runIsolated hands its child the remaining budget either way, so a
     // tight window degrades to a partial rerun, not an overrun.
-    val rerunSkippedBudget = flagged.nonEmpty && rerunEnabled && budgetLeft < 100
+    // (round 14: threshold 100 → 45 s — runIsolated hands the child the
+    // remaining budget and the child's own affordability gate degrades to
+    // a partial rerun, so even a thin window adjudicates the worst
+    // offender; below ~45 s a child JVM cannot finish anything)
+    val rerunSkippedBudget = flagged.nonEmpty && rerunEnabled && budgetLeft < 45
     val isolated: Map[String, Double] =
       if (flagged.isEmpty || !rerunEnabled || rerunSkippedBudget) Map.empty
       else {
@@ -1429,13 +1584,25 @@ object Bench {
         val t0 = all0.toMap
         def ratio(n: String): Double =
           t0.getOrElse(n, 0.0) / math.max(refTimes.getOrElse(n, 1e9), 1e-9)
-        val (heavy, light) = flagged.partition(n =>
-          ratio(n) >= 3.0 || t0.getOrElse(n, 0.0) >= 5.0)
-        val isoHeavy =
-          if (heavy.isEmpty) Map.empty[String, Double]
-          else runIsolated(heavy, cpus, math.max(repeat, 2), budgetLeft)
+        // round 14 (VERDICT r13 #1): the heavy class also includes any
+        // flag whose COMMITTED reference is >= 5 s — a big preset reading
+        // "only" 2.5x is still tens of seconds of unexplained wall — and
+        // heavy flags run HIGHEST-RATIO FIRST in chunks of 3 (the child
+        // receives names via the unordered SPARK_GRAFT_ONLY filter, so
+        // ordering must happen at the chunk boundary: if the window dies
+        // mid-adjudication, the 10x outlier has its value and the 2.1x
+        // one is the casualty, not the reverse).
+        val (heavy0, light) = flagged.partition(n =>
+          ratio(n) >= 3.0 || t0.getOrElse(n, 0.0) >= 5.0 ||
+            refTimes.getOrElse(n, 0.0) >= 5.0)
+        val heavy = heavy0.sortBy(n => -ratio(n))
+        val isoHeavy = heavy.grouped(3).foldLeft(Map.empty[String, Double]) {
+          (acc, grp) =>
+            if (budgetLeft < 40) acc
+            else acc ++ runIsolated(grp, cpus, math.max(repeat, 2), budgetLeft)
+        }
         val isoLight =
-          if (light.isEmpty) Map.empty[String, Double]
+          if (light.isEmpty || budgetLeft < 40) Map.empty[String, Double]
           else runIsolated(light, cpus, math.max(repeat, 2), budgetLeft)
         isoHeavy ++ isoLight
       }
@@ -1526,6 +1693,10 @@ object Bench {
       s""""profile":"$profile","budget_sec":$budgetSec,""" +
       s""""elapsed_sec":$elapsedSec,"skipped":$skippedJson,""" +
       s""""rerun_skipped_budget":$rerunSkippedBudget,""" +
+      s""""rerun_reserve_sec":$rerunReserveHard,""" +
+      s""""calm_wait_sec":$calmWaitSec,"start_floor_sec":$startFloorFirst,""" +
+      s""""start_floor_after_wait_sec":$startFloorSec,""" +
+      s""""rotation":${rotationNames.map(n => s""""$n"""").mkString("[", ",", "]")},""" +
       s""""peak_rss_mb":$peakRssMb,"floor_sec":$floorSec,"fork":$forkMode,""" +
       s""""n_queries":${good.size},"scenario_rss_mb":$rssJson,""" +
       s""""flag_factor":$flagFactor,"reference":$refJson,""" +

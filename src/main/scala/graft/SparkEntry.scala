@@ -2440,6 +2440,12 @@ object SparkEntry {
     val knnFilteredSql = knnBruteSql.replace(
       "c AS (SELECT vec_id, embedding AS ce FROM embeddings),",
       "c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE label % 2 = 0),")
+    // anchor-match guard (mirrors sq8FilteredSql below): a reformat of
+    // knnBruteSql must fail HERE, not as a confusing runtime parity
+    // mismatch between the filtered query and an accidentally-unfiltered
+    // oracle
+    require(knnFilteredSql != knnBruteSql,
+      "knnFilteredSql corpus-CTE anchor not found in knnBruteSql")
     // the same ranking cut to its rank-1 row: the INDEPENDENT top-1 the
     // per-query recall gates (q_knn_ivf_recall, q_sq8_recall) verify
     // membership against — derived textually from knnBruteSql so the two

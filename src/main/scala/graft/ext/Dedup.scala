@@ -578,11 +578,26 @@ object Dedup {
         // contracted graph, so outer rounds stay logarithmic on every
         // topology. m values only decrease, so a sum equality detects the
         // fixed point (the labelSum idea applied to the map).
+        //
+        // INNER-LOOP JOB PROFILE (a 100 TB operator reading the Spark UI
+        // should expect exactly this): each compression step costs one
+        // localCheckpoint of the merge map (1-2 jobs) plus one decimal-sum
+        // collect (1 job) — a FIXED ~3-job/step scheduling cost that is
+        // dwarfed by edge work at scale (the map is |V_contracted| rows
+        // and shrinks geometrically) but dominates wall time on tiny
+        // graphs, which is precisely why [[connectedComponents]] sends
+        // graphs under `smallGraphEdges` to the driver union-find fast
+        // path instead of here. Step count per round is log₂ of the
+        // longest pointer chain (≤ ~4 in practice); outer rounds are
+        // O(log n). Convergence is observable live: each outer round
+        // logs its compression step count below.
         var (cl, clBlocks) = cpTracked(m0)
         var mSum = cl.agg(sum(col("m").cast("decimal(38,0)")))
           .collect()(0).getDecimal(0)
         var compressed = false
+        var steps = 0
         while (!compressed) {
+          steps += 1
           val (nxt, nxtBlocks) = cpTracked(cl.alias("x")
             .join(cl.select(col("a").alias("a2"), col("m").alias("m2")).alias("y"),
               col("x.m") === col("y.a2"), "left")
@@ -617,6 +632,11 @@ object Dedup {
         e = newE; eBlocks = newEBlocks
         i += 1
         empty = e.isEmpty // limit-1 probe on the checkpointed frame
+        // one line per outer round (≤ maxIter total): lets an operator
+        // watch convergence on a long-running 100 TB graph without
+        // spelunking the Spark UI
+        System.err.println(s"[graft.cc] round $i: merge map compressed in " +
+          s"$steps step(s); edges ${if (empty) "exhausted" else "remain"}")
       }
       release(eBlocks)
       if (!empty) throw new IllegalStateException(

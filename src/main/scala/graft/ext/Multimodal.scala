@@ -622,7 +622,10 @@ object Multimodal {
     * on asset_id (payloads travel once), then a narrow per-pair decode;
     * the output is tiny typed rows. Dim-mismatched pairs report a null
     * error (resize changes dims — the caller compares what it asked
-    * for) rather than failing the sweep. */
+    * for) rather than failing the sweep. A null payload on either side
+    * degrades the same way — null dims for the missing side, null error —
+    * so a corpus [[transcodeImages]] passed through (which propagates
+    * null inputs as null outputs) QAs without executor NPEs. */
   def imagePairError(a: DataFrame, b: DataFrame): DataFrame = {
     val spark = a.sparkSession
     val outSchema = StructType(Seq(
@@ -638,11 +641,14 @@ object Multimodal {
     val rows = paired.rdd.mapPartitions { it =>
       it.map { r =>
         val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
-        val ia = readImage(r.getAs[Array[Byte]](1))
-        val ib = readImage(r.getAs[Array[Byte]](2))
-        val (wa, ha, wb, hb) = (ia.getWidth, ia.getHeight, ib.getWidth, ib.getHeight)
+        val ia = if (r.isNullAt(1)) null else readImage(r.getAs[Array[Byte]](1))
+        val ib = if (r.isNullAt(2)) null else readImage(r.getAs[Array[Byte]](2))
+        def dim(i: java.awt.image.BufferedImage, f: java.awt.image.BufferedImage => Int)
+          : Integer = if (i == null) null else Integer.valueOf(f(i))
+        val (wa, ha) = (dim(ia, _.getWidth), dim(ia, _.getHeight))
+        val (wb, hb) = (dim(ib, _.getWidth), dim(ib, _.getHeight))
         val err: java.lang.Double =
-          if (wa != wb || ha != hb) null
+          if (ia == null || ib == null || wa != wb || ha != hb) null
           else {
             var sum = 0L
             var y = 0

@@ -454,6 +454,22 @@ object Similarity {
     probeRank(sp, cents, assigned, queries, k, idCol, vecCol, np)
   }
 
+  /** metaCols ride-along validation for [[saveIvf]]/[[saveIvfSq8]]: a
+    * metadata column colliding with the inverted file's own schema (or
+    * duplicating the id spine) would write an ambiguous column into the
+    * index parquet and fail only obscurely at load or serve time — fail
+    * at BUILD time with the collision named instead. */
+  private def requireMetaCols(metaCols: Seq[String], idCol: String,
+                              reserved: Seq[String]): Unit = {
+    val bad = metaCols.filter(c => reserved.contains(c) || c == idCol)
+    require(bad.isEmpty,
+      s"metaCols ${bad.mkString(", ")} collide with the inverted-file " +
+        s"schema (reserved: ${reserved.mkString(", ")}) or the id column " +
+        s"'$idCol' — rename them in the corpus before indexing")
+    val dups = metaCols.diff(metaCols.distinct).distinct
+    require(dups.isEmpty, s"metaCols repeated: ${dups.mkString(", ")}")
+  }
+
   /** A persisted IVF-flat index: `centroids` = (cent_id, cent_vec);
     * `assignments` = the inverted file (vec_id, vec, norm, cent_id,
     * plus any `metaCols` passed to [[saveIvf]]), cent_id-partitioned on
@@ -475,6 +491,7 @@ object Similarity {
   def saveIvf(corpus: DataFrame, idCol: String, vecCol: String, path: String,
               nlist: Int = 16, trainIters: Int = 0,
               metaCols: Seq[String] = Nil): Unit = {
+    requireMetaCols(metaCols, idCol, Seq("vec_id", "vec", "norm", "cent_id"))
     val sp = corpus.sparkSession
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
@@ -598,6 +615,7 @@ object Similarity {
   def saveIvfSq8(corpus: DataFrame, idCol: String, vecCol: String, path: String,
                  nlist: Int = 16, trainIters: Int = 0,
                  metaCols: Seq[String] = Nil): Unit = {
+    requireMetaCols(metaCols, idCol, Seq("vec_id", "sq8", "cent_id"))
     val sp = corpus.sparkSession
     val cents = trainCentroids(corpus, idCol, vecCol, nlist, trainIters)
     cents.write.mode("overwrite").parquet(s"$path/centroids")

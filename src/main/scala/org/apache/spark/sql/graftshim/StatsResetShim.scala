@@ -30,8 +30,22 @@ import org.apache.spark.sql.{DataFrame, Row, classic}
  */
 object StatsResetShim {
   def resetStats(df: DataFrame): DataFrame = {
-    val ds = df.asInstanceOf[classic.Dataset[Row]]
-    ds.sparkSession.internalCreateDataFrame(
-      ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+    // guarded cast (round 14): on a Connect session `df` is a
+    // connect.Dataset and the cast below would surface as a raw
+    // ClassCastException deep inside an iterative loop — name the actual
+    // constraint instead. (Version fragility is pinned separately by
+    // ShimSpec: a Spark bump that re-attaches compounding stats fails
+    // that spec loudly.)
+    df match {
+      case ds: classic.Dataset[Row @unchecked] =>
+        ds.sparkSession.internalCreateDataFrame(
+          ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+      case other =>
+        throw new UnsupportedOperationException(
+          "StatsResetShim.resetStats requires a classic (non-Connect) " +
+            s"SparkSession Dataset; got ${other.getClass.getName}. The " +
+            "iterative-loop stats reset reaches a private[sql] API that " +
+            "only exists driver-side — run this library on a classic session.")
+    }
   }
 }

@@ -67,6 +67,32 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!Bench.parityCarveOutList.exists(_.contains("_2k")))
   }
 
+  test("parity rotation (round 14): real non-carved presets, no giants, " +
+    "dataset-contiguous carve order with gates first") {
+    val byName = Bench.parityScenarios.map(s => s._1 -> s._2).toMap
+    // rotation names must be real parity scenarios that are NOT already
+    // carved (rotating a carved name would measure nothing new)
+    Bench.parityRotationDefault.foreach { n =>
+      assert(byName.contains(n), s"rotation name '$n' is not a parity scenario")
+      assert(!Bench.parityCarveOutList.contains(n),
+        s"rotation name '$n' is already in the carve-out")
+      assert(!n.contains("_2k"), s"giant '$n' must not rotate into the slice")
+    }
+    val ordered = Bench.orderCarveOut(
+      (Bench.parityCarveOutList ++ Bench.parityRotationDefault).distinct)
+    // dataset-contiguous: each dataset key appears as ONE run of
+    // consecutive entries (the child pays one build per dataset)
+    val keys = ordered.map(byName)
+    val runs = keys.foldLeft(List.empty[String]) {
+      (acc, k) => if (acc.headOption.contains(k)) acc else k :: acc
+    }.reverse
+    assert(runs == runs.distinct, s"dataset keys interleave: $keys")
+    // the 2x-gate preset leads; the no-published-reference preset is the
+    // one a hot-box budget-skip should land on
+    assert(ordered.head == "parity_pack_large")
+    assert(ordered.last == "parity_pack_very_large")
+  }
+
   test("warmup tiers: JIT q_ entries get two, giants keep base (round 12: " +
     "dropping their warmup measured JVM ramp, 135 s for a 10 s preset)") {
     assert(Bench.warmupsFor("q_drop_repeated_spans", 1) == 2)
