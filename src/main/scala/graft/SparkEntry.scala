@@ -1391,6 +1391,17 @@ object SparkEntry {
           // 40+. 16 = measured max + headroom for encoder variation.
           (col("mean_abs_err") <= 16.0).alias("content_ok"))
     }),
+    // multimodal REAL paged-document tier (round 14): 48 planted PDFs —
+    // genuine PDF 1.4 files, odd ids with FlateDecode-compressed content
+    // streams — parsed back by the pure-JVM subset reader
+    // (Multimodal.pdfTextMeta): page count, %PDF/%%EOF framing, and the
+    // FULL extracted text. The oracle rebuilds the text character-for-
+    // character from the id formula alone (it never sees the PDF bytes),
+    // so equality proves write → (deflate) → parse → (inflate) → extract
+    // is text-faithful end-to-end — the strongest oracle form, same idiom
+    // as q_multimodal_decode/audio.
+    "q_multimodal_pdf" -> ((s, _) =>
+      Multimodal.pdfTextMeta(Multimodal.plantedPdfs(s, 48))),
     // sources/sinks beyond parquet (free via DataFrameReader/Writer,
     // SURVEY §2.6): stage a table to CSV / JSON-lines and read it back —
     // the oracle reads the ORIGINAL parquet, so the hash compare checks
@@ -3665,6 +3676,21 @@ object SparkEntry {
           |  'image/jpeg' AS mime, true AS jpeg_magic_ok,
           |  true AS content_ok
           |FROM generate_series(0, 63) t(i)""".stripMargin,
+      // the planted PDF text rebuilt from the id formula alone —
+      // value-exact text compare against the parser's extraction
+      "q_multimodal_pdf" ->
+        """WITH ids AS (
+          |  SELECT i AS asset_id, 1 + i % 4 AS np
+          |  FROM generate_series(0, 47) t(i)),
+          |pg AS (
+          |  SELECT asset_id, np, p.p AS p,
+          |    'doc ' || asset_id || ' page ' || p.p ||
+          |      repeat(' lorem', CAST(1 + (asset_id + p.p) % 3 AS INTEGER)) AS s
+          |  FROM ids, generate_series(0, 3) p(p) WHERE p.p < np)
+          |SELECT asset_id, CAST(np AS INTEGER) AS n_pages,
+          |  true AS pdf_magic_ok,
+          |  string_agg(s, chr(10) ORDER BY p) AS text
+          |FROM pg GROUP BY asset_id, np""".stripMargin,
       // pigeonhole-blocked pairs ≡ exhaustive xor-popcount pairs
       "q_image_neardup" ->
         s"""WITH ${dhashOracleCte(96, 24)},

@@ -539,6 +539,244 @@ object Multimodal {
     spark.createDataFrame(rows, assetSchema)
   }
 
+  // ---- REAL document codec (PDF subset — pure JVM, round 14) -----------
+  // Real training pipelines carry PDFs alongside images/audio. The JDK has
+  // no PDF library, but the format's CLASSIC subset (PDF 1.4: flat object
+  // dicts, literal-string Tj/TJ text operators, uncompressed or
+  // FlateDecode content streams — java.util.zip inflates those) is small
+  // enough to read honestly in pure JVM. SUPPORTED SUBSET, stated plainly:
+  // no encryption, no object/xref streams (PDF 1.5+ compressed xref), no
+  // indirect /Length refs, no CID/hex-string text, no font-encoding
+  // remapping — i.e. the output of simple generators, which is exactly
+  // what the planted corpus emits (and what a real pipeline would route
+  // to a full parser only after THIS cheap pass triages by page count /
+  // extractable text). Reference behavior target: the reference engine
+  // treats documents as opaque payloads with typed metadata
+  // (polars-nexpresso has no PDF codec either) — this tier extends the
+  // same planted-formula oracle idiom the PNG/WAV/JPEG tiers use.
+
+  /** Planted page count: 1 + id % 4. */
+  private[ext] def plantedPdfPages(id: Long): Int = (1 + id % 4).toInt
+
+  /** Planted page text — mirrored EXACTLY by the q_multimodal_pdf oracle:
+    * 'doc <id> page <p>' + ' lorem' × (1 + (id+p) % 3). */
+  private[ext] def plantedPdfPageText(id: Long, p: Int): String =
+    s"doc $id page $p" + " lorem" * (1 + ((id + p) % 3)).toInt
+
+  private[ext] def pdfEscape(s: String): String = s.flatMap {
+    case '\\' => "\\\\"; case '(' => "\\("; case ')' => "\\)"
+    case c => c.toString
+  }
+
+  private def deflateBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private[ext] def inflateBytes(b: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(b)
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsInput()) {
+      val n = inf.inflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+      else if (inf.needsDictionary()) throw new IllegalArgumentException(
+        "FlateDecode stream needs a preset dictionary (unsupported)")
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  /** Deterministic planted document as REAL PDF 1.4 bytes: catalog /
+    * pages / Type1 font / one content stream per page with a single Tj.
+    * Odd ids FlateDecode their content streams, even ids store them raw,
+    * so the parser's both paths stay exercised. Byte-exact xref offsets
+    * (standard viewers open these). */
+  private[ext] def plantedPdf(id: Long): Array[Byte] = {
+    val np = plantedPdfPages(id)
+    val flate = id % 2 == 1
+    val objs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def obj(n: Int, body: String): Array[Byte] =
+      s"$n 0 obj\n$body\nendobj\n".getBytes(Latin1)
+    val kids = (0 until np).map(p => s"${4 + 2 * p} 0 R").mkString(" ")
+    objs += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    objs += obj(2, s"<< /Type /Pages /Kids [$kids] /Count $np >>")
+    objs += obj(3, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    (0 until np).foreach { p =>
+      val contObj = 5 + 2 * p
+      objs += obj(4 + 2 * p,
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contObj 0 R >>")
+      val content = "BT /F1 12 Tf 72 720 Td " +
+        s"(${pdfEscape(plantedPdfPageText(id, p))}) Tj ET"
+      val data = if (flate) deflateBytes(content.getBytes(Latin1))
+                 else content.getBytes(Latin1)
+      val filter = if (flate) " /Filter /FlateDecode" else ""
+      objs += (s"$contObj 0 obj\n<< /Length ${data.length}$filter >>\nstream\n"
+        .getBytes(Latin1) ++ data ++ "\nendstream\nendobj\n".getBytes(Latin1))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    // the high-bit comment line marks the file binary-safe, per spec
+    bos.write("%PDF-1.4\n%âãÏÓ\n".getBytes(Latin1))
+    val offsets = objs.map { o => val off = bos.size(); bos.write(o); off }
+    val xrefOff = bos.size()
+    val sb = new StringBuilder
+    sb.append(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefOff\n%%EOF\n")
+    bos.write(sb.toString.getBytes(Latin1))
+    bos.toByteArray
+  }
+
+  /** Planted-PDF asset table, generated ON THE EXECUTORS like
+    * [[plantedImages]] (payload bytes never touch the driver); width /
+    * height are null — paged documents have no raster dims. */
+  def plantedPdfs(spark: org.apache.spark.sql.SparkSession, n: Int,
+                  partitions: Int = 8): DataFrame = {
+    val rows = spark.range(0, n, 1, partitions).rdd.map { id =>
+      val pdf = plantedPdf(id)
+      Row(id, pdf, Row("application/pdf", pdf.length.toLong, null, null))
+    }
+    spark.createDataFrame(rows, assetSchema)
+  }
+
+  /** Literal strings inside BT..ET blocks of one decoded content stream,
+    * PDF escapes resolved (\\( \\) \\\\ \\n \\r \\t \\b \\f and octal
+    * \\ddd), nested balanced parens honored. Tj draws one string, TJ
+    * draws its array's string elements in order — so in-order
+    * concatenation of the literals IS the drawn text for this subset. */
+  private[ext] def pdfContentText(content: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < content.length) {
+      val bt = content.indexOf("BT", i)
+      if (bt < 0) i = content.length
+      else {
+        val et = content.indexOf("ET", bt + 2)
+        val end = if (et < 0) content.length else et
+        var j = bt + 2
+        while (j < end) {
+          if (content.charAt(j) == '(') {
+            var depth = 1; j += 1
+            while (j < end && depth > 0) {
+              val c = content.charAt(j)
+              if (c == '\\' && j + 1 < end) {
+                content.charAt(j + 1) match {
+                  case 'n' => out.append('\n'); j += 2
+                  case 'r' => out.append('\r'); j += 2
+                  case 't' => out.append('\t'); j += 2
+                  case 'b' => out.append('\b'); j += 2
+                  case 'f' => out.append('\f'); j += 2
+                  case d if d >= '0' && d <= '7' =>
+                    val oct = content.substring(j + 1,
+                      math.min(j + 4, end)).takeWhile(ch => ch >= '0' && ch <= '7')
+                    out.append(Integer.parseInt(oct, 8).toChar)
+                    j += 1 + oct.length
+                  case e => out.append(e); j += 2 // includes ( ) \
+                }
+              } else if (c == '(') { depth += 1; out.append(c); j += 1 }
+              else if (c == ')') { depth -= 1; if (depth > 0) out.append(c); j += 1 }
+              else { out.append(c); j += 1 }
+            }
+          } else j += 1
+        }
+        i = if (et < 0) content.length else et + 2
+      }
+    }
+    out.toString
+  }
+
+  /** Parse one PDF payload → (page count, magic ok, extracted text).
+    * Page count = `/Type /Page` occurrences (the non-/Pages kind); text =
+    * per-content-stream [[pdfContentText]] joined with \n in stream
+    * order (our subset's page order, and simple generators' too).
+    * Latin-1 is the scan charset — it is byte-preserving, so char
+    * offsets ARE byte offsets and binary Flate data slices exactly. */
+  private[ext] def parsePdf(bytes: Array[Byte]): (Int, Boolean, String) = {
+    val s = new String(bytes, Latin1)
+    val magic = s.startsWith("%PDF-") && s.contains("%%EOF")
+    val pm = java.util.regex.Pattern.compile("/Type\\s*/Page(?![a-zA-Z0-9])")
+      .matcher(s)
+    var nPages = 0
+    while (pm.find()) nPages += 1
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      val st = s.indexOf("stream", i)
+      if (st < 0 || st + 6 >= s.length) i = s.length
+      // "stream" found as the tail of an "endstream" keyword — skip it
+      else if (st >= 3 && s.regionMatches(st - 3, "end", 0, 3)) i = st + 6
+      else {
+        // data starts after the keyword's EOL; the owning dict is the
+        // text between the enclosing "N 0 obj" and the keyword
+        val dataStart = if (s.charAt(st + 6) == '\r') st + 8
+                        else if (s.charAt(st + 6) == '\n') st + 7
+                        else st + 6
+        val objAt = s.lastIndexOf(" obj", st)
+        val dict = s.substring(math.max(0, if (objAt < 0) 0 else objAt), st)
+        // (?!\d) pins the full number (no backtracking into a shorter
+        // match); the second lookahead rejects indirect refs "/Length 5 0 R"
+        val lenM = java.util.regex.Pattern
+          .compile("/Length\\s+(\\d+)(?!\\d)(?!\\s+\\d+\\s+R)").matcher(dict)
+        val dataEnd =
+          if (lenM.find()) math.min(dataStart + lenM.group(1).toInt, s.length)
+          else {
+            val e = s.indexOf("endstream", dataStart)
+            if (e < 0) s.length
+            else if (e >= 2 && s.charAt(e - 2) == '\r' && s.charAt(e - 1) == '\n') e - 2
+            else if (e >= 1 && s.charAt(e - 1) == '\n') e - 1
+            else e
+          }
+        val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+        val decoded =
+          if (dict.contains("/FlateDecode"))
+            try new String(inflateBytes(raw), Latin1)
+            catch { case _: Throwable => "" } // undecodable stream: no text
+          else new String(raw, Latin1)
+        val t = pdfContentText(decoded)
+        if (t.nonEmpty) texts += t
+        val e = s.indexOf("endstream", dataEnd)
+        i = if (e < 0) s.length else e + 9
+      }
+    }
+    (nPages, magic, texts.mkString("\n"))
+  }
+
+  /** Paged-document metadata + text extraction over a PDF asset corpus:
+    * (asset_id, n_pages, pdf_magic_ok, text). The 100 TB triage pass —
+    * one cheap narrow open per blob, mapPartitions for the same reason as
+    * [[decodeImageMeta]] (byte-level codecs can't be Catalyst
+    * expressions); everything downstream is small typed rows. Null
+    * payloads degrade to null fields. */
+  def pdfTextMeta(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("n_pages", IntegerType),
+      StructField("pdf_magic_ok", BooleanType),
+      StructField("text", StringType)))
+    val rows = assets.select(col("asset_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
+        if (r.isNullAt(1)) Row(id, null, null, null)
+        else {
+          val (np, magic, text) = parsePdf(r.getAs[Array[Byte]](1))
+          Row(id, np, magic, text)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** REAL transcode: decode any ImageIO-readable payload and re-encode it
     * as `format` ("jpg"/"png"/...) at an explicit compression quality —
     * the storage-compaction pass a 100 TB image corpus runs before

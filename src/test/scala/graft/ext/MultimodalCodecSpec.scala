@@ -137,6 +137,87 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSpec {
     assert(e == 1.0, s"(+3,0,0)/3 channels = 1.0, got $e")
   }
 
+  test("imagePairError: null payload on either side degrades to a null " +
+    "error row (transcodeImages propagates null inputs — composing the " +
+    "two QA steps must not NPE)") {
+    import spark.implicits._
+    def solid(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val good = Seq((1L, solid())).toDF("asset_id", "payload")
+    val nul = Seq((1L, null.asInstanceOf[Array[Byte]]))
+      .toDF("asset_id", "payload")
+    for ((a, b) <- Seq((good, nul), (nul, good), (nul, nul))) {
+      val r = Multimodal.imagePairError(a, b).collect().head
+      assert(r.isNullAt(5), "null payload must give null mean_abs_err")
+    }
+    // the null SIDE reports null dims; the present side keeps its dims
+    val r = Multimodal.imagePairError(good, nul).collect().head
+    assert(r.getInt(1) == 8 && r.getInt(2) == 8)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  // ---- PDF subset codec (round 14) --------------------------------------
+
+  test("planted PDF parses back: page count, magic, text exactly per the " +
+    "planting formula — both raw and FlateDecode content streams") {
+    for (id <- Seq(0L, 1L, 2L, 7L, 46L, 47L)) { // even = raw, odd = flate
+      val bytes = Multimodal.plantedPdf(id)
+      assert(new String(bytes.take(5), "ISO-8859-1") == "%PDF-")
+      val (np, magic, text) = Multimodal.parsePdf(bytes)
+      val expNp = Multimodal.plantedPdfPages(id)
+      val expText = (0 until expNp)
+        .map(p => Multimodal.plantedPdfPageText(id, p)).mkString("\n")
+      assert(magic, s"id=$id magic")
+      assert(np == expNp, s"id=$id pages: $np != $expNp")
+      assert(text == expText, s"id=$id text:\n$text\n!=\n$expText")
+    }
+  }
+
+  test("pdf parser handles escapes, nested parens, TJ arrays, and an " +
+    "indirect /Length (hand-built content)") {
+    // escapes + nesting: (a\(b\)c (nested) \\ \101) = "a(b)c (nested) \ A"
+    val c1 = "BT (a\\(b\\)c (nested) \\\\ \\101) Tj ET"
+    assert(Multimodal.pdfContentText(c1) == "a(b)c (nested) \\ A")
+    // TJ array pieces concatenate in order (kerning numbers ignored)
+    val c2 = "BT [(Hel) -20 (lo) 4 ( world)] TJ ET"
+    assert(Multimodal.pdfContentText(c2) == "Hello world")
+    // two BT blocks in one stream concatenate
+    val c3 = "BT (x) Tj ET q Q BT (y) Tj ET"
+    assert(Multimodal.pdfContentText(c3) == "xy")
+    // indirect /Length (unsupported form) falls back to endstream scan
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n" +
+      "2 0 obj\n<< /Length 3 0 R >>\nstream\nBT (ok) Tj ET\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes("ISO-8859-1")
+    val (np, magic, text) = Multimodal.parsePdf(pdf)
+    assert(np == 1 && magic && text == "ok")
+  }
+
+  test("pdfTextMeta over the planted corpus: schema, nulls, and exact " +
+    "rows for spot ids") {
+    import spark.implicits._
+    val assets = Multimodal.plantedPdfs(spark, 8)
+    val got = Multimodal.pdfTextMeta(assets).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2), r.getString(3))))
+      .toMap
+    assert(got.size == 8)
+    for (id <- 0L until 8L) {
+      val np = Multimodal.plantedPdfPages(id)
+      val txt = (0 until np)
+        .map(p => Multimodal.plantedPdfPageText(id, p)).mkString("\n")
+      assert(got(id) == ((np, true, txt)), s"id=$id")
+    }
+    // null payload degrades to null fields, not an executor NPE
+    val nul = Seq((99L, null.asInstanceOf[Array[Byte]]))
+      .toDF("asset_id", "payload")
+    val r = Multimodal.pdfTextMeta(nul).collect().head
+    assert(r.getLong(0) == 99L && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
   test("WAV encode→decode is sample-faithful to the planting formula") {
     for (id <- Seq(0L, 5L, 31L, 47L)) {
       val samples = Multimodal.readWavSamples(Multimodal.plantedWav(id))
