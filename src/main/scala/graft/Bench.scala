@@ -1379,8 +1379,23 @@ object Bench {
         // datasets (and evicts a dataset once its last scenario ran, so
         // peak heap stays one dataset deep). The full profile keeps
         // strict per-scenario forks for clean per-process VmHWM.
+        // CHEAP GROUPS BEFORE GIANT GROUPS (round 14): with the carve-out
+        // + rotation consuming 10 presets, the whole remaining family
+        // (no_child_order, the parent_heavy pair, the _2k giants)
+        // coalesces into ONE child — and in first-appearance order the
+        // _2k giants ran before the sub-2 s parent_heavy pair, so when
+        // the giants' best-of-3 band ate the child's budget it skipped
+        // the CHEAP presets (r14a rehearsal: 2 of 5 measured, the two
+        // skipped parent_heavy runs would have cost ~10 s total). Sort
+        // dataset groups by their cheapest-known cost so a child's
+        // budget death always lands on the most expensive, best-
+        // evidenced giants. (The old least-evidenced-first chunk order
+        // is subsumed: post-carve-out, cost order IS evidence-need order
+        // — the giants have ten rounds of committed values.)
         val groups = activeParity.groupBy(_._2).toSeq
-          .sortBy { case (k, _) => activeParity.indexWhere(_._2 == k) }
+          .sortBy { case (k, defs) =>
+            (defs.map(d => refTimes.getOrElse(d._1, 10.0)).max,
+              activeParity.indexWhere(_._2 == k)) }
         val chunks = groups.foldLeft(
           List.empty[Vector[(String, String, DataFrame => DataFrame)]]) {
           (acc, g) => acc match {
@@ -1389,14 +1404,16 @@ object Bench {
             case _ => g._2.toVector :: acc
           }
         }
-        // LEAST-EVIDENCED FIRST (round 12, the scale-before-parity
-        // argument applied within parity): the fold above leaves chunks
-        // newest-last = the skewed/parent_heavy/very_large tail that
-        // BENCH_r10/r11/r12-rehearsals budget-skipped three times running
-        // while the eleven-rounds-committed "large" family re-measured
-        // first every time. Run the historically-starved tail first; if a
-        // bursty box starves anything now, it's the best-evidenced chunk.
-        chunks.flatMap { defs =>
+        // CHEAPEST CHUNK FIRST (round 14, superseding round 12's
+        // least-evidenced-first): the fold above prepends, so the chunk
+        // list is build-reversed — reverse it back so chunks run in the
+        // cost order the group sort established. If a bursty box starves
+        // anything now, it's the most expensive chunk (the _2k giants),
+        // which post-carve-out is also the best-evidenced one — the r12
+        // starvation pattern this ordering originally fixed (the
+        // skewed/parent_heavy/very_large tail skipped three rounds
+        // running) is now prevented upstream by the carve-out + rotation.
+        chunks.reverse.flatMap { defs =>
           val names = defs.map(_._1)
           if (mainBudgetLeft < chunkBudgetNeed(names)) { skipped ++= names; Nil }
           else {
@@ -1559,13 +1576,23 @@ object Bench {
           refFloor > 0 && f > 0 && f > refFloor * 1.5
         rerunFloor = BenchScenario.runForked("__floor__", cpus,
           math.max(repeat, 3), sfDir, childWarmups).sec
-        if (hot(rerunFloor)) {
+        // the 30 s calm wait + re-probe costs ~42 s — affordable when the
+        // reserve is fat, fatal when a GIANT flag needs ~110 s of the
+        // 120 s hard reserve (the r14a rehearsal burned the wait and then
+        // couldn't afford the flagged _2k giant's rerun child at all: an
+        // empty isolated_rerun is strictly worse than a floor_hot-
+        // annotated one). Below 180 s of remaining budget, take the
+        // single probe's verdict and spend the window on the rerun itself.
+        if (hot(rerunFloor) && budgetLeft >= 180) {
           System.err.println(s"[bench] floor probe $rerunFloor s > 1.5x " +
             s"committed floor $refFloor s — waiting 30 s for the box to calm")
           Thread.sleep(30000)
           rerunFloor = BenchScenario.runForked("__floor__", cpus,
             math.max(repeat, 3), sfDir, childWarmups).sec
-        }
+        } else if (hot(rerunFloor))
+          System.err.println(s"[bench] floor probe $rerunFloor s hot but " +
+            s"only ${budgetLeft.toInt} s left — skipping the calm wait, " +
+            "rerunning under floor_hot annotation")
         rerunFloorHot = hot(rerunFloor)
         if (rerunFloorHot)
           System.err.println(s"[bench] floor still hot ($rerunFloor s) — " +
