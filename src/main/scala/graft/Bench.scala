@@ -1017,8 +1017,17 @@ object Bench {
     // light flags starved the parity tail exactly like the unspent
     // reserve used to starve scale_ (the r12 rehearsal measured the
     // rerun of 33 residue flags at ~250 s; 1-3 real flags need ~100 s).
+    // reserves exist to protect the END-OF-RUN rerun window — a process
+    // that will never run that phase must not hold them. The r14c
+    // rehearsal found the failure mode: the isolated-rerun CHILD (always
+    // launched with SPARK_GRAFT_RERUN=0 and a ~110 s handed-down budget)
+    // held the 120 s hard reserve itself, went budget-negative at entry
+    // one, skipped every flagged entry, and returned an EMPTY artifact —
+    // the reserve designed to guarantee adjudication was vetoing it.
+    val holdsReserve = !sys.env.get("SPARK_GRAFT_RERUN").contains("0")
     def mainBudgetLeft: Double =
       if (budgetSec <= 0) Double.MaxValue
+      else if (!holdsReserve) budgetLeft
       else pendingFlagCount match {
         // no pending flag: hold only the HARD reserve (flags routinely
         // first appear in the final phases — r13's parity giants — so
@@ -1513,7 +1522,7 @@ object Bench {
     // so scheduling-floor entries never flag) re-run in a clean child JVM.
     // The flag predicate itself ([[entryFlagged]]) is defined up top —
     // it also steers the main pass's budget reserve.
-    val rerunEnabled = !sys.env.get("SPARK_GRAFT_RERUN").contains("0")
+    val rerunEnabled = holdsReserve // single-sourced with the reserve gate
     val flagged = all0.collect {
       case (name, t) if entryFlagged(name, t, floorSec) => name
     }
