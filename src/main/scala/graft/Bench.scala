@@ -49,7 +49,7 @@ import org.apache.spark.storage.StorageLevel
   *    never past 25% of the budget) before measuring anything — waited
   *    seconds are disclosed as calm_wait_sec;
   *  - DRIVER-PROFILE WALL MATH (round 14, budget 1320 s): carve-out
-  *    <= 420 (7 gate presets + 3 rotation) + q_ sweep ~500 (167 entries,
+  *    <= 420 (7 gate presets + 3 rotation) + q_ sweep ~500 (168 entries,
   *    floor-bound ones single-run with NO in-place retry — ref < 0.7 s
   *    entries re-measure mostly the scheduling floor, so their ~60-90 s
   *    of retries now fund the reserves) + scale_ ~250 + main parity
@@ -296,6 +296,12 @@ object Bench {
       // the re-run child is already a clean room — shared-JVM mode inside
       // it avoids a second layer of per-scenario JVM spawns
       pb.environment().put("SPARK_GRAFT_FORK", "0")
+      // no calm-wait recursion: the PARENT already took the floor probe's
+      // verdict for this window (possibly skipping its own wait to fund
+      // this child) — a child that re-enters the 20 s wait loop on its
+      // ~100 s budget spends the reserve on sleeping, the exact failure
+      // the reserve exists to prevent
+      pb.environment().put("SPARK_GRAFT_CALM_WAIT_SEC", "0")
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.environment().put("SPARK_GRAFT_REPEAT", repeat.toString)
       // hand the child what remains of the PARENT's wall-clock budget
@@ -907,9 +913,13 @@ object Bench {
     // whenever a committed reference exists (without one nothing can
     // flag, so nothing is held). The final-window pass still reclaims
     // whatever the rerun leaves.
+    // clamped to 20% of the budget so small-budget focused runs
+    // (SPARK_GRAFT_ONLY regression attribution at BUDGET_SEC~120) still
+    // measure instead of reserving their whole window
     val rerunReserveHard =
       if (budgetSec <= 0) 0.0
-      else sys.env.getOrElse("SPARK_GRAFT_RERUN_RESERVE_SEC", "120").toDouble
+      else math.min(budgetSec * 0.2,
+        sys.env.getOrElse("SPARK_GRAFT_RERUN_RESERVE_SEC", "120").toDouble)
     // Optional comma-separated substring filter over entry names
     // (SPARK_GRAFT_ONLY="q_pack,scale_"): focused reruns for regression
     // attribution, and sf1.0 runs that skip the sf-independent synthetic

@@ -656,41 +656,56 @@ object Multimodal {
     * concatenation of the literals IS the drawn text for this subset. */
   private[ext] def pdfContentText(content: String): String = {
     val out = new StringBuilder
-    var i = 0
-    while (i < content.length) {
-      val bt = content.indexOf("BT", i)
-      if (bt < 0) i = content.length
-      else {
-        val et = content.indexOf("ET", bt + 2)
-        val end = if (et < 0) content.length else et
-        var j = bt + 2
-        while (j < end) {
-          if (content.charAt(j) == '(') {
-            var depth = 1; j += 1
-            while (j < end && depth > 0) {
-              val c = content.charAt(j)
-              if (c == '\\' && j + 1 < end) {
-                content.charAt(j + 1) match {
-                  case 'n' => out.append('\n'); j += 2
-                  case 'r' => out.append('\r'); j += 2
-                  case 't' => out.append('\t'); j += 2
-                  case 'b' => out.append('\b'); j += 2
-                  case 'f' => out.append('\f'); j += 2
-                  case d if d >= '0' && d <= '7' =>
-                    val oct = content.substring(j + 1,
-                      math.min(j + 4, end)).takeWhile(ch => ch >= '0' && ch <= '7')
-                    out.append(Integer.parseInt(oct, 8).toChar)
-                    j += 1 + oct.length
-                  case e => out.append(e); j += 2 // includes ( ) \
-                }
-              } else if (c == '(') { depth += 1; out.append(c); j += 1 }
-              else if (c == ')') { depth -= 1; if (depth > 0) out.append(c); j += 1 }
-              else { out.append(c); j += 1 }
-            }
-          } else j += 1
-        }
-        i = if (et < 0) content.length else et + 2
+    val len = content.length
+    // BT/ET must match as OPERATOR TOKENS (delimiter-bounded), never as
+    // substrings: 'BT (BUDGET REPORT) Tj ET' contains 'ET' inside the
+    // literal, and a raw indexOf would truncate extraction mid-word.
+    // Literals are consumed atomically in BOTH states (a '(see BT…)'
+    // string outside a text block must not flip the state machine), so
+    // operator scanning only ever looks at non-string bytes.
+    def isDelim(c: Char): Boolean =
+      c.isWhitespace || "()<>[]{}/%".indexOf(c.toInt) >= 0
+    def tokenAt(j: Int, t: String): Boolean =
+      content.startsWith(t, j) &&
+        (j == 0 || isDelim(content.charAt(j - 1))) &&
+        (j + t.length >= len || isDelim(content.charAt(j + t.length)))
+    // consume one literal starting at '(' (index of the open paren);
+    // append resolved chars to `out` only when `keep`; returns the index
+    // just past the closing paren
+    def literal(start: Int, keep: Boolean): Int = {
+      var j = start + 1
+      var depth = 1
+      def put(c: Char): Unit = { if (keep) out.append(c); () }
+      while (j < len && depth > 0) {
+        val c = content.charAt(j)
+        if (c == '\\' && j + 1 < len) {
+          content.charAt(j + 1) match {
+            case 'n' => put('\n'); j += 2
+            case 'r' => put('\r'); j += 2
+            case 't' => put('\t'); j += 2
+            case 'b' => put('\b'); j += 2
+            case 'f' => put('\f'); j += 2
+            case d if d >= '0' && d <= '7' =>
+              val oct = content.substring(j + 1,
+                math.min(j + 4, len)).takeWhile(ch => ch >= '0' && ch <= '7')
+              put(Integer.parseInt(oct, 8).toChar)
+              j += 1 + oct.length
+            case e => put(e); j += 2 // includes ( ) \
+          }
+        } else if (c == '(') { depth += 1; put(c); j += 1 }
+        else if (c == ')') { depth -= 1; if (depth > 0) put(c); j += 1 }
+        else { put(c); j += 1 }
       }
+      j
+    }
+    var i = 0
+    var inText = false
+    while (i < len) {
+      val c = content.charAt(i)
+      if (c == '(') i = literal(i, keep = inText)
+      else if (!inText && tokenAt(i, "BT")) { inText = true; i += 2 }
+      else if (inText && tokenAt(i, "ET")) { inText = false; i += 2 }
+      else i += 1
     }
     out.toString
   }
@@ -717,25 +732,34 @@ object Multimodal {
       else if (st >= 3 && s.regionMatches(st - 3, "end", 0, 3)) i = st + 6
       else {
         // data starts after the keyword's EOL; the owning dict is the
-        // text between the enclosing "N 0 obj" and the keyword
-        val dataStart = if (s.charAt(st + 6) == '\r') st + 8
-                        else if (s.charAt(st + 6) == '\n') st + 7
-                        else st + 6
+        // text between the enclosing "N 0 obj" and the keyword. Clamp to
+        // the payload length — a blob truncated right after "stream\r"
+        // must degrade (empty slice), not throw from copyOfRange
+        val dataStart = math.min(s.length,
+          if (s.charAt(st + 6) == '\r') st + 8
+          else if (s.charAt(st + 6) == '\n') st + 7
+          else st + 6)
         val objAt = s.lastIndexOf(" obj", st)
         val dict = s.substring(math.max(0, if (objAt < 0) 0 else objAt), st)
         // (?!\d) pins the full number (no backtracking into a shorter
         // match); the second lookahead rejects indirect refs "/Length 5 0 R"
         val lenM = java.util.regex.Pattern
           .compile("/Length\\s+(\\d+)(?!\\d)(?!\\s+\\d+\\s+R)").matcher(dict)
-        val dataEnd =
-          if (lenM.find()) math.min(dataStart + lenM.group(1).toInt, s.length)
-          else {
-            val e = s.indexOf("endstream", dataStart)
-            if (e < 0) s.length
-            else if (e >= 2 && s.charAt(e - 2) == '\r' && s.charAt(e - 1) == '\n') e - 2
-            else if (e >= 1 && s.charAt(e - 1) == '\n') e - 1
-            else e
-          }
+        // absurd /Length digit strings (corrupt blob) fall back to the
+        // endstream scan instead of overflowing
+        val declaredLen = if (lenM.find())
+          scala.util.Try(lenM.group(1).toLong).toOption.filter(_ <= s.length.toLong)
+        else None
+        val dataEnd = math.max(dataStart,
+          declaredLen match {
+            case Some(n) => math.min(dataStart.toLong + n, s.length.toLong).toInt
+            case None =>
+              val e = s.indexOf("endstream", dataStart)
+              if (e < 0) s.length
+              else if (e >= 2 && s.charAt(e - 2) == '\r' && s.charAt(e - 1) == '\n') e - 2
+              else if (e >= 1 && s.charAt(e - 1) == '\n') e - 1
+              else e
+          })
         val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
         val decoded =
           if (dict.contains("/FlateDecode"))
@@ -768,9 +792,14 @@ object Multimodal {
       it.map { r =>
         val id = if (r.isNullAt(0)) null else java.lang.Long.valueOf(r.getLong(0))
         if (r.isNullAt(1)) Row(id, null, null, null)
-        else {
+        else try {
           val (np, magic, text) = parsePdf(r.getAs[Array[Byte]](1))
           Row(id, np, magic, text)
+        } catch {
+          // a triage pass over untrusted blobs must degrade per row, not
+          // fail the sweep: any malformed byte sequence the parser chokes
+          // on reports pdf_magic_ok=false with null pages/text
+          case scala.util.control.NonFatal(_) => Row(id, null, false, null)
         }
       }
     }

@@ -197,6 +197,35 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSpec {
     assert(np == 1 && magic && text == "ok")
   }
 
+  test("pdf parser: operator tokens never match inside literals (the " +
+    "'BUDGET REPORT' class) and BT/ET require delimiter boundaries") {
+    // 'ET' inside the drawn text must not terminate the block
+    assert(Multimodal.pdfContentText("BT (BUDGET REPORT) Tj ET") ==
+      "BUDGET REPORT")
+    // 'BT' inside a literal OUTSIDE a text block must not open one
+    assert(Multimodal.pdfContentText("(see BT section) BT (x) Tj ET") == "x")
+    // substrings of longer tokens are not operators
+    assert(Multimodal.pdfContentText("BT /SETF 1 Tf (a) Tj ET") == "a")
+  }
+
+  test("pdf parser degrades on malformed blobs instead of crashing the sweep") {
+    import spark.implicits._
+    // truncated right after 'stream\r' — the copyOfRange(from>to) class
+    val truncated = "%PDF-1.4\n1 0 obj\n<< /Length 5 >>\nstream\r"
+      .getBytes("ISO-8859-1")
+    val (np, magic, text) = Multimodal.parsePdf(truncated)
+    assert(np == 0 && !magic && text == "")
+    // absurd declared /Length falls back to the endstream scan
+    val bogus = ("%PDF-1.4\n1 0 obj\n<< /Length 99999999999999999999 >>\n" +
+      "stream\nBT (z) Tj ET\nendstream\nendobj\n%%EOF\n").getBytes("ISO-8859-1")
+    assert(Multimodal.parsePdf(bogus)._3 == "z")
+    // arbitrary garbage through the full frame: per-row degradation
+    val junk = Seq((7L, Array.fill[Byte](64)(0x2a)))
+      .toDF("asset_id", "payload")
+    val r = Multimodal.pdfTextMeta(junk).collect().head
+    assert(r.getLong(0) == 7L && !r.getBoolean(2))
+  }
+
   test("pdfTextMeta over the planted corpus: schema, nulls, and exact " +
     "rows for spot ids") {
     import spark.implicits._
