@@ -1247,8 +1247,13 @@ object Bench {
     // 90 s let a parity chunk start at 1050 s elapsed and overrun the
     // 1320 s budget by 37 s when a host burst tripled its giant-group
     // runs; unreferenced new entries cost the fixed reserve only)
+    // host-speed-aware (round 14): the flat 2x-refs estimate green-lit
+    // the _2k giant chunk into a 165 s window on a degrading box whose
+    // true hot cost was ~200 s (r14e overran the wall by 146 s in the
+    // chain this started). Scaling by the parent's observed ratio keeps
+    // calm-box behavior identical and makes a hot box skip honestly.
     def chunkBudgetNeed(names: Seq[String]): Double =
-      90.0 + 2.0 * names.flatMap(refTimes.get).sum
+      90.0 + 2.0 * math.max(1.0, obsHostRatio) * names.flatMap(refTimes.get).sum
     def forkBudgetOk(name: String): Boolean =
       if (mainBudgetLeft >= chunkBudgetNeed(Seq(name))) true
       else { skipped += name; false }
@@ -1644,7 +1649,14 @@ object Bench {
         val heavy = heavy0.sortBy(n => -ratio(n))
         val isoHeavy = heavy.grouped(3).foldLeft(Map.empty[String, Double]) {
           (acc, grp) =>
-            if (budgetLeft < 40) acc
+            // a chunk holding a GIANT (ref >= 5 s) needs the child to
+            // build a giant dataset + run a warmup + best-of protocol —
+            // launching one into a < 100 s window just overruns the wall
+            // and returns nothing (r14e: a 45 s-budget child spent it all
+            // building parent_dom_2k). Cheap flags stay viable at 40 s.
+            val need = if (grp.exists(n => refTimes.getOrElse(n, 0.0) >= 5.0))
+              100 else 40
+            if (budgetLeft < need) acc
             else acc ++ runIsolated(grp, cpus, math.max(repeat, 2), budgetLeft)
         }
         val isoLight =
@@ -1954,7 +1966,13 @@ object BenchScenario {
       val reps = Bench.repeatFor(name, repeat)
       var runs = Bench.runsOfN(1, onErr)(prepared.query())
       var rep = 1
-      while (rep < reps && runs.forall(_ >= 0) && childBudgetLeft > 0) {
+      // PROJECTED next-run cost, not just >0 (round 14): `> 0` let a
+      // best-of-3 giant start its third 40 s pass with 1 s of wall left —
+      // the r14e chunk overran the parent's deadline by ~30 s exactly
+      // this way. Projecting by the slowest observed run bounds the
+      // overshoot to the at-least-one-run semantics of the FIRST pass.
+      while (rep < reps && runs.forall(_ >= 0) &&
+          childBudgetLeft > math.max(runs.max, 0.0)) {
         System.gc()
         runs = runs ++ Bench.runsOfN(1, onErr)(prepared.query())
         rep += 1
