@@ -37,7 +37,7 @@ import org.apache.spark.storage.StorageLevel
   *    at most ~2 rounds old even when the main parity phase is starved;
   *  - HARD RERUN RESERVE (round 14): the isolated-rerun window at the END
   *    of the run gets the same protection the carve-out gives the start —
-  *    a fixed SPARK_GRAFT_RERUN_RESERVE_SEC (default 120 s) slice the
+  *    a fixed SPARK_GRAFT_RERUN_RESERVE_SEC (default 150 s) slice the
   *    main phases can never consume whenever a committed reference
   *    exists, so flagged entries can never again ship unadjudicated
   *    merely because flags appeared late (BENCH_r13 shipped a 10.4x
@@ -907,7 +907,7 @@ object Bench {
     // budget is spent; the r13 capture ended with six flags, 17 s of wall,
     // and `rerun_skipped_budget: true`, shipping a 10.4x outlier
     // unadjudicated. Mirror the parity carve-out at the END of the run:
-    // a fixed slice (SPARK_GRAFT_RERUN_RESERVE_SEC, default 120 s — the
+    // a fixed slice (SPARK_GRAFT_RERUN_RESERVE_SEC, default 150 s — the
     // measured cost of a floor-probe child + one grouped rerun child over
     // a handful of flags) that the main phases can never consume, held
     // whenever a committed reference exists (without one nothing can
@@ -916,10 +916,13 @@ object Bench {
     // clamped to 20% of the budget so small-budget focused runs
     // (SPARK_GRAFT_ONLY regression attribution at BUDGET_SEC~120) still
     // measure instead of reserving their whole window
+    // default 150 (raised from 120 in-round): a GIANT flag's rerun child
+    // costs ~15 JVM + ~40 dataset build + warmup + budget-bounded runs —
+    // 120 left it unaffordable in every rehearsal that flagged one
     val rerunReserveHard =
       if (budgetSec <= 0) 0.0
       else math.min(budgetSec * 0.2,
-        sys.env.getOrElse("SPARK_GRAFT_RERUN_RESERVE_SEC", "120").toDouble)
+        sys.env.getOrElse("SPARK_GRAFT_RERUN_RESERVE_SEC", "150").toDouble)
     // Optional comma-separated substring filter over entry names
     // (SPARK_GRAFT_ONLY="q_pack,scale_"): focused reruns for regression
     // attribution, and sf1.0 runs that skip the sf-independent synthetic
@@ -1093,7 +1096,23 @@ object Bench {
       // with SPARK_GRAFT_FORK=0 and lands here)
       val onErr = (e: Throwable) => errMsgs(name) =
         s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(300)
-      var runs = runsOfN(repeatFor(name, repeat), onErr)(f)
+      // BUDGET-AWARE repeats (round 14, mirroring the forked child): the
+      // isolated-rerun child lands HERE (FORK=0), and a flagged giant's
+      // unconditional best-of-3 ran 3 x ~39 s against a ~90 s child
+      // budget in r14f — the last unbounded path in the 1430 s wall
+      // overrun. Further repeats start only while the projected cost
+      // (slowest observed run) fits; the full profile (budgetSec=0) and
+      // the driver profile's repeat=1 entries are unchanged. Explicit GC
+      // between repeats preserves runsOfN's leveling semantics.
+      val reps = repeatFor(name, repeat)
+      var runs = runsOfN(1, onErr)(f)
+      var rep = 1
+      while (rep < reps && runs.forall(_ >= 0) &&
+          (budgetSec <= 0 || budgetLeft > math.max(runs.max, 0.0))) {
+        System.gc()
+        runs = runs ++ runsOfN(1, onErr)(f)
+        rep += 1
+      }
       // IN-PLACE FLAG RETRY (round 12): a single dirty sample — shared-JVM
       // GC residue, a host-steal burst — otherwise flags the entry and
       // buys a whole child-JVM re-run at the end of the run (the r12
@@ -1655,7 +1674,7 @@ object Bench {
             // and returns nothing (r14e: a 45 s-budget child spent it all
             // building parent_dom_2k). Cheap flags stay viable at 40 s.
             val need = if (grp.exists(n => refTimes.getOrElse(n, 0.0) >= 5.0))
-              100 else 40
+              110 else 40
             if (budgetLeft < need) acc
             else acc ++ runIsolated(grp, cpus, math.max(repeat, 2), budgetLeft)
         }
