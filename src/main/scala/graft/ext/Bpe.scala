@@ -110,26 +110,105 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Single word under the classic PRIORITY-MERGE loop (the standard
+    * tokenizer apply — GPT-2's `bpe()` / HuggingFace tokenizers idiom):
+    * repeatedly find the LOWEST-RANK adjacent pair present in the word
+    * and merge its occurrences left-to-right non-overlapping, until no
+    * listed pair remains. Cost is O(len · merges-applied) per word and
+    * INDEPENDENT of the merge-table size K — the property the K-chained
+    * Catalyst fold lacks (VERDICT r14 #1: at a realistic K ≈ 30,000 the
+    * folded expression tree is 30k nested `aggregate` HOFs and Catalyst
+    * analysis blows up long before data volume matters).
+    *
+    * Equivalence with sequential rank-order application (the fold arm):
+    * identical whenever every symbol string in the table is produced by
+    * a unique rank — which [[trainMerges]] tables satisfy in practice.
+    * (The pathological counter-case needs two different ranks to build
+    * the same symbol string via different splits AND a lower rank to
+    * consume it; BpeSpec gates the two arms ≡ on the fixtures.) */
+  private[ext] def rankMergeWord(
+      chars: Array[String],
+      rank: scala.collection.Map[(String, String), Int]): Array[String] = {
+    var syms = chars
+    var done = syms.length < 2 || rank.isEmpty
+    while (!done) {
+      var best = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) best = r
+        i += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 &&
+              rank.getOrElse((syms(j), syms(j + 1)), Int.MaxValue) == best) {
+            out += syms(j) + syms(j + 1); j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.toArray
+        done = syms.length < 2
+      }
+    }
+    syms
+  }
+
   /**
    * ENCODE under a trained merge list: per-document word and subword
    * counts — the apply half of the tokenizer pipeline (train with
    * [[trainMerges]], measure corpus token budgets with this).
    *
-   * Scale path: the merge folds run over the DISTINCT-WORD table
-   * (vocabulary-bounded — K chained `aggregate` folds, map-side), and
-   * the corpus only pays a broadcast hash join of its exploded tokens
-   * against that word → subword-count map, then one per-doc partial-agg
-   * count. Docs with no tokens are absent.
+   * Scale path: the merges apply over the DISTINCT-WORD table
+   * (vocabulary-bounded), and the corpus only pays a broadcast hash join
+   * of its exploded tokens against that word → subword-count map, then
+   * one per-doc partial-agg count. Docs with no tokens are absent.
+   *
+   * `strategy` picks how the word table is tokenized (VERDICT r14 #1):
+   *  - `"rankmap"` (the `"auto"` default): ONE narrow `mapPartitions`
+   *    pass with the broadcast rank map and [[rankMergeWord]]'s
+   *    priority-merge loop — per-word cost independent of K, so a
+   *    realistic 30k-merge table costs the same plan as an 8-merge one.
+   *    The non-expression path is justified exactly like the Multimodal
+   *    byte codecs: the per-word loop is data-dependent iteration no
+   *    fixed-depth Catalyst expression can express at unbounded K.
+   *  - `"fold"`: the original K-chained Catalyst `aggregate` folds —
+   *    whole-stage-codegen'd and zero-JVM-closure at small K, kept as
+   *    the spec's reference arm and the bench counter-example arm
+   *    (scale_bpe_folded_64). It has a HARD K-ceiling: each chained HOF
+   *    costs the analyzer an iteration, so at K=128 Spark 4.1 fails
+   *    analysis outright (`Max iterations (100) reached for batch
+   *    Resolution`, spec-pinned in BpeSpec) — which is why it is NOT
+   *    the default.
    */
   def encodeCounts(df: DataFrame, idCol: String, textCol: String,
-                   merges: Seq[(String, String)]): DataFrame = {
+                   merges: Seq[(String, String)],
+                   strategy: String = "auto"): DataFrame = {
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(
         TextAnalysis.normalized(col(textCol)))).alias("__w"))
     val words = toks.select("__w").distinct()
-    val chars = filter(split(col("__w"), ""), s => length(s) > 0)
-    val folded = merges.foldLeft(chars) { case (c, (l, r)) => applyMerge(c, l, r) }
-    val wordSub = words.select(col("__w"), size(folded).alias("__k"))
+    val wordSub = strategy match {
+      case "fold" =>
+        val chars = filter(split(col("__w"), ""), s => length(s) > 0)
+        val folded = merges.foldLeft(chars) { case (c, (l, r)) => applyMerge(c, l, r) }
+        words.select(col("__w"), size(folded).alias("__k"))
+      case "rankmap" | "auto" =>
+        val spark = df.sparkSession
+        val bcRanks = spark.sparkContext.broadcast(
+          merges.zipWithIndex.toMap: scala.collection.Map[(String, String), Int])
+        import spark.implicits._
+        words.select(col("__w")).as[String].mapPartitions { it =>
+          val rm = bcRanks.value
+          it.map { w =>
+            (w, rankMergeWord(w.split("").filter(_.nonEmpty), rm).length)
+          }
+        }.toDF("__w", "__k")
+      case other => throw new IllegalArgumentException(
+        s"unknown encodeCounts strategy '$other' (fold | rankmap | auto)")
+    }
     toks.join(broadcast(wordSub), "__w")
       .groupBy(col(idCol))
       .agg(count(lit(1)).alias("n_words"),

@@ -578,18 +578,36 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Hard ceiling on a single FlateDecode stream's inflated size
+    * (ADVICE r14): deflate tops out near 1032:1, so a ~64 KB stream in
+    * an untrusted blob can legally claim ~64 MB and a crafted
+    * decompression bomb far more — unbounded, that is an executor OOM
+    * (an Error the per-row NonFatal catch does NOT stop) failing the
+    * whole triage sweep. Past the cap the stream is treated like any
+    * other undecodable stream: an exception the per-row try/catch
+    * degrades to "" / pdf_magic_ok=false. 64 MB is ~3 orders of
+    * magnitude above any real single page-content stream. */
+  private[ext] val MaxInflatedBytes: Long = 64L << 20
+
   private[ext] def inflateBytes(b: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(b)
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
-      val n = inf.inflate(buf)
-      if (n > 0) out.write(buf, 0, n)
-      else if (inf.needsDictionary()) throw new IllegalArgumentException(
-        "FlateDecode stream needs a preset dictionary (unsupported)")
-    }
-    inf.end()
+    try {
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) {
+          if (out.size().toLong + n > MaxInflatedBytes)
+            throw new IllegalArgumentException(
+              s"FlateDecode output exceeds the $MaxInflatedBytes-byte cap " +
+                "(decompression bomb?)")
+          out.write(buf, 0, n)
+        }
+        else if (inf.needsDictionary()) throw new IllegalArgumentException(
+          "FlateDecode stream needs a preset dictionary (unsupported)")
+      }
+    } finally inf.end()
     out.toByteArray
   }
 

@@ -91,6 +91,95 @@ class BpeSpec extends SparkSpec {
       s"token budget not decreasing: $budgets")
   }
 
+  test("rankMergeWord: priority loop matches hand-computed merges") {
+    // rules: 0:(a,b) 1:(ab,c) 2:(a,a)
+    val rm = Map(("a", "b") -> 0, ("ab", "c") -> 1, ("a", "a") -> 2)
+    def run(s: String): Seq[String] =
+      Bpe.rankMergeWord(s.split("").filter(_.nonEmpty), rm).toSeq
+    assert(run("abc") == Seq("abc"))          // (a,b) then (ab,c)
+    assert(run("aabc") == Seq("a", "abc"))    // rank0 fires before rank2
+    assert(run("aaaa") == Seq("aa", "aa"))    // left-to-right non-overlap
+    assert(run("xyz") == Seq("x", "y", "z"))  // no rule applies
+    assert(run("") == Seq())
+    assert(run("a") == Seq("a"))
+  }
+
+  test("encodeCounts: rankmap ≡ fold on a trained merge table (VERDICT r14 #1 gate)") {
+    val docs = Seq(
+      (1L, "banana bandana analysis"),
+      (2L, "banana banana scan scan scan"),
+      (3L, "the theme there then"),
+      (4L, "low low low lower newest newest")).toDF("doc_id", "text")
+    val merges = Bpe.trainMergesSeq(docs, "text", 12).map(x => (x._2, x._3))
+    def result(strategy: String): Map[Long, (Long, Long)] =
+      Bpe.encodeCounts(docs, "doc_id", "text", merges, strategy)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val fold = result("fold")
+    val rank = result("rankmap")
+    assert(fold == rank, s"\nfold:    $fold\nrankmap: $rank")
+    assert(result("auto") == rank) // auto IS the rankmap path
+    // word-level gate, stronger than the count equality: the two apply
+    // strategies must produce the SAME symbol sequence per word
+    val rm: scala.collection.Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val words = docs.select(explode(TextAnalysis.tokens(
+        TextAnalysis.normalized(col("text")))).alias("w"))
+      .distinct().as[String].collect()
+    val foldedWords = {
+      val chars = filter(split(col("w"), ""), s => length(s) > 0)
+      val folded = merges.foldLeft(chars) { case (c, (l, r)) =>
+        Bpe.applyMerge(c, l, r) }
+      words.toSeq.toDF("w").select(col("w"), folded.alias("syms"))
+        .as[(String, Seq[String])].collect().toMap
+    }
+    words.foreach { w =>
+      val viaRank = Bpe.rankMergeWord(w.split("").filter(_.nonEmpty), rm).toSeq
+      assert(viaRank == foldedWords(w),
+        s"word '$w': rankmap $viaRank != fold ${foldedWords(w)}")
+    }
+  }
+
+  test("rankmap survives K=2048 merges (the fold arm's scale-killer axis)") {
+    // synthetic-but-valid table: 2048 distinct pairs over a 46-symbol
+    // alphabet — plan cost must not depend on K (ONE mapPartitions pass)
+    val alpha = ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString) ++
+      Seq("th", "he", "an", "re", "er", "in", "on", "at", "es", "en")
+    val merges = (for (l <- alpha; r <- alpha) yield (l, r)).take(2048)
+    val docs = Seq((1L, "the theme there then banana analysis"),
+      (2L, "scan newest lower low")).toDF("doc_id", "text")
+    val out = Bpe.encodeCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // sanity: every word still decodes to >= 1 subword, words preserved
+    assert(out(1L)._1 == 6L && out(2L)._1 == 4L)
+    assert(out.values.forall { case (w, s) => s >= w })
+    // spot-check one word by hand through the same rank map: (h,e) fires
+    // first (rank 326 < (t,h)=881), then ("t","he") — fully merged
+    val rm: scala.collection.Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val the = Bpe.rankMergeWord("the".split("").filter(_.nonEmpty), rm)
+    assert(the.toSeq == Seq("the"), s"expected single merged symbol, got ${the.toSeq}")
+  }
+
+  test("fold arm's hard K-ceiling: K=128 fails Catalyst analysis (pin)") {
+    // Each chained `aggregate` HOF costs the analyzer one Resolution
+    // iteration, so the folded arm cannot even ANALYZE past K≈100 on
+    // Spark 4.1 — the concrete scale-killer behind VERDICT r14 #1 and
+    // the reason encodeCounts defaults to the rankmap path. Pinned both
+    // ways (like ShimSpec): if this stops throwing, Spark changed the
+    // analyzer's iteration economics — re-evaluate the counter-example
+    // arm sizes in Bench (scale_bpe_folded_64) before retiring this.
+    val docs = Seq((1L, "low lower newest")).toDF("doc_id", "text")
+    val alpha = ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+    val merges = (for (l <- alpha; r <- alpha) yield (l, r)).take(128)
+    val e = intercept[Throwable] {
+      Bpe.encodeCounts(docs, "doc_id", "text", merges, "fold").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").contains("Max iterations"),
+      s"expected analyzer max-iterations failure, got: $e")
+    // and the SAME table through the rankmap path is fine
+    val ok = Bpe.encodeCounts(docs, "doc_id", "text", merges, "rankmap")
+      .as[(Long, Long, Long)].collect()
+    assert(ok.length == 1 && ok(0)._2 == 3L)
+  }
+
   test("early exhaustion: single-char vocabulary stops before numMerges") {
     val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
     val merges = Bpe.trainMerges(docs, "text", 5).collect()

@@ -226,6 +226,43 @@ class MultimodalCodecSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(0) == 7L && !r.getBoolean(2))
   }
 
+  test("FlateDecode decompression bomb is capped, and a bombed stream " +
+    "degrades per-row instead of OOMing the sweep (ADVICE r14)") {
+    import spark.implicits._
+    // ~96 MB of zeros deflates to ~90 KB — a legal stream whose inflated
+    // size exceeds the 64 MB cap; inflateBytes must throw (not allocate)
+    val bomb = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(new Array[Byte](96 << 20)); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    val e = intercept[IllegalArgumentException](Multimodal.inflateBytes(bomb))
+    assert(e.getMessage.contains("cap"))
+    // a crafted PDF carrying the bomb as a FlateDecode content stream:
+    // parsePdf treats it as an undecodable stream (no text), keeps going
+    val head = s"%PDF-1.4\n1 0 obj\n<< /Length ${bomb.length} /Filter /FlateDecode >>\nstream\n"
+    val tail = "\nendstream\nendobj\n2 0 obj\n<< /Length 14 >>\nstream\n" +
+      "BT (ok) Tj ET\nendstream\nendobj\n%%EOF\n"
+    val pdf = head.getBytes("ISO-8859-1") ++ bomb ++ tail.getBytes("ISO-8859-1")
+    val (_, magic, text) = Multimodal.parsePdf(pdf)
+    assert(magic && text == "ok", s"got text='$text'")
+    // and through the full frame: the row survives with the plain stream's
+    // text, no executor failure
+    val df = Seq((5L, pdf)).toDF("asset_id", "payload")
+    val r = Multimodal.pdfTextMeta(df).collect().head
+    assert(r.getLong(0) == 5L && r.getString(3) == "ok")
+    // a stream UNDER the cap still inflates fine end-to-end (planted odd
+    // ids are FlateDecode-compressed — re-assert one decodes)
+    val (np1, magic1, text1) = Multimodal.parsePdf(Multimodal.plantedPdf(1L))
+    assert(magic1 && np1 == Multimodal.plantedPdfPages(1L) &&
+      text1 == (0 until np1).map(p => Multimodal.plantedPdfPageText(1L, p))
+        .mkString("\n"))
+  }
+
   test("pdfTextMeta over the planted corpus: schema, nulls, and exact " +
     "rows for spot ids") {
     import spark.implicits._
