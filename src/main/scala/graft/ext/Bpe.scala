@@ -23,9 +23,10 @@ import org.apache.spark.sql.types._
  *
  * Scale notes: the driver holds one (left, right, cnt) row per
  * iteration (a `limit(1)` collect — bounded by construction); the word
- * table is re-persisted each iteration and the previous one released,
- * so lineage stays O(1) across K iterations instead of stacking K
- * lambda rewrites.
+ * table is re-persisted each generation and the previous one released
+ * one iteration later (after the collect that materializes its child),
+ * so each iteration is exactly ONE Spark job and at most two
+ * generations are ever cached.
  */
 object Bpe {
 
@@ -76,9 +77,19 @@ object Bpe {
   def trainMergesSeq(df: DataFrame, textCol: String,
                      numMerges: Int): Seq[(Int, String, String, Long)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    // ONE Spark job per merge (round 15): each iteration's pair-count
+    // collect is the ONLY action — it materializes the current
+    // generation's cache as a side effect of computing the counts, so the
+    // explicit count() the old loop paid per generation (plus the opening
+    // words.count()) was a second full pass per merge that bought nothing.
+    // The previous generation stays cached until the NEXT collect has
+    // materialized its child (deferred one-generation unpersist below);
+    // releasing it earlier would let a cache eviction recompute the child
+    // through the whole applyMerge lineage. Peak cache stays at two
+    // word-table generations, same as before.
     var words = wordTable(df, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    words.count()
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     try {
       var rank = 1
@@ -93,20 +104,23 @@ object Bpe {
           .agg(sum(col("__f")).alias("cnt"))
           .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
           .limit(1).collect()
+        // `words` is materialized now — its parent generation can go
+        if (prev != null) { prev.unpersist(); prev = null }
         if (best.isEmpty) exhausted = true
         else {
           val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
           merges += ((rank, l, r, c))
-          val next = words
+          prev = words
+          words = words
             .select(applyMerge(col("__sym"), l, r).alias("__sym"), col("__f"))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          next.count()
-          words.unpersist()
-          words = next
           rank += 1
         }
       }
-    } finally words.unpersist()
+    } finally {
+      if (prev != null) prev.unpersist()
+      words.unpersist()
+    }
     merges.toSeq
   }
 

@@ -81,10 +81,16 @@ object Graph {
     * is x→z by construction). Two degree equi-joins + one wedge join +
     * one probe join, all partial-aggregation-free equi-joins. */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // pin the CANONICAL EDGE LIST once (round 15): it feeds the degree
+    // aggregation + orientation joins AND both statsRow counts — without
+    // the cut, nNodes and nEdges each re-ran the whole upstream edge
+    // derivation (for q_triangle_count: lineitem scan → co-occurrence
+    // self-join → distinct, three full times per call)
+    val e = edges.localCheckpoint(true)
     // the oriented list feeds BOTH wedge sides and the closing probe —
     // pin it once (eager localCheckpoint) so the degree aggregation +
     // orientation joins run once, not three times
-    val o = orientByDegree(edges).localCheckpoint(true)
+    val o = orientByDegree(e).localCheckpoint(true)
     val e1 = o.select(col("src"), col("dst").alias("x"), col("dst_deg").alias("__dx"))
     val e2 = o.select(col("src"), col("dst").alias("z"), col("dst_deg").alias("__dz"))
     // each unordered out-pair once: tips ordered by the same (deg, id) key
@@ -92,7 +98,7 @@ object Graph {
       .filter(struct(col("__dx"), col("x")) < struct(col("__dz"), col("z")))
     val closing = o.select(col("src").alias("x"), col("dst").alias("z"))
     val triangles = wedges.join(closing, Seq("x", "z"))
-    statsRow(edges, triangles.count())
+    statsRow(e, triangles.count())
   }
 
   /** The naive id-canonical wedge join (`a < b < c`). Correct, but the
@@ -101,11 +107,17 @@ object Graph {
     * counter-example for [[triangleStats]]'s degree ordering
     * (scale_triangle_hub_plain vs _ordered); not for production graphs. */
   private[graft] def triangleStatsIdOriented(edges: DataFrame): DataFrame = {
-    val e1 = edges.select(col("a").alias("x"), col("b").alias("y"))
-    val e2 = edges.select(col("a").alias("y"), col("b").alias("z"))
-    val e3 = edges.select(col("a").alias("x"), col("b").alias("z"))
+    // same edge-list pin as [[triangleStats]] (round 15), so the
+    // counter-example pair isolates the WEDGE FAN-OUT difference —
+    // without it this arm also re-derived the edges three times and the
+    // plain-vs-ordered ratio partly measured edge recompute, not the
+    // hub-quadratic wedge join it exists to demonstrate
+    val e = edges.localCheckpoint(true)
+    val e1 = e.select(col("a").alias("x"), col("b").alias("y"))
+    val e2 = e.select(col("a").alias("y"), col("b").alias("z"))
+    val e3 = e.select(col("a").alias("x"), col("b").alias("z"))
     val triangles = e1.join(e2, "y").join(e3, Seq("x", "z"))
-    statsRow(edges, triangles.count())
+    statsRow(e, triangles.count())
   }
 
   private def statsRow(edges: DataFrame, nTri: Long): DataFrame = {
@@ -130,11 +142,13 @@ object Graph {
    * `iterations` rounds from the uniform start. Output:
    * (node, rank·6dp).
    *
-   * Scale shape: per round ONE equi-join (ranks ⋈ out-edges) feeding a
-   * partial-aggregatable sum per destination, then a left join back to
-   * the node list so isolated-from-incoming nodes keep the teleport
-   * term. Lineage is cut with an eager localCheckpoint per round —
-   * same hazard as [[hopDistances]]. Every node of a canonical edge
+   * Scale shape: per round ONE equi-join (ranks-with-degree ⋈ out-edges)
+   * feeding a partial-aggregatable sum per destination, then a left join
+   * back to the degree/node table so isolated-from-incoming nodes keep
+   * the teleport term. Rank is referenced once per round, so lineage
+   * grows linearly (NOT the [[hopDistances]] exponential hazard) and the
+   * loop stays lazy; lineage is cut every `checkpointEvery` rounds to
+   * bound analyzer cost on deep runs. Every node of a canonical edge
    * list has degree ≥ 1, so there is no dangling-mass correction term.
    *
    * Determinism note: the per-node neighbor sum is a float sum (order
@@ -142,32 +156,46 @@ object Graph {
    * of magnitude ≥ (1−d)/N leaves orders of magnitude of slack.
    */
   def pageRank(edges: DataFrame, iterations: Int = 5,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85, checkpointEvery: Int = 8): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     val spark = edges.sparkSession
     val sym = edges.select(col("a").alias("src"), col("b").alias("dst"))
       .union(edges.select(col("b").alias("src"), col("a").alias("dst")))
       .localCheckpoint(true)
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).alias("deg"))
+    // the degree table doubles as the node list (canonical edges → every
+    // node has deg >= 1), and `deg` RIDES the rank table through the loop
+    // (round 15): the old shape joined rank ⋈ deg ⋈ sym every round —
+    // carrying deg in rank removes one equi-join per iteration, and the
+    // separate `nodes` checkpoint (+ its count job) collapses into degN
+    val degN = sym.groupBy(col("src")).agg(count(lit(1)).alias("deg"))
       .localCheckpoint(true)
-    val nodes = deg.select(col("src").alias("node")).localCheckpoint(true)
-    val n = nodes.count()
+    val n = degN.count()
     val teleport = (1.0 - damping) / n
-    var rank = nodes.select(col("node"), lit(1.0 / n).alias("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    var rank = degN.select(col("src").alias("node"),
+      lit(1.0 / n).alias("r"), col("deg"))
+    for (i <- 1 to iterations) {
       val contribs = rank.alias("__r")
-        .join(deg.alias("__g"), col("__r.node") === col("__g.src"))
         .join(sym.alias("__s"), col("__r.node") === col("__s.src"))
         .select(col("__s.dst").alias("node"),
-          (col("__r.r") / col("__g.deg")).alias("c"))
+          (col("__r.r") / col("__r.deg")).alias("c"))
         .groupBy("node").agg(sum("c").alias("in_sum"))
-      rank = nodes.alias("__n")
-        .join(contribs.alias("__c"), col("__n.node") === col("__c.node"), "left")
-        .select(col("__n.node").alias("node"),
+      rank = degN.alias("__n")
+        .join(contribs.alias("__c"), col("__n.src") === col("__c.node"), "left")
+        .select(col("__n.src").alias("node"),
           (lit(teleport) + lit(damping) * coalesce(col("__c.in_sum"), lit(0.0)))
-            .alias("r"))
-        .localCheckpoint(true)
+            .alias("r"), col("__n.deg").alias("deg"))
+      // rank is referenced ONCE per round, so lineage grows LINEARLY —
+      // unlike hopDistances' twice-referenced dist there is no
+      // exponential-plan hazard, and a shallow power-iteration run is
+      // one lazy query instead of `iterations` eager checkpoint jobs
+      // (round 15: q_pagerank ran 5 materialization jobs per call for a
+      // 5-round plan the analyzer handles trivially). Deep runs still
+      // cut lineage every `checkpointEvery` rounds so analyzer cost and
+      // recompute-on-eviction stay bounded.
+      if (i % checkpointEvery == 0 && i < iterations)
+        rank = rank.localCheckpoint(true)
     }
     rank.select(col("node"), round(col("r"), 6).alias("rank"))
   }

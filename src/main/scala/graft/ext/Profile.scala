@@ -244,22 +244,35 @@ object Profile {
   def sketchAccuracy(df: DataFrame, c: String, rsd: Double = 0.05,
                      accuracy: Int = 1000): DataFrame = {
     val v = graft.ColName.topCol(c)
-    // TWO stats passes, each collected as one bounded row. Deliberately
-    // NOT one aggregation: a distinct aggregate (count_distinct) forces
-    // the RewriteDistinctAggregates Expand plan, and dragging the
-    // percentile buffers through the expanded rows measured 3-4x slower
-    // than running the distinct pair and the percentile pair as two
-    // clean single-pass aggregations (8 s -> ~2 s on 600k rows).
-    val sD = df.agg(
-      count_distinct(v).alias("exact_distinct"),
-      approx_count_distinct(v, rsd).alias("approx_distinct")).collect()(0)
+    // Round 15 (guide §2.3 "aggregate before you shuffle"): every EXACT
+    // statistic here is an order/count statistic, so it computes
+    // identically over the GROUPED (value, freq) table — one scan + one
+    // exchange building a table bounded by |distinct values|. That
+    // replaces (a) the count_distinct Expand plan (the round-12 3-4x
+    // finding that forced the old two-pass split), (b) the exact
+    // percentile's row-sized aggregation buffer (now |distinct|-sized
+    // with a frequency argument — same value: Spark's exact percentile
+    // builds a value→count map internally anyway), and (c) the third
+    // full corpus scan for the rank check (now a sum of frequencies over
+    // the cached grouped table). approx_count_distinct is duplicate-
+    // insensitive (HLL registers are set-maxes), so feeding it distinct
+    // values yields the identical estimate; only the KLL median sketch
+    // (percentile_approx) has no weighted form and keeps a raw pass.
+    val grouped = df.select(v.alias("__v")).groupBy("__v")
+      .agg(count(col("__v")).alias("__f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val s0 = df.agg(
-      expr(s"percentile(${graft.ColName.quote(c)}, 0.5)").alias("exact_p50"),
       expr(s"percentile_approx(${graft.ColName.quote(c)}, 0.5, $accuracy)")
-        .alias("approx_p50"),
-      count(v).alias("n")).collect()(0)
-    val (exactD, approxD) = (sD.getLong(0), sD.getLong(1))
-    if (s0.isNullAt(0) || s0.isNullAt(1)) {
+        .alias("approx_p50")).collect()(0)
+    val sG = grouped.agg(
+      count(col("__v")).alias("exact_distinct"),
+      approx_count_distinct(col("__v"), rsd).alias("approx_distinct"),
+      expr("percentile(__v, 0.5, __f)").alias("exact_p50"),
+      sum(when(col("__v").isNotNull, col("__f")).otherwise(0L)).alias("n")
+    ).collect()(0)
+    val (exactD, approxD) = (sG.getLong(0), sG.getLong(1))
+    if (sG.isNullAt(2) || s0.isNullAt(0)) {
       // no non-null values: no median exists; bounds are vacuous
       return df.sparkSession.range(1).select(
         lit(exactD).alias("exact_distinct"),
@@ -267,22 +280,27 @@ object Profile {
         lit(null).cast("double").alias("exact_p50"),
         lit(true).alias("p50_rank_within_bound"))
     }
-    val (exactP50, approxP50, n) = (s0.getDouble(0), s0.getDouble(1), s0.getLong(2))
+    val (exactP50, approxP50, n) = (sG.getDouble(2), s0.getDouble(0), sG.getLong(3))
     // the approx value's true rank RANGE: with ties the value occupies
     // ranks (count(< v), count(<= v)] — the guarantee holds iff that
-    // range intersects the target window, not iff a single rank does
-    df.agg(
-        sum(when(v <= approxP50, 1L).otherwise(0L)).alias("rank_le"),
-        sum(when(v < approxP50, 1L).otherwise(0L)).alias("rank_lt"))
-      .select(
+    // range intersects the target window, not iff a single rank does.
+    // Collected eagerly (frequency sums over the cached grouped table)
+    // so the table can be released before returning.
+    val sR = grouped.agg(
+        sum(when(col("__v") <= approxP50, col("__f")).otherwise(0L)).alias("rank_le"),
+        sum(when(col("__v") < approxP50, col("__f")).otherwise(0L)).alias("rank_lt"))
+      .collect()(0)
+    val (rankLe, rankLt) = (sR.getLong(0), sR.getLong(1))
+    df.sparkSession.range(1).select(
         lit(exactD).alias("exact_distinct"),
         lit(math.abs(approxD - exactD).toDouble / exactD <= 4 * rsd)
           .alias("distinct_within_4rsd"),
         lit(BigDecimal(exactP50).setScale(4, BigDecimal.RoundingMode.HALF_UP)
           .toDouble).alias("exact_p50"),
-        (col("rank_le") >= n / 2.0 - n.toDouble / accuracy - 1 &&
-         col("rank_lt") <= n / 2.0 + n.toDouble / accuracy + 1)
+        lit(rankLe >= n / 2.0 - n.toDouble / accuracy - 1 &&
+            rankLt <= n / 2.0 + n.toDouble / accuracy + 1)
           .alias("p50_rank_within_bound"))
+    } finally grouped.unpersist()
   }
 
   /**
