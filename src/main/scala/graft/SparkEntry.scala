@@ -1553,15 +1553,25 @@ object SparkEntry {
         in, Seq("event_id"), "event_time", "720 hours")
       val sink = "q_stream_dedup_out_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
-      val q = deduped.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
+      // dropDuplicatesWithinWatermark instantiates one state store per
+      // shuffle partition per micro-batch; at the session's 32 partitions
+      // that fixed setup (64 store inits over two batches) dominates the
+      // few-hundred-row dedup. Same scoped-down-and-restore treatment as
+      // q_interval_stream — the state partition count binds at stream
+      // START and results are partitioning-independent.
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        mem.addData((rows ++ dups).toIndexedSeq)
-        q.processAllAvailable()
-        // cross-batch re-sends: state is still live under the watermark
-        mem.addData(dups.toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+        val q = deduped.writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          mem.addData((rows ++ dups).toIndexedSeq)
+          q.processAllAvailable()
+          // cross-batch re-sends: state is still live under the watermark
+          mem.addData(dups.toIndexedSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
       s.table(sink).groupBy(col("user_id"))
         .agg(count(lit(1)).alias("n_events"), sum(col("cents")).alias("sum_cents"))
     }),
@@ -1981,15 +1991,25 @@ object SparkEntry {
       val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
       val in = mem.toDF().select(col("_1").alias("doc_id"), col("_2").alias("text"))
       val sink = stagingDir("stream_neardup", dir)
-      val q = graft.streaming.EventStreams.nearDupUpsertEachBatch(
-        in, "text", "doc_id", sink, threshold = 0.08, shingleN = 2,
-        numHashes = 128, bands = 128)
+      // each micro-batch's foreachBatch body runs ~20 batch jobs
+      // (MinHash, band join, contraction, versioned sink write) over a
+      // <100-doc fixture — at the session's 32 shuffle partitions every
+      // one of those exchanges schedules 32 near-empty tasks. Scope the
+      // width to the fixture like q_interval_stream (results are
+      // partitioning-independent; restored after the stream stops).
+      val oldParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try {
-        mem.addData(docs.filter(_._1 < 60).toIndexedSeq)
-        q.processAllAvailable()
-        mem.addData(docs.filter(_._1 >= 60).toIndexedSeq)
-        q.processAllAvailable()
-      } finally q.stop()
+        val q = graft.streaming.EventStreams.nearDupUpsertEachBatch(
+          in, "text", "doc_id", sink, threshold = 0.08, shingleN = 2,
+          numHashes = 128, bands = 128)
+        try {
+          mem.addData(docs.filter(_._1 < 60).toIndexedSeq)
+          q.processAllAvailable()
+          mem.addData(docs.filter(_._1 >= 60).toIndexedSeq)
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", oldParts)
       graft.streaming.EventStreams.readPackedSink(s, sink).select("doc_id")
     }),
     // per-doc Shannon token entropy: explode → (doc, token) counts → one

@@ -53,23 +53,36 @@ object Layout {
     boundaries.foldLeft(lit(0L))((acc, b) =>
       acc + when(c > lit(b), 1L).otherwise(0L))
 
-  /** Per-column quantile boundaries (one approxQuantile sampling job per
-    * column, driver-held array of 2^bits−1 doubles). */
-  private[ext] def zBoundaries(df: DataFrame, col: String,
-                               bits: Int): Array[Double] = {
+  /** Per-column quantile boundaries for ALL dimensions in ONE pass
+    * (round 15: the multi-column `approxQuantile` overload aggregates
+    * every column's QuantileSummaries in a single scan — the old
+    * one-call-per-column shape paid D full corpus scans for D
+    * dimensions). Driver-held: D × (2^bits−1) doubles. */
+  private[ext] def zBoundariesAll(df: DataFrame, cols: Seq[String],
+                                  bits: Int): Seq[Array[Double]] = {
     val n = 1 << bits
-    df.stat.approxQuantile(col,
-      (1 until n).map(_.toDouble / n).toArray, 1.0 / (4 * n))
+    df.stat.approxQuantile(cols.toArray,
+      (1 until n).map(_.toDouble / n).toArray, 1.0 / (4 * n)).toSeq
   }
 
-  /** The z-value column for `cols` (rank + interleave, no UDFs; runs one
-    * quantile-sampling job per column eagerly, like packAuto's probes). */
+  /** The z-value column for `cols` (rank + interleave, no UDFs; runs ONE
+    * quantile-sampling job over all dimensions eagerly, like packAuto's
+    * probes). */
   def zValue(df: DataFrame, cols: Seq[String], bits: Int = 6): Column =
-    mortonCode(cols.map(c =>
-      boundedRank(graft.ColName.topCol(c), zBoundaries(df, c, bits))), bits)
+    mortonCode(cols.zip(zBoundariesAll(df, cols, bits)).map { case (c, bs) =>
+      boundedRank(graft.ColName.topCol(c), bs) }, bits)
 
   /** Re-cluster `df` by the Z-order of `cols` into `numFiles` ranges.
-    * Content-identical to the input; only physical order changes. */
+    * Content-identical to the input; only physical order changes.
+    *
+    * The z expression stays INLINE in one projection deliberately
+    * (round-15 measurement): although [[mortonCode]] references each
+    * rank chain `bits` times syntactically, whole-stage codegen's
+    * subexpression elimination evaluates it once — a staged-alias
+    * rewrite (separate rank projection, the usual HOF idiom) measured
+    * 8.2 s vs 0.7 s on the same noop materialization because the merged
+    * projection lost codegen subexpression elimination. Staging helps
+    * interpreted HOFs; it hurts codegen'd scalar chains. */
   def zorder(df: DataFrame, cols: Seq[String], numFiles: Int,
              bits: Int = 6): DataFrame = {
     val z = "__zorder"
