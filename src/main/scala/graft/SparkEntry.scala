@@ -1581,11 +1581,20 @@ object SparkEntry {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val e0 = table(s, dir, "events")
       val e = e0.withColumn("us", graft.streaming.EventStreams.eventMicros(e0))
-      def side(t: String): Array[(Long, Long)] = e
-        .filter(col("event_type") === t &&
+      // ONE unsorted scan collects both sides; the time ordering the
+      // batch SPLIT below relies on (batch 1 = earlier half, so nothing
+      // in batch 2 lands behind batch 1's watermark) is restored by a
+      // driver-side sort — the previous per-side `orderBy(us).collect()`
+      // paid two extra scans plus two range-partitioned global sorts
+      // (sampling pass each) for an array the driver sorts in microseconds
+      val rowsBoth = e
+        .filter(col("event_type").isin("click", "purchase") &&
           col("user_id").isNotNull && col("us").isNotNull)
-        .select(col("user_id"), col("us")).orderBy(col("us"))
-        .as[(Long, Long)].collect()
+        .select(col("event_type"), col("user_id"), col("us"))
+        .as[(String, Long, Long)].collect()
+      def side(t: String): Array[(Long, Long)] =
+        rowsBoth.iterator.filter(_._1 == t).map(r => (r._2, r._3))
+          .toArray.sortBy(p => (p._2, p._1))
       val clicks = side("click")
       val purchases = side("purchase")
       val lMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]

@@ -511,9 +511,19 @@ object Dedup {
     // round cap. Track the fresh RDDs each checkpoint persists (registry
     // diff) and unpersist the superseded ones INSIDE the loop, keeping
     // only sym + the latest labels alive.
-    def cpTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    // `eager = false` MARKS the RDD for local checkpointing but defers
+    // materialization to the caller's own next action — used wherever an
+    // aggregation over the new frame immediately follows, so checkpoint
+    // materialization and the aggregation share ONE job instead of two
+    // (the round-15 job-count cut: on tiny/contracted frames the loop is
+    // scheduling-bound, and each saved job is a saved scheduling floor).
+    // Lazy frames MUST be fully materialized (a full-scan action, not a
+    // limit probe) before any predecessor's blocks are released — a
+    // truncated-lineage predecessor cannot be recomputed.
+    def cpTracked(df: DataFrame, eager: Boolean = true)
+        : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
       val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint() // eager — its blocks exist on return
+      val out = df.localCheckpoint(eager)
       val fresh = sc.getPersistentRDDs
         .collect { case (k, r) if !before.contains(k) => r }.toSeq
       // localCheckpoint CARRIES the original plan's statistics, and the
@@ -523,7 +533,9 @@ object Dedup {
       // geometric-digit BigInteger multiplication (observed at ~round 10
       // on a 200k-edge graph; full story in StatsResetShim's scaladoc).
       // Re-wrap the checkpointed RDD with a stats-free leaf: zero data
-      // movement, bounded stats work per round.
+      // movement, bounded stats work per round. (The wrapper scans the
+      // SAME marked RDD, so a lazy checkpoint still materializes-and-
+      // truncates on the wrapper's first action.)
       (org.apache.spark.sql.graftshim.StatsResetShim.resetStats(out), fresh)
     }
     def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
@@ -576,24 +588,26 @@ object Dedup {
         // only, and the step count is log₂ of the longest pointer chain;
         // afterwards every surviving comp-node is a LOCAL MIN of the
         // contracted graph, so outer rounds stay logarithmic on every
-        // topology. m values only decrease, so a sum equality detects the
-        // fixed point (the labelSum idea applied to the map).
+        // topology. m is min-monotone (m(m(a)) ≤ m(a)), so the fixed
+        // point is exactly "no row's m changed this step" — counted by a
+        // `__chg` flag that rides the checkpointed frame, summed by the
+        // SAME action that materializes the lazy checkpoint.
         //
         // INNER-LOOP JOB PROFILE (a 100 TB operator reading the Spark UI
-        // should expect exactly this): each compression step costs one
-        // localCheckpoint of the merge map (1-2 jobs) plus one decimal-sum
-        // collect (1 job) — a FIXED ~3-job/step scheduling cost that is
-        // dwarfed by edge work at scale (the map is |V_contracted| rows
-        // and shrinks geometrically) but dominates wall time on tiny
-        // graphs, which is precisely why [[connectedComponents]] sends
-        // graphs under `smallGraphEdges` to the driver union-find fast
-        // path instead of here. Step count per round is log₂ of the
-        // longest pointer chain (≤ ~4 in practice); outer rounds are
-        // O(log n). Convergence is observable live: each outer round
-        // logs its compression step count below.
+        // should expect exactly this): each compression step is ONE job —
+        // a lazy localCheckpoint of the merge map materialized by the
+        // changed-count aggregation over it (round 15; previously an
+        // eager checkpoint plus a separate decimal-sum collect = 2-3
+        // jobs/step, and a baseline sum collect per round on top). The
+        // fixed per-step scheduling cost is dwarfed by edge work at scale
+        // (the map is |V_contracted| rows and shrinks geometrically) but
+        // dominates wall time on tiny graphs, which is precisely why
+        // [[connectedComponents]] sends graphs under `smallGraphEdges` to
+        // the driver union-find fast path instead of here. Step count per
+        // round is log₂ of the longest pointer chain (≤ ~4 in practice);
+        // outer rounds are O(log n). Convergence is observable live: each
+        // outer round logs its compression step count below.
         var (cl, clBlocks) = cpTracked(m0)
-        var mSum = cl.agg(sum(col("m").cast("decimal(38,0)")))
-          .collect()(0).getDecimal(0)
         var compressed = false
         var steps = 0
         while (!compressed) {
@@ -601,14 +615,16 @@ object Dedup {
           val (nxt, nxtBlocks) = cpTracked(cl.alias("x")
             .join(cl.select(col("a").alias("a2"), col("m").alias("m2")).alias("y"),
               col("x.m") === col("y.a2"), "left")
-            .select(col("x.a").alias("a"), coalesce(col("m2"), col("x.m")).alias("m")))
-          val s = nxt.agg(sum(col("m").cast("decimal(38,0)")))
-            .collect()(0).getDecimal(0)
-          compressed = (mSum == null && s == null) ||
-            (mSum != null && mSum.compareTo(s) == 0)
-          mSum = s
-          release(clBlocks)
-          cl = nxt; clBlocks = nxtBlocks
+            .select(col("x.a").alias("a"), coalesce(col("m2"), col("x.m")).alias("m"),
+              (col("m2").isNotNull && col("m2") =!= col("x.m"))
+                .cast("long").alias("__chg")),
+            eager = false)
+          // one action: materializes the checkpoint AND counts changes
+          val changed = Option(nxt.agg(sum(col("__chg"))).collect()(0).get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+          compressed = changed == 0L
+          release(clBlocks) // nxt fully materialized by the agg above
+          cl = nxt.select(col("a"), col("m")); clBlocks = nxtBlocks
         }
         // relabel the original-id labels through the merge map (isolated
         // = already-final roots pass through the coalesce)
@@ -653,12 +669,13 @@ object Dedup {
       var (labels, labelBlocks) = cpTracked(
         sym.select(col("src").alias("id")).distinct()
           .select(col("id"), col("id").alias("comp")))
-      // convergence via exact label-sum: comp values only ever DECREASE,
-      // so any change strictly decreases sum(comp) — one tiny aggregate
-      // over the cached labels per round
-      def labelSum(l: DataFrame): java.math.BigDecimal =
-        l.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
-      var prevSum = labelSum(labels)
+      // convergence via changed-count: comp values only ever DECREASE, so
+      // the fixed point is "no row's comp changed this round". The flag
+      // rides the lazily-checkpointed frame and its sum is the SAME
+      // action that materializes the checkpoint — one job per round where
+      // the eager-checkpoint + separate sum-collect shape paid two
+      // (round 15; the arm still measures what it exists to measure:
+      // O(diameter) rounds of full-edge-set join work).
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
@@ -667,13 +684,15 @@ object Dedup {
         val (propagated, propBlocks) = cpTracked(labels.alias("l")
           .join(nbrMin.alias("n"), col("l.id") === col("n.id"), "left")
           .select(col("l.id").alias("id"),
-            least(col("l.comp"), coalesce(col("__nbr"), col("l.comp"))).alias("comp")))
-        val curSum = labelSum(propagated)
-        converged = (prevSum == null && curSum == null) ||
-          (prevSum != null && prevSum.compareTo(curSum) == 0)
-        prevSum = curSum
-        release(labelBlocks)
-        labels = propagated
+            least(col("l.comp"), coalesce(col("__nbr"), col("l.comp"))).alias("comp"),
+            (col("__nbr").isNotNull && col("__nbr") < col("l.comp"))
+              .cast("long").alias("__chg")),
+          eager = false)
+        val changed = Option(propagated.agg(sum(col("__chg"))).collect()(0).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        converged = changed == 0L
+        release(labelBlocks) // propagated fully materialized by the agg
+        labels = propagated.select(col("id"), col("comp"))
         labelBlocks = propBlocks
         i += 1
       }
