@@ -94,33 +94,33 @@ object Profile {
    * extreme, unlike mean/stddev — the point of using them for corpus
    * anomaly gates (absurd doc lengths, corrupt numeric fields).
    *
-   * Scale shape: three passes — grouped median, grouped MAD, outlier
-   * count — each a partial-aggregatable `percentile`/sum aggregation
-   * (no global sort, no Window), bridged by broadcasts of the per-group
-   * stats; groups are assumed low-cardinality relative to rows (the
-   * profiling norm). A mostly-constant group has MAD 0 — any nonzero
-   * deviation flags, matching the formula. Output: (groupCol, med, mad,
-   * n, n_outliers), med/mad rounded 4 dp.
+   * Scale shape (round 15): ONE pass — a fused buffered aggregate
+   * ([[graft.functions.MadStats]]) computes all three chained order
+   * statistics per group from one value buffer, for the same memory
+   * envelope the previous first `percentile` pass already paid (exact
+   * percentile buffers the group's values either way). The previous
+   * three-pass chain (grouped median → broadcast → grouped MAD →
+   * broadcast → outlier count) cost 3 corpus scans + 3 buffered
+   * shuffles; this is 1 + 1, bit-identical by construction (the fused
+   * eval reproduces Percentile's interpolation term-for-term — gated in
+   * ProfileSpec). Groups are assumed low-cardinality relative to rows
+   * (the profiling norm). A mostly-constant group has MAD 0 — any
+   * nonzero deviation flags, matching the formula. Output: (groupCol,
+   * med, mad, n, n_outliers), med/mad rounded 4 dp.
    */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 3.0): DataFrame = {
     val g = graft.ColName.topCol(groupCol)
     val v = graft.ColName.topCol(valueCol).cast("double")
     val rows = df.filter(v.isNotNull).select(g.alias("__g"), v.alias("__v"))
-    val med = rows.groupBy("__g")
-      .agg(expr("percentile(__v, 0.5)").alias("__med"))
-    val mad = rows.join(broadcast(med), "__g")
-      .groupBy("__g")
-      .agg(first(col("__med")).alias("__med"),
-        expr("percentile(abs(__v - __med), 0.5)").alias("__mad"),
-        count(lit(1)).alias("n"))
-    rows.join(broadcast(mad), "__g")
-      .groupBy(col("__g").alias(groupCol))
-      .agg(round(first(col("__med")), 4).alias("med"),
-        round(first(col("__mad")), 4).alias("mad"),
-        first(col("n")).alias("n"),
-        sum(when(abs(col("__v") - col("__med")) >
-          lit(k * 1.4826) * col("__mad"), 1L).otherwise(0L)).alias("n_outliers"))
+    rows.groupBy(col("__g").alias(groupCol))
+      .agg(graft.functions.MadStats.madStats(
+        df.sparkSession, col("__v"), k).alias("__ms"))
+      .select(graft.ColName.topCol(groupCol),
+        round(col("__ms").getField("med"), 4).alias("med"),
+        round(col("__ms").getField("mad"), 4).alias("mad"),
+        col("__ms").getField("n").alias("n"),
+        col("__ms").getField("n_outliers").alias("n_outliers"))
   }
 
   /**

@@ -91,6 +91,53 @@ class ProfileSpec extends SparkSpec {
     assert(a._5 == 1L)
   }
 
+  test("madOutliers fused aggregate ≡ the three-pass percentile chain, " +
+    "bit-exact on raw (unrounded) med/mad") {
+    // adversarial shapes: odd and even counts (interpolated median),
+    // heavy duplicates (equal-boundary-key short-circuit), two-value and
+    // constant groups, planted outliers, values crossing zero
+    val rnd = new scala.util.Random(7)
+    val data = (0 until 5000).map { i =>
+      val g = s"g${i % 7}"
+      val v = (i % 7) match {
+        case 0 => (rnd.nextInt(5) + 1).toDouble          // heavy dups
+        case 1 => rnd.nextDouble() * 100 - 50            // continuous
+        case 2 => if (i % 50 == 0) 1e6 else rnd.nextGaussian()
+        case 3 => 42.0                                   // constant
+        case 4 => if (i % 2 == 0) 1.0 else 2.0           // two-value
+        case _ => rnd.nextDouble() * 1e-3
+      }
+      (g, v)
+    } ++ Seq(("odd", 1.0), ("odd", 2.0), ("odd", 10.0))  // size-3 group
+    val df = data.toDF("g", "v").repartition(13)
+    val k = 3.0
+    // three-pass reference: the pre-round-15 formulation, verbatim
+    val rows = df.filter(col("v").isNotNull)
+      .select(col("g").alias("__g"), col("v").cast("double").alias("__v"))
+    val med = rows.groupBy("__g").agg(expr("percentile(__v, 0.5)").alias("__med"))
+    val mad = rows.join(broadcast(med), "__g").groupBy("__g")
+      .agg(first(col("__med")).alias("__med"),
+        expr("percentile(abs(__v - __med), 0.5)").alias("__mad"),
+        count(lit(1)).alias("n"))
+    val want = rows.join(broadcast(mad), "__g").groupBy(col("__g"))
+      .agg(first(col("__med")).alias("med"), first(col("__mad")).alias("mad"),
+        first(col("n")).alias("n"),
+        sum(when(abs(col("__v") - col("__med")) >
+          lit(k * 1.4826) * col("__mad"), 1L).otherwise(0L)).alias("n_outliers"))
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // fused path, UNROUNDED (reach the struct directly for bit-exactness)
+    val got = rows.groupBy(col("__g"))
+      .agg(graft.functions.MadStats.madStats(spark, col("__v"), k).alias("s"))
+      .select(col("__g"), col("s.med"), col("s.mad"), col("s.n"), col("s.n_outliers"))
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == want.keySet)
+    got.keySet.foreach { g =>
+      assert(got(g) == want(g), s"group $g: fused=${got(g)} threePass=${want(g)}")
+    }
+  }
+
   test("countMin: never undercounts, overcount within eps*n, absent probe = 0") {
     val stream = (Seq.fill(500)("hot") ++ (1 to 2000).map(i => s"u${i % 400}"))
     val df = stream.toDF("item").repartition(7)
