@@ -160,22 +160,22 @@ object Bench {
 
   private[graft] def materializeDf(df: DataFrame): Unit = materialize(df)
 
-  /** Linux VmHWM of this process in MB (true peak RSS — meaningful per
-    * scenario only in a forked child process). */
-  private[graft] def vmHwmMb(): Long = try {
+  /** One /proc/self/status field in MB (shared parse — VmHWM and VmRSS
+    * must stay in sync on format quirks). −1 when unreadable. */
+  private def procStatusMb(key: String): Long = try {
     scala.io.Source.fromFile("/proc/self/status").getLines()
-      .find(_.startsWith("VmHWM")).map(_.replaceAll("[^0-9]", "").toLong / 1024)
+      .find(_.startsWith(key)).map(_.replaceAll("[^0-9]", "").toLong / 1024)
       .getOrElse(-1L)
   } catch { case _: Throwable => -1L }
+
+  /** Linux VmHWM of this process in MB (true peak RSS — meaningful per
+    * scenario only in a forked child process). */
+  private[graft] def vmHwmMb(): Long = procStatusMb("VmHWM")
 
   /** Current Linux VmRSS of this process in MB (instantaneous, unlike the
     * high-water [[vmHwmMb]] — used for per-preset attribution in grouped
     * children, where the HWM ratchets across presets). */
-  private[graft] def vmRssMb(): Long = try {
-    scala.io.Source.fromFile("/proc/self/status").getLines()
-      .find(_.startsWith("VmRSS")).map(_.replaceAll("[^0-9]", "").toLong / 1024)
-      .getOrElse(-1L)
-  } catch { case _: Throwable => -1L }
+  private[graft] def vmRssMb(): Long = procStatusMb("VmRSS")
 
   /** Peak VmRSS (MB) observed by a 50 ms sampler while `f` runs. */
   private def sampleRss[A](f: => A): (A, Long) = {
@@ -1072,15 +1072,19 @@ object Bench {
     // work (t - adjacentFloor vs factor × (ref - refFloor)); entries whose
     // computed work is sub-floor can never flag. Falls back to the raw
     // ratio when the reference artifact predates floor recording.
+    // the RAW exceedance predicate (ratio + absolute slack) — the single
+    // definition shared by entryFlagged and the floor_excused disclosure
+    // below, so a tuning of the factor or slack can never diverge the two
+    def rawExceeds(name: String, t: Double): Boolean =
+      t > 0 && refTimes.get(name).exists(r => t > r * flagFactor && t - r > 0.4)
     def entryFlagged(name: String, t: Double, fallbackFloor: Double): Boolean =
-      t > 0 && refTimes.get(name).exists { r =>
-        val rawFlag = t > r * flagFactor && t - r > 0.4
-        if (refFloorSec <= 0) rawFlag
+      rawExceeds(name, t) && refTimes.get(name).exists { r =>
+        if (refFloorSec <= 0) true
         else {
           val fNow = floorsLog.getOrElse(name, fallbackFloor)
           val work = t - math.min(if (fNow > 0) fNow else t, t)
           val refWork = math.max(r - refFloorSec, 0.05)
-          rawFlag && work > refWork * flagFactor
+          work > refWork * flagFactor
         }
       }
     def pendingFlagCount: Int = partialResults.count { case (n, t) =>
@@ -1821,9 +1825,10 @@ object Bench {
     // recompute the excusal from the "floors" map; now the artifact
     // names them (r14 capture: q_validate_uniformity 3.0x,
     // q_unpack_streaming 2.1x, q_dedup_exact 2.0x, q_multimodal_decode
-    // 3.1x, scale_neardup_survivors 2.4x raw — all excused).
-    def rawExceeds(name: String, t: Double): Boolean =
-      t > 0 && refTimes.get(name).exists(r => t > r * flagFactor && t - r > 0.4)
+    // 3.1x, scale_neardup_survivors 2.4x raw — all excused). The raw
+    // predicate is [[rawExceeds]], defined ONCE next to entryFlagged
+    // (round 15 — a second copy here could drift from the flag predicate
+    // it excuses).
     val floorExcused = (all0 ++ lateResults).collect {
       case (n, t) if rawExceeds(n, t) && !entryFlagged(n, t, refFloor) => n
     }.distinct

@@ -2052,9 +2052,11 @@ object SparkEntry {
     "q_bpe_merges" -> ((s, dir) =>
       ext.Bpe.trainMerges(table(s, dir, "documents"), "text", numMerges = 8)),
     // the apply half: encode the corpus under the 8 trained merges —
-    // folds run on the distinct-word table only; the corpus pays one
-    // broadcast join + per-doc count. Oracle re-trains AND re-encodes
-    // independently in DuckDB off the same CTE chain
+    // the default rank-map priority-merge runs one mapPartitions pass
+    // over the distinct-word table only (the Catalyst fold survives as
+    // the spec-gated small-K reference arm, Bpe.scala); the corpus pays
+    // one broadcast join + per-doc count. Oracle re-trains AND
+    // re-encodes independently in DuckDB off the same CTE chain
     "q_bpe_encode" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val merges = ext.Bpe.trainMergesSeq(docs, "text", numMerges = 8)

@@ -86,11 +86,11 @@ object Graph {
     // the cut, nNodes and nEdges each re-ran the whole upstream edge
     // derivation (for q_triangle_count: lineitem scan → co-occurrence
     // self-join → distinct, three full times per call)
-    val e = edges.localCheckpoint(true)
+    val (e, eBlocks) = cpTracked(edges)
     // the oriented list feeds BOTH wedge sides and the closing probe —
     // pin it once (eager localCheckpoint) so the degree aggregation +
     // orientation joins run once, not three times
-    val o = orientByDegree(e).localCheckpoint(true)
+    val (o, oBlocks) = cpTracked(orientByDegree(e))
     val e1 = o.select(col("src"), col("dst").alias("x"), col("dst_deg").alias("__dx"))
     val e2 = o.select(col("src"), col("dst").alias("z"), col("dst_deg").alias("__dz"))
     // each unordered out-pair once: tips ordered by the same (deg, id) key
@@ -98,7 +98,16 @@ object Graph {
       .filter(struct(col("__dx"), col("x")) < struct(col("__dz"), col("z")))
     val closing = o.select(col("src").alias("x"), col("dst").alias("z"))
     val triangles = wedges.join(closing, Seq("x", "z"))
-    statsRow(e, triangles.count())
+    val nTri = triangles.count()
+    release(oBlocks) // the wedge count above was the last consumer of o
+    val row = statsRow(e, nTri)
+    // every output of statsRow is a collected driver long — nothing the
+    // caller receives depends on the pinned blocks, so release them here
+    // instead of leaking edge-list-sized blocks until GC/ContextCleaner
+    // (round-15 review finding: repeats under the bench protocol
+    // accumulated several full pinned copies)
+    release(eBlocks)
+    row
   }
 
   /** The naive id-canonical wedge join (`a < b < c`). Correct, but the
@@ -112,13 +121,34 @@ object Graph {
     // without it this arm also re-derived the edges three times and the
     // plain-vs-ordered ratio partly measured edge recompute, not the
     // hub-quadratic wedge join it exists to demonstrate
-    val e = edges.localCheckpoint(true)
+    val (e, eBlocks) = cpTracked(edges)
     val e1 = e.select(col("a").alias("x"), col("b").alias("y"))
     val e2 = e.select(col("a").alias("y"), col("b").alias("z"))
     val e3 = e.select(col("a").alias("x"), col("b").alias("z"))
     val triangles = e1.join(e2, "y").join(e3, Seq("x", "z"))
-    statsRow(e, triangles.count())
+    val row = statsRow(e, triangles.count())
+    release(eBlocks) // all outputs are collected driver longs (see above)
+    row
   }
+
+  /** Eager localCheckpoint with the persisted-RDD registry diff, so the
+    * caller can RELEASE the pinned blocks once every consumer has run —
+    * Dataset.unpersist() targets the CacheManager, not checkpoint blocks
+    * (the [[graft.ext.Dedup]] loop's cpTracked idiom, minus the stats
+    * reset this non-iterative path doesn't need). */
+  private def cpTracked(df: DataFrame)
+      : (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint(true)
+    val fresh = sc.getPersistentRDDs
+      .collect { case (k, r) if !before.contains(k) => r }.toSeq
+    (out, fresh)
+  }
+
+  private def release(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+    rdds.foreach(r => try r.unpersist(blocking = false)
+    catch { case _: Throwable => () })
 
   private def statsRow(edges: DataFrame, nTri: Long): DataFrame = {
     val nNodes = edges.select(col("a").alias("n"))

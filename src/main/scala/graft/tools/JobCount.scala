@@ -35,8 +35,16 @@ object JobCount {
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are async — give the bus a beat to drain
-      Thread.sleep(300)
+      // listener events are async — wait until the counters are STABLE
+      // across consecutive samples (a fixed beat raced late events into
+      // the next query's freshly-reset counters on a loaded box), with a
+      // hard 5 s cap so a wedged bus can't hang the tool
+      var prev = (-1, -1, -1L)
+      var waited = 0
+      while (prev != ((jobs.get, stages.get, tasks.get)) && waited < 5000) {
+        prev = (jobs.get, stages.get, tasks.get)
+        Thread.sleep(250); waited += 250
+      }
       println(f"[jobcount] $n%-28s jobs=${jobs.get}%-4d stages=${stages.get}%-4d tasks=${tasks.get}%-6d sec=$sec%.2f")
     }
     spark.stop()
